@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + canonical table loaders for the graft engine.
+  *
+  * Tuned for the harness topology (single-JVM `local[N]`) but configured the
+  * way a 1000-executor cluster job would be: AQE on (runtime coalescing +
+  * skew-join splitting), small-data-tuned shuffle partitions, UTC session
+  * time zone (oracle parity), broadcast threshold left at default so Catalyst
+  * auto-broadcasts the dimension tables (region/nation/customer at test SF).
+  */
+object Graft {
+
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val cpus = defaultCpus
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.compat.registerAll(spark)
+    spark
+  }
+
+  /** Apply engine settings + function registry to an externally-built session
+    * (the driver's Verify/Bench sessions). Idempotent.
+    */
+  def init(spark: SparkSession): SparkSession = {
+    graft.functions.compat.registerAll(spark)
+    spark
+  }
+}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read nanos as long (legacy conf) and rebuild a micros
+    * timestamp with exact integer division (no double round-trip — nanos
+    * since epoch exceed 2^53).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

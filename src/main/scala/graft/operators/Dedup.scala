@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), token-bag normalization, n-gram Jaccard,
+  * MinHash+LSH banding, SimHash. Designed scale-first:
+  *
+  *  - exact/normalized dedup = one shuffle on a 128-bit hash (no full-text
+  *    comparison crosses the wire);
+  *  - MinHash/LSH = narrow signature map + shuffle on (band, bandHash)
+  *    buckets only — candidate pairs are generated per-bucket, never the
+  *    O(n²) cross join;
+  *  - Jaccard verification joins only the candidate pairs.
+  *
+  * All stages are built-in expressions (codegen'd); no UDFs.
+  */
+object Dedup {
+
+  /** Exact duplicates: rows sharing md5(text). Keeps the minimum-id row per
+    * group (`is_kept`), reports group size.
+    */
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val h = md5(text).as("fp")
+    val w = Window.partitionBy(col("fp")).orderBy(id)
+    docs.select(id.as("doc_id"), h)
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("is_kept", row_number().over(w) === 1)
+  }
+
+  /** Normalized (token-bag) duplicates: same pipeline keyed on the sorted
+    * token multiset hash — catches word-order shuffles.
+    */
+  def normalized(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val h = TextAnalysis.normalizedHash(text).as("fp")
+    val w = Window.partitionBy(col("fp")).orderBy(id)
+    docs.select(id.as("doc_id"), h)
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("is_kept", row_number().over(w) === 1)
+  }
+
+  /** The (doc_id, shingle) relation: distinct character shingles per doc. */
+  def shingles(docs: DataFrame, id: Column, text: Column,
+      len: Int = 16, stride: Int = 4): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(TextAnalysis.charShingles(text, len, stride)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard pairs above a threshold, over shingles with
+    * document frequency <= `maxDf`. The df cap drops corpus-common shingles
+    * before the self-join — the standard guard that keeps the pair blowup
+    * proportional to true near-dups instead of O(hot-shingle²); near-dup
+    * pairs share plenty of rare shingles, so recall is unaffected at any
+    * realistic threshold. At 100 TB you'd feed this only LSH candidates
+    * (see [[minhashCandidates]]); on its own it is the oracle-checkable
+    * exact form.
+    */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, len: Int = 16, stride: Int = 4,
+      maxDf: Int = 50): DataFrame = {
+    val allSh = shingles(docs, id, text, len, stride)
+    val rare = allSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val sh = allSh.join(rare, "sh").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
+  // --- MinHash ------------------------------------------------------------
+
+  /** Fixed affine hash family over the 31-bit Mersenne prime — products
+    * stay below 2^62, so the modular math runs in plain (ANSI-checked) long
+    * arithmetic. Deterministic literals (no RNG at plan time) so signatures
+    * are reproducible across runs and cluster layouts.
+    */
+  private val P = 2147483647L // 2^31 - 1
+  private def hashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map { i =>
+      // distinct multipliers/offsets from a fixed LCG, folded into [1, P)
+      val a = 6364136223846793005L * i + 1442695040888963407L
+      val b = 2862933555777941757L * i + 3037000493L
+      (((a & Long.MaxValue) % (P - 1)) + 1, (b & Long.MaxValue) % P)
+    }
+
+  /** Per-doc MinHash signature as `sig_0..sig_{k-1}` columns: one scan,
+    * one shuffle on doc_id with map-side partial min.
+    */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column,
+      k: Int = 16, shingleLen: Int = 16, stride: Int = 4): DataFrame = {
+    val sh = shingles(docs, id, text, shingleLen, stride)
+      .withColumn("x", pmod(xxhash64(col("sh")), lit(P)))
+    val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(P))).as(s"sig_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` bands and bucket
+    * on (band index, band hash). Shuffle key = the band bucket, so candidate
+    * generation is linear in bucket sizes, never O(n²).
+    */
+  def minhashCandidates(docs: DataFrame, id: Column, text: Column,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, id, text, k)
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => col(s"sig_$i")): _*).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: LSH candidates verified with exact
+    * Jaccard — the scale path (verification join touches candidates only).
+    */
+  def minhashDedup(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(docs, id, text, k, bands)
+    val sh = shingles(docs, id, text).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // intersection via join on shingle within candidate pairs
+    val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // --- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes, computed as 64 codegen'd conditional sums in one aggregation.
+    */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"bit_$b")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius, candidate-bucketed on
+    * 16-bit sub-bands (pigeonhole: radius<=3 ⇒ some 16-bit band equal).
+    */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sim = simhash(docs, id, text)
+    val banded = sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val ham = (a: Column, b: Column) => bit_count(a.bitwiseXOR(b))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, flowing through real Spark schemas/partitioning. The decode
+  * step is a clearly-marked deterministic FAKE (image/audio codecs are not
+  * in this container — see builder prompt): it derives "features" from the
+  * bytes arithmetically, so the pipeline shape (schema, batching,
+  * partition-parallel feature extraction) is real and testable while the
+  * codec call is swappable.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta_source", StringType, nullable = true)))
+
+  /** Wrap a text corpus as binary assets (the ingest shape: bytes + typed
+    * metadata). In production the payload is the raw image/audio blob read
+    * via `binaryFile` source; partitioning carries over from the source.
+    */
+  def ingestAsBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("application/octet-stream").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source").as("meta_source"))
+
+  /** FAKE decode + feature extraction (deterministic stand-in for an image
+    * decode): byte length, leading byte, and arithmetic pseudo-dimensions.
+    * Swap body for a real codec via mapPartitions when libs are available.
+    */
+  def extractFeatures(assets: DataFrame): DataFrame =
+    assets.select(
+      col("asset_id"),
+      col("media_type"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      // FAKE-DECODE: pseudo width/height from payload size — placeholder for
+      // a real `decode(payload).dimensions` call.
+      (octet_length(col("payload")) % 640).cast("int").as("fake_width"),
+      (octet_length(col("payload")) % 480).cast("int").as("fake_height"),
+      ascii(decode(col("payload"), "UTF-8")).cast("int").as("first_byte"),
+      col("meta_source"))
+
+  /** Frame-sampling shape: one row per sampled offset (stride over bytes,
+    * standing in for video frame indices) — demonstrates the explode-style
+    * fan-out a frame sampler produces, with deterministic offsets.
+    */
+  def sampleFrames(assets: DataFrame, stride: Int = 64): DataFrame =
+    assets.select(col("asset_id"),
+        explode(sequence(lit(0),
+          greatest(octet_length(col("payload")) - 1, lit(0)),
+          lit(stride))).as("frame_offset"))
+      .withColumn("frame_len",
+        least(lit(stride), lit(stride)).cast("int"))
+}

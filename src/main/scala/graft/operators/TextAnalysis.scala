@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling.
+  * All pure built-in compositions (codegen'd, no UDFs) so they stream
+  * through whole-stage codegen at 100 TB — each is a narrow map over the
+  * documents scan with no shuffle until an explicit aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+", -1)
+
+  /** Token count (whitespace tokenizer; empty text → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(tokens(text)).cast("long"))
+
+  /** Stopword hits against a fixed lexicon (codegen'd HOF filter). */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+    val lex = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(lex, t))).cast("long")
+  }
+
+  /** Quality-score features: length, token stats, stopword ratio.
+    * Mirrors the heuristic quality scoring a pretraining pipeline applies
+    * per document before filtering.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    Seq(
+      "n_chars_m" -> length(text).cast("long"),
+      "n_tokens" -> nTok,
+      "n_distinct_tokens" -> size(array_distinct(toks)).cast("long"),
+      "avg_token_len" ->
+        (length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+          nTok.cast("double")),
+      "stopword_hits" -> stopwordHits(text,
+        Seq("the", "a", "of", "and", "is")))
+  }
+
+  /** Language-ID heuristic: stopword-lexicon hit counts per language,
+    * deterministic argmax (ties broken by the fixed language order).
+    */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langLexicons.map { case (lang, lex) =>
+      s"score_$lang" -> stopwordHits(text, lex)
+    }
+
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    // strict argmax in declaration order: first language with score equal to
+    // the overall max wins — same CASE chain the oracle runs.
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(maxScore === 0, lit("und"))) {
+      case (acc, (name, score)) =>
+        acc.when(score === maxScore, lit(name.stripPrefix("score_")))
+    }.otherwise(lit("und"))
+  }
+
+  /** Character shingles: fixed-length windows at a fixed stride — the
+    * selective n-gram unit for Jaccard near-dup detection. Returns an array
+    * column; explode + distinct to get the (doc, shingle) relation.
+    */
+  def charShingles(text: Column, len: Int = 16, stride: Int = 4): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (len - 1), lit(1)), lit(stride)),
+      i => substring_index_safe(text, i, len))
+
+  private def substring_index_safe(text: Column, pos: Column, len: Int): Column =
+    text.substr(pos, lit(len))
+
+  /** Min-shingle-hash document fingerprint (winnowing-style): the minimum
+    * md5 over the document's shingles — stable under reordering of
+    * evaluation, cheap to compare across corpora.
+    */
+  def fingerprint(shingle: Column): Column = min(md5(shingle))
+
+  /** Exact-dup normalization: token-multiset-insensitive canonical form
+    * (sorted tokens re-joined) hashed with md5. Catches shuffled-word
+    * duplicates that byte-equality misses.
+    */
+  def normalizedHash(text: Column): Column =
+    md5(array_join(array_sort(tokens(text)), " "))
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+
+/** Training-data text operators as named, oracle-checked queries over the
+  * `documents` table: token/quality stats, language ID, exact+normalized
+  * dedup, n-gram Jaccard near-dup, MinHash-LSH and SimHash (rows-only
+  * where a SQL oracle can't express the hash family), fingerprinting, and
+  * the multimodal binary-column pipeline.
+  */
+object TextOps {
+
+  private val q31_text_stats = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      docs.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+    },
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_m,
+        CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+        CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) /
+          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS avg_token_len,
+        CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+          t -> t IN ('the','a','of','and','is'))) AS BIGINT) AS stopword_hits
+      FROM documents"""),
+    doc = "text quality features: lengths, token stats, stopword ratio")
+
+  private val q32_langid = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scores = TextAnalysis.langScores(col("text"))
+      docs.select(
+        (col("doc_id") +: scores.map { case (n, c) => c.as(n) } :+
+          TextAnalysis.langPredict(scores).as("lang_pred")): _*)
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+      scores AS (
+        SELECT doc_id,
+          CAST(len(list_filter(tk, t -> t IN ('the','and','is','of','a'))) AS BIGINT) AS score_en,
+          CAST(len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+          CAST(len(list_filter(tk, t -> t IN ('le','les','et','une','est'))) AS BIGINT) AS score_fr,
+          CAST(len(list_filter(tk, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de
+        FROM toks)
+      SELECT doc_id, score_en, score_es, score_fr, score_de,
+        CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+             WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+             WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+             WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+             WHEN score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
+             ELSE 'und' END AS lang_pred
+      FROM scores"""),
+    doc = "n-gram/stopword language-ID heuristic with deterministic argmax")
+
+  private val q33_dedup_norm = Q(
+    run = (s, d) =>
+      Dedup.normalized(Tables.documents(s, d), col("doc_id"), col("text")),
+    oracle = Some("""
+      WITH fps AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(
+            regexp_split_to_array(lower(trim(text)), '\s+')), ' ')) AS fp
+        FROM documents)
+      SELECT doc_id, fp,
+        count(*) OVER (PARTITION BY fp) AS group_n,
+        row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_kept
+      FROM fps"""),
+    doc = "normalized (token-bag) exact dedup, keep-min-id")
+
+  private val q34_jaccard_pairs = Q(
+    run = (s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        threshold = 0.5),
+    oracle = Some("""
+      WITH sh0 AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 16) AS sh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM documents)),
+      rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+      sh AS (SELECT doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5"""),
+    doc = "exact char-shingle Jaccard near-dup pairs")
+
+  private val q35_fingerprint = Q(
+    run = (s, d) =>
+      Dedup.shingles(Tables.documents(s, d), col("doc_id"), col("text"))
+        .groupBy(col("doc_id"))
+        .agg(TextAnalysis.fingerprint(col("sh")).as("fingerprint"),
+          count(lit(1)).as("n_shingles")),
+    oracle = Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 16) AS sh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM documents))
+      SELECT doc_id, min(md5(sh)) AS fingerprint, count(*) AS n_shingles
+      FROM sh GROUP BY doc_id"""),
+    doc = "min-shingle-hash document fingerprint (winnowing-style)")
+
+  // MinHash/SimHash hash families aren't SQL-oracle-expressible — the
+  // driver records rows-only checks; correctness is locked by ScalaTest
+  // against the exact-Jaccard ground truth instead.
+  private val q36_minhash_pairs = Q(
+    run = (s, d) =>
+      Dedup.minhashDedup(Tables.documents(s, d), col("doc_id"), col("text"),
+        threshold = 0.5),
+    oracle = None,
+    doc = "MinHash+LSH banded near-dup (candidates verified with Jaccard)")
+
+  private val q37_simhash = Q(
+    run = (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        maxHamming = 6),
+    oracle = None,
+    doc = "64-bit SimHash near-dup pairs, 16-bit band pigeonhole buckets")
+
+  private val q38_multimodal = Q(
+    run = (s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.ingestAsBinary(Tables.documents(s, d))),
+    oracle = Some("""
+      SELECT doc_id AS asset_id,
+        'application/octet-stream' AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+        CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
+        CAST(ascii(text) AS INTEGER) AS first_byte,
+        source AS meta_source
+      FROM documents"""),
+    doc = "multimodal binary-column pipeline (deterministic fake decode)")
+
+  val all: Seq[(String, Q)] = Seq(
+    "q31_text_stats" -> q31_text_stats,
+    "q32_langid" -> q32_langid,
+    "q33_dedup_norm" -> q33_dedup_norm,
+    "q34_jaccard_pairs" -> q34_jaccard_pairs,
+    "q35_fingerprint" -> q35_fingerprint,
+    "q36_minhash_pairs" -> q36_minhash_pairs,
+    "q37_simhash" -> q37_simhash,
+    "q38_multimodal" -> q38_multimodal)
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "quick the brown fox jumps over the lazy dog again again and"), // bag dup of 1
+    (4L, "completely different content about spark query engines at scale"),
+    (5L, "the quick brown fox jumps over the lazy dog again and AGAIN!")  // near dup
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per byte-identical group") {
+    val r = Dedup.exact(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "group_n", "is_kept").as[(Long, Long, Boolean)].collect()
+    assert(r(0) == ((1L, 2L, true)))
+    assert(r(1) == ((2L, 2L, false)))
+    assert(r(2)._3 && r(3)._3 && r(4)._3)
+  }
+
+  test("normalized dedup groups word-shuffles together") {
+    val r = Dedup.normalized(docs, col("doc_id"), col("text"))
+      .filter(col("group_n") === 3).select("doc_id").as[Long].collect().sorted
+    assert(r.toSeq == Seq(1L, 2L, 3L)) // 1,2,3 share the token bag
+  }
+
+  test("jaccard pairs find the near-dup, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.3, maxDf = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)) || pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recall vs exact jaccard ground truth on real corpus") {
+    val d = Tables.documents(spark, sf())
+    val exact = Dedup.jaccardPairs(d, col("doc_id"), col("text"),
+        threshold = 0.7, maxDf = 1000000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDedup(d, col("doc_id"), col("text"), threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // no false positives above threshold (both verify with exact jaccard)
+    assert(lsh.subsetOf(exact))
+    // recall: banding (16 hashes, 4 bands) keeps >=80% at j>=0.7
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall over ${exact.size} pairs")
+    }
+  }
+
+  test("simhash: identical docs distance 0, near-dups within radius") {
+    val sh = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(5L)) <= 12)
+    assert(ham(sh(1L), sh(4L)) > 12)
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
