@@ -35,6 +35,8 @@ object Graft {
     * (the driver's Verify/Bench sessions). Idempotent.
     */
   def init(spark: SparkSession): SparkSession = {
+    // events.ts is parquet TIMESTAMP(NANOS); see Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.compat.registerAll(spark)
     spark
   }

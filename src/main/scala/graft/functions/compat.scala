@@ -69,9 +69,12 @@ object compat {
   def restTokens(c: Column): Column =
     array_join(slice(split(trim(c), "\\s+", -1), 2, 1 << 20), " ")
 
-  /** `YYYYMMDD` compact date string → ISO `yyyy-MM-dd`. */
+  /** `YYYYMMDD` compact date string → ISO `yyyy-MM-dd`; null (not an ANSI
+    * parse error) on empty/invalid input — the reference guards each call
+    * site with an emptiness check instead.
+    */
   def yyyymmddToIso(c: Column): Column =
-    date_format(to_date(c, "yyyyMMdd"), "yyyy-MM-dd")
+    date_format(try_to_date(c, "yyyyMMdd"), "yyyy-MM-dd")
 
   /** UTC timestamp rendered like the reference's
     * `strftime("%Y-%m-%dT%H:%M:%S+00:00")` (session TZ is UTC).

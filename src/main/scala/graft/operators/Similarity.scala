@@ -40,12 +40,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim i weight =
-    * sin(p·12289 + i·1627) — fixed, engine-independent literals (no RNG in
-    * the plan), full coverage of the sign space in practice.
+    * sin(p·12289 + i·1627) — computed once at plan-build time and embedded
+    * as a foldable array literal (never per row; HOF lambdas don't
+    * constant-fold).
     */
   private def planeWeights(p: Int, dims: Int): Column =
-    transform(sequence(lit(0), lit(dims - 1)),
-      i => sin(lit(p * 12289).cast("double") + i.cast("double") * 1627.0))
+    array((0 until dims).map(i =>
+      lit(math.sin(p * 12289.0 + i * 1627.0))): _*)
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed to a long. */
   def rhpSignature(vec: Column, planes: Int, dims: Int): Column =
@@ -56,17 +57,20 @@ object Similarity {
 
   /** ANN near-dup pairs: bucket by the RHP signature, verify cosine within
     * buckets only. `threshold` on true cosine; signature width trades recall
-    * for bucket size.
+    * for bucket size. Norms are computed once per vector in the signature
+    * map (not per pair), so the pair stage is a single zip_with dot.
     */
   def annPairs(emb: DataFrame, threshold: Double,
       planes: Int = 12, dims: Int = 64): DataFrame = {
     val sig = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"),
       rhpSignature(col("embedding"), planes, dims).as("bucket"))
     sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -207,11 +207,13 @@ object Relational {
   // --- J6 composite-key join back onto a per-(part,supp) aggregate
   private val q10_join_composite = Q(
     run = (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val avgQ = li.groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
-          .as("avg_qty"))
-      li.join(avgQ, col("l_partkey") === col("pk") && col("l_suppkey") === col("sk"))
+      // one shuffle: the correlated per-(part,supp) average via window, not
+      // agg+self-join — the follow-up groupBy reuses the same partitioning
+      val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      Tables.lineitem(s, d)
+        .withColumn("avg_qty",
+          sum(dec(col("l_quantity"))).over(w).cast("double") /
+            count(lit(1)).over(w))
         .filter(col("l_quantity") > col("avg_qty"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("n_above"))

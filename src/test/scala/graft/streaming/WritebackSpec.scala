@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WritebackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bundleFor(patientId: String, encounterId: String): String =
+    s"""{
+      "resourceType": "Bundle",
+      "entry": [
+        {"fullUrl": "urn:p", "resource": {"resourceType": "Patient",
+          "identifier": [{"system": "https://emis.com/Id/Patient/DBID",
+                          "value": "$patientId"}]}},
+        {"fullUrl": "urn:e", "resource": {"resourceType": "Encounter",
+          "identifier": [{"system": "https://fhir.virtually.healthcare/Id/Encounter",
+                          "value": "$encounterId"}]}},
+        {"fullUrl": "urn:q", "resource": {"resourceType": "QuestionnaireResponse",
+          "item": [{"linkId": "q", "answer": [{"valueString": "a"}]}]}}
+      ]}"""
+
+  private def tasks = Seq(
+    // id, status, versionId, authoredOn, focusSystem, focusValue
+    ("t1", "accepted", "3", "2025-07-10T10:00:00", "sys", "enc1"),  // normal
+    ("t2", "accepted", "250", "2025-07-10T11:00:00", "sys", "enc2"), // skip: runaway
+    ("t3", "completed", "2", "2025-07-10T12:00:00", "sys", "enc3"),  // skip: done
+    ("t4", "accepted", "1", "2025-07-10T13:00:00", "sys", "enc-missing"), // cancelled
+    ("t5", "accepted", "2", "2025-07-10T14:00:00", "sys", "enc5"))   // duplicate
+    .toDF("id", "status", "versionId", "authoredOn", "focusSystem", "focusValue")
+    .withColumn("note",
+      lit(null).cast("array<struct<time:string,text:string>>"))
+
+  private def consultations = Seq(
+    ("sys", "enc1", bundleFor("pat1", "enc1")),
+    ("sys", "enc2", bundleFor("pat2", "enc2")),
+    ("sys", "enc3", bundleFor("pat3", "enc3")),
+    ("sys", "enc5", bundleFor("pat5", "enc5")))
+    .toDF("encounterSystem", "encounterValue", "bundleJson")
+
+  private def compositions =
+    Seq(("pat5", "enc5")).toDF("patientId", "encounterId")
+
+  test("pollFilter: accepted + cutoff + runaway guard + newest-first top-k") {
+    val polled = Writeback.pollFilter(tasks, "2025-07-01", count = 2)
+      .select("id").as[String].collect()
+    assert(polled.toSeq == Seq("t5", "t4")) // newest-first; t2 runaway-guarded, t3 not accepted
+  }
+
+  test("classify: outcome per branch") {
+    val out = Writeback.classify(tasks, consultations, compositions)
+      .select("id", "outcome", "skip", "duplicate", "sent_to_emis")
+      .as[(String, String, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) == (("t1", "completed", false, false, true)))
+    assert(out(1)._2 == "skipped" && out(1)._3)
+    assert(out(2)._2 == "skipped")
+    assert(out(3) == (("t4", "cancelled", false, false, false)))
+    assert(out(4) == (("t5", "completed", false, true, false))) // dup short-circuit
+  }
+
+  test("classify: message is a converted A04 for processed tasks") {
+    val msg = Writeback.classify(tasks, consultations, compositions)
+      .filter(col("id") === "t1").select("message").as[String].head()
+    assert(msg.contains(""""code":"A04""""))
+    assert(msg.contains("LOINC/61149-1")) // T5 ran inside T6 before T4
+  }
+
+  test("taskWriteback: skipped rows excluded, notes appended, outputs built") {
+    val wb = Writeback.taskWriteback(
+      Writeback.classify(tasks, consultations, compositions),
+      utcNow = lit("2025-07-10T15:00:00+00:00"))
+    val rows = wb.select("id", "status").as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("t1", "t4", "t5"))
+    val t1 = wb.filter(col("id") === "t1")
+      .select(col("note").getField("text"), size(col("output")))
+      .as[(Seq[String], Int)].head()
+    assert(t1._1 == Seq("Workflow completed"))
+    assert(t1._2 == 1) // EMISOpen output entry
+  }
+
+  test("requeueCancelled resets status with audit note") {
+    val t = Seq(("c1", "cancelled", "2025-07-01T00:00:00"),
+      ("c2", "accepted", "2025-07-02T00:00:00"))
+      .toDF("id", "status", "authoredOn")
+      .withColumn("note", lit(null).cast("array<struct<time:string,text:string>>"))
+    val r = Writeback.requeueCancelled(t, utcNow = lit("now"))
+      .select("id", "status").as[(String, String)].collect()
+    assert(r.toSeq == Seq(("c1", "accepted")))
+  }
+
+  test("streaming: 1-minute-poll pipeline via foreachBatch memory run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String, String, String, String, String)]
+    stream.addData(("t1", "accepted", "3", "2025-07-10T10:00:00", "sys", "enc1"))
+    val df = stream.toDF()
+      .toDF("id", "status", "versionId", "authoredOn", "focusSystem", "focusValue")
+      .withColumn("note", lit(null).cast("array<struct<time:string,text:string>>"))
+    var captured: Seq[String] = Nil
+    val q = Writeback.start(df, consultations, compositions,
+      sink = b => captured = b.select("id").as[String].collect().toSeq,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("wb-ckpt").toString,
+      interval = "1 seconds")
+    try {
+      q.processAllAvailable()
+      assert(captured == Seq("t1"))
+    } finally q.stop()
+  }
+}
