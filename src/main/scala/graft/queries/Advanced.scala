@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.etl.FhirBuilders
+
+/** Extended operator coverage: analytic lag/lead, gap-based sessionization
+  * (the batch view of streaming session windows), FHIR document
+  * construction with a byte-identical SQL oracle, stratified sampling and
+  * ML feature preparation (rows-only — engine-seeded randomness / vector
+  * types have no SQL-oracle form).
+  */
+object Advanced {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  // --- analytic lag/lead over an ordered series (W4 extension)
+  private val q42_lag_delta = Q(
+    run = (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")) -
+          lag(dec(col("l_extendedprice")), 1).over(w))
+          .cast("double").as("price_delta"),
+        lead(col("l_orderkey"), 1).over(w).as("next_order"))
+    },
+    oracle = Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) -
+             lag(CAST(l_extendedprice AS DECIMAL(12,2)), 1) OVER w AS DOUBLE)
+          AS price_delta,
+        lead(l_orderkey, 1) OVER w AS next_order
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber)"""),
+    doc = "analytic lag/lead with deterministic ordering")
+
+  // --- gap-based sessionization: the batch equivalent of streaming session
+  //     windows (30-minute inactivity gap), via lag + conditional cumsum.
+  private val q43_sessionize = Q(
+    run = (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap",
+          when(col("ts").cast("long") -
+            lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_no",
+          sum(col("gap")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+    },
+    oracle = Some("""
+      WITH gaps AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+                    CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800
+               THEN 1 ELSE 0 END AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts,
+          sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM gaps)
+      SELECT user_id, session_no, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM sessions GROUP BY user_id, session_no"""),
+    doc = "gap-based sessionization (batch view of session windows)")
+
+  // --- T1 document build, oracle-checked byte-for-byte: DuckDB assembles
+  //     the identical JSON with string concatenation.
+  private val q44_fhir_org_build = Q(
+    run = (s, d) =>
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        FhirBuilders.organization(
+          ods = concat(lit("N"), col("n_nationkey")),
+          name = col("n_name"),
+          postCode = when(col("n_nationkey") % 2 === 0,
+            concat(lit("PC"), col("n_nationkey"))).otherwise(lit("")),
+          nationalGrouping = when(col("n_nationkey") % 3 === 0, lit("Y99"))
+            .otherwise(lit("")),
+          phone = lit(""),
+          addr1 = lit("1 HIGH ST"), addr2 = lit(""),
+          addr3 = lit(""), addr4 = lit(""),
+          closed = when(col("n_nationkey") === 7, lit("20200101"))
+            .otherwise(lit("")),
+          id = lit("")).as("doc")),
+    oracle = Some("""
+      SELECT n_nationkey,
+        '{"resourceType":"Organization","identifier":[{"system":"https://fhir.nhs.uk/Id/ods-organization-code","value":"N'
+        || n_nationkey || '"}],"active":' ||
+        CASE WHEN n_nationkey = 7 THEN 'false' ELSE 'true' END ||
+        ',"type":[{"coding":[{"system":"https://fhir.nhs.uk/CodeSystem/organisation-role","code":"76","display":"GP PRACTICE"}]}],"name":"'
+        || n_name || '"' ||
+        CASE WHEN n_nationkey % 3 = 0 THEN
+          ',"partOf":{"identifier":{"system":"https://fhir.nhs.uk/Id/ods-organization-code","value":"Y99"}}'
+        ELSE '' END ||
+        CASE WHEN n_nationkey % 2 = 0 THEN
+          ',"address":[{"postalCode":"PC' || n_nationkey || '","line":["1 HIGH ST"]}]'
+        ELSE '' END || '}' AS doc
+      FROM nation"""),
+    doc = "T1 FHIR Organization build vs byte-identical SQL oracle")
+
+  // --- A6/M3: seeded stratified sampling — engine-specific RNG, rows-only
+  private val q45_sample_strat = Q(
+    run = (s, d) => {
+      val o = Tables.orders(s, d)
+      val strata = Map("F" -> 0.7, "O" -> 0.7, "P" -> 0.7)
+      o.stat.sampleBy("o_orderstatus", strata, 42L)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_sampled"))
+    },
+    oracle = None,
+    doc = "A6 seeded stratified sampling (engine RNG: rows-only check)")
+
+  // --- M6: median imputation in exact-relational form (the ml.Imputer uses
+  //     approximate quantiles — fine for modeling, not for an oracle; the
+  //     plan form broadcasts the exact percentile instead of collecting)
+  private val q46_ml_features = Q(
+    run = (s, d) => {
+      val feats = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_quantity").as("qty"),
+        when(col("l_linenumber") === 1, lit(null).cast("double"))
+          .otherwise(col("l_discount")).as("disc"))
+      val medDf = feats.filter(col("disc").isNotNull)
+        .agg(percentile(col("disc"), lit(0.5)).as("m"))
+      feats.crossJoin(broadcast(medDf))
+        .select(col("l_orderkey"), col("qty"),
+          coalesce(col("disc"), col("m")).as("disc_imp"))
+    },
+    oracle = Some("""
+      WITH med AS (
+        SELECT quantile_cont(CAST(l_discount AS DOUBLE), 0.5) AS m
+        FROM lineitem WHERE l_linenumber <> 1)
+      SELECT l_orderkey, l_quantity AS qty,
+        CASE WHEN l_linenumber = 1 THEN (SELECT m FROM med)
+             ELSE l_discount END AS disc_imp
+      FROM lineitem"""),
+    doc = "M6 median imputation + feature assembly (imputed values oracle-checked)")
+
+  val all: Seq[(String, Q)] = Seq(
+    "q42_lag_delta" -> q42_lag_delta,
+    "q43_sessionize" -> q43_sessionize,
+    "q44_fhir_org_build" -> q44_fhir_org_build,
+    "q45_sample_strat" -> q45_sample_strat,
+    "q46_ml_features" -> q46_ml_features)
+}

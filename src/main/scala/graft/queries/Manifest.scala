@@ -6,7 +6,7 @@ package graft.queries
   */
 object Manifest {
   val all: Seq[(String, Q)] =
-    Relational.all ++ TextOps.all ++ VectorOps.all
+    Relational.all ++ Advanced.all ++ TextOps.all ++ VectorOps.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
