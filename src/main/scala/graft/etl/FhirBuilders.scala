@@ -137,6 +137,19 @@ object FhirBuilders {
         .as("period"),
       opt(nonEmpty(id), id).as("id")))
 
+  /** T11: the `$send-EMISOpen` request envelope — wrap a transformed
+    * payload in `Parameters{parameter:[{name:"EMISOpen",valueString}]}`
+    * (ConsultationNoteWritebackX.py:491-497). The send-success check is the
+    * information-severity OperationOutcome triage in
+    * [[Validation.emisSendSucceeded]].
+    */
+  def emisOpenEnvelope(payload: Column): Column =
+    to_json(struct(
+      lit("Parameters").as("resourceType"),
+      array(struct(
+        lit("EMISOpen").as("name"),
+        payload.as("valueString"))).as("parameter")))
+
   /** T7: append a {time, text} note to a Task's note[] (null-safe). */
   def appendNote(note: Column, time: Column, text: Column): Column =
     concat(

@@ -48,6 +48,18 @@ object Validation {
       req(json, "$.organization.identifier.value",
         "organization identifier required")))
 
+  /** T11 success check: `$send-EMISOpen` succeeded iff the response is an
+    * OperationOutcome whose first issue has severity=information
+    * (ConsultationNoteWritebackX.py:501-510); the first issue's
+    * diagnostics is the failure detail (X10's `Diagnostics` XCom).
+    */
+  def emisSendSucceeded(outcomeJson: Column): Column =
+    get_json_object(outcomeJson, "$.resourceType") === "OperationOutcome" &&
+      get_json_object(outcomeJson, "$.issue[0].severity") === "information"
+
+  def emisSendDiagnostics(outcomeJson: Column): Column =
+    coalesce(get_json_object(outcomeJson, "$.issue[0].diagnostics"), lit(""))
+
   /** T10: does an OperationOutcome fail the gate? Error-severity issues are
     * fatal unless the details text carries the ignored SNOMED expression
     * code 307321000000107 (reference line 447).
