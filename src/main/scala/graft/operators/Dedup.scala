@@ -60,10 +60,13 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
       threshold: Double, len: Int = 16, stride: Int = 4,
       maxDf: Int = 50): DataFrame = {
-    val allSh = shingles(docs, id, text, len, stride)
+    // cache the raw shingle relation: it backs both the df computation and
+    // the join, and its plan is shared with fingerprint/minhash queries
+    // (Spark's cacheManager dedups by plan equality across queries)
+    val allSh = shingles(docs, id, text, len, stride).cache()
     val rare = allSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("sh"))
-    val sh = allSh.join(rare, "sh").cache()
+    val sh = allSh.join(rare, "sh")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -142,7 +145,7 @@ object Dedup {
   def minhashDedup(docs: DataFrame, id: Column, text: Column,
       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val cand = minhashCandidates(docs, id, text, k, bands)
-    val sh = shingles(docs, id, text).cache()
+    val sh = shingles(docs, id, text).cache() // shared plan with jaccard/fingerprint
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // intersection via join on shingle within candidate pairs
     val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

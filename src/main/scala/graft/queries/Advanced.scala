@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.etl.FhirBuilders
+import graft.functions.compat
 
 /** Extended operator coverage: analytic lag/lead, gap-based sessionization
   * (the batch view of streaming session windows), FHIR document
@@ -149,10 +150,63 @@ object Advanced {
       FROM lineitem"""),
     doc = "M6 median imputation + feature assembly (imputed values oracle-checked)")
 
+  // --- F11 acceptance extractors (RaceAndEthnicCategorySQL.ipynb:455,643-648):
+  //     US-Core race/ethnicity complex extensions + birthsex simple extension,
+  //     evaluated by the custom FhirPathExpr on per-row constructed patient
+  //     JSON; the oracle runs positional JSON paths over the same bytes.
+  private val q47_race_extract = Q(
+    run = (s, d) => {
+      val doc = concat(
+        lit("""{"resourceType":"Patient","id":""""), col("c_custkey"),
+        lit("""","identifier":[{"system":"https://nhs.uk/Id/nhs-number","value":"N"""),
+        col("c_custkey"),
+        lit(""""}],"extension":[{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race","extension":[{"url":"ombCategory","valueCoding":{"code":"R"""),
+        col("c_nationkey"),
+        lit("""","display":"race-"""), col("c_mktsegment"),
+        lit(""""}}]},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity","extension":[{"url":"ombCategory","valueCoding":{"code":"E"""),
+        col("c_nationkey"),
+        lit(""""}}]},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex","valueCode":""""),
+        when(col("c_custkey") % 2 === 0, "F").otherwise("M"),
+        lit(""""}]}"""))
+      val race = "extension('http://hl7.org/fhir/us/core/StructureDefinition/us-core-race')"
+      val eth = "extension('http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity')"
+      val bsx = "extension('http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex')"
+      Tables.customer(s, d).withColumn("doc", doc).select(
+        col("c_custkey"),
+        compat.getFhirPathOne(col("doc"),
+          s"$race.extension('ombCategory').valueCoding.code").as("race_code"),
+        compat.getFhirPathOne(col("doc"),
+          s"$race.extension('ombCategory').valueCoding.display").as("race_display"),
+        compat.getFhirPathOne(col("doc"),
+          s"$eth.extension('ombCategory').valueCoding.code").as("ethnicity_code"),
+        compat.getFhirPathOne(col("doc"), s"$bsx.valueCode").as("birthsex"),
+        compat.getFhirPathOne(col("doc"), "identifier[0].value").as("nhs_number"))
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT c_custkey,
+          '{"resourceType":"Patient","id":"' || c_custkey ||
+          '","identifier":[{"system":"https://nhs.uk/Id/nhs-number","value":"N' || c_custkey ||
+          '"}],"extension":[{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race","extension":[{"url":"ombCategory","valueCoding":{"code":"R' || c_nationkey ||
+          '","display":"race-' || c_mktsegment ||
+          '"}}]},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity","extension":[{"url":"ombCategory","valueCoding":{"code":"E' || c_nationkey ||
+          '"}}]},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex","valueCode":"' ||
+          CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END || '"}]}' AS doc
+        FROM customer)
+      SELECT c_custkey,
+        json_extract_string(doc, '$.extension[0].extension[0].valueCoding.code') AS race_code,
+        json_extract_string(doc, '$.extension[0].extension[0].valueCoding.display') AS race_display,
+        json_extract_string(doc, '$.extension[1].extension[0].valueCoding.code') AS ethnicity_code,
+        json_extract_string(doc, '$.extension[2].valueCode') AS birthsex,
+        json_extract_string(doc, '$.identifier[0].value') AS nhs_number
+      FROM docs"""),
+    doc = "F11 race/ethnicity/birthsex FHIRPath extractors (acceptance set)")
+
   val all: Seq[(String, Q)] = Seq(
     "q42_lag_delta" -> q42_lag_delta,
     "q43_sessionize" -> q43_sessionize,
     "q44_fhir_org_build" -> q44_fhir_org_build,
     "q45_sample_strat" -> q45_sample_strat,
-    "q46_ml_features" -> q46_ml_features)
+    "q46_ml_features" -> q46_ml_features,
+    "q47_race_extract" -> q47_race_extract)
 }

@@ -27,10 +27,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
   }
 
-  test("ANN LSH pairs are a high-cosine subset of brute force") {
-    val emb = Tables.embeddings(spark, sf())
-    val pairs = Similarity.annPairs(emb, threshold = 0.9)
+  test("ANN LSH pairs are a high-cosine subset of brute force, with recall") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val lsh = Similarity.annPairs(emb, threshold = 0.9)
       .as[(Long, Long, Double)].collect()
-    assert(pairs.forall(_._3 >= 0.9))
+    assert(lsh.forall(_._3 >= 0.9))
+    // exact ground truth via full pair join (test-scale only)
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("norm"))
+    val exact = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .as[(Long, Long, Double)].collect()
+    val lshSet = lsh.map(p => (p._1, p._2)).toSet
+    assert(lshSet.subsetOf(exact.map(p => (p._1, p._2)).toSet))
+    if (exact.nonEmpty) {
+      val recall = lshSet.size.toDouble / exact.length
+      assert(recall >= 0.5, s"LSH recall $recall over ${exact.length} pairs")
+    }
   }
 }
