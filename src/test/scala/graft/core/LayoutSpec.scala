@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned layout prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/evt"
+    val df = Seq(
+      ("Patient", "2024-01-01", 1), ("Patient", "2024-01-02", 2),
+      ("Observation", "2024-01-01", 3))
+      .toDF("resourceType", "day", "v")
+    Layout.writePartitioned(df, dir, Seq("resourceType", "day"))
+
+    val scan = Layout.readPartitioned(spark, dir)
+      .filter(col("resourceType") === "Patient" && col("day") === "2024-01-01")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(scan.select("v").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("salted join spreads a hot key and preserves results") {
+    val left = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+      .union(Seq(("cold", 0)).toDF("k", "v"))
+    val right = Seq(("hot", "H"), ("cold", "C")).toDF("k", "tag")
+    val joined = graft.operators.Salt.saltedJoin(left, right, "k", salts = 8)
+    assert(joined.count() == 1001)
+    assert(joined.filter(col("tag") === "C").count() == 1)
+  }
+
+  test("salted count matches plain count") {
+    val df = (1 to 500).map(i => if (i % 10 == 0) "a" else "b").toDF("k")
+    val salted = graft.operators.Salt.saltedCount(df, "k", salts = 4)
+      .as[(String, Long)].collect().toMap
+    assert(salted == Map("a" -> 50L, "b" -> 450L))
+  }
+}
