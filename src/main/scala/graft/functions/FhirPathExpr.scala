@@ -3,7 +3,7 @@ package graft.functions
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -32,12 +32,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression stays inside the row pipeline (no UDF serialization boundary).
   */
 case class FhirPathExpr(left: Expression, right: Expression, one: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String =
     if (one) "get_fhirpath_one" else "get_fhirpath"
+
+  /** Generated code calls back into [[nullSafeEval]] through a captured
+    * reference — unlike CodegenFallback this keeps the expression inside
+    * the surrounding WholeStageCodegen stage (no interpreted-row boundary
+    * around the rest of the projection).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("fhirPathExpr", this,
+      classOf[FhirPathExpr].getName)
+    nullSafeCodeGen(ctx, ev, (json, path) => {
+      s"""
+         |Object fpResult = $refName.evalJson($json, $path);
+         |if (fpResult == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (UTF8String) fpResult;
+         |}
+       """.stripMargin
+    })
+  }
+
+  /** Public entry for generated code. */
+  def evalJson(json: Any, path: Any): Any = nullSafeEval(json, path)
 
   @transient private lazy val mapper = new ObjectMapper()
   // Path is a literal in every reference query; cache the last parsed form.

@@ -135,14 +135,14 @@ object Advanced {
         when(col("l_linenumber") === 1, lit(null).cast("double"))
           .otherwise(col("l_discount")).as("disc"))
       val medDf = feats.filter(col("disc").isNotNull)
-        .agg(percentile(col("disc"), lit(0.5)).as("m"))
+        .agg(round(percentile(col("disc"), lit(0.5)), 6).as("m"))
       feats.crossJoin(broadcast(medDf))
         .select(col("l_orderkey"), col("qty"),
           coalesce(col("disc"), col("m")).as("disc_imp"))
     },
     oracle = Some("""
       WITH med AS (
-        SELECT quantile_cont(CAST(l_discount AS DOUBLE), 0.5) AS m
+        SELECT round(quantile_cont(CAST(l_discount AS DOUBLE), 0.5), 6) AS m
         FROM lineitem WHERE l_linenumber <> 1)
       SELECT l_orderkey, l_quantity AS qty,
         CASE WHEN l_linenumber = 1 THEN (SELECT m FROM med)

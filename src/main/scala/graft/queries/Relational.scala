@@ -375,16 +375,18 @@ object Relational {
   // --- A7 median / percentile (DiabetesSQL.ipynb:2450 imputation median)
   private val q20_median = Q(
     run = (s, d) =>
+      // 6dp rounding on both sides: the interpolation a+(b-a)*f can differ
+      // from a*(1-f)+b*f in the last ulp across engines
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(
-          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-          percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
-          percentile(col("l_extendedprice"), lit(0.75)).as("p75_price")),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75_price")),
     oracle = Some("""
       SELECT l_returnflag,
-        quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty,
-        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25_price,
-        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75_price
+        round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty,
+        round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25_price,
+        round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75_price
       FROM lineitem GROUP BY l_returnflag"""),
     doc = "A7 exact interpolated percentiles")
 
