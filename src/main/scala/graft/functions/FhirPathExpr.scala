@@ -47,13 +47,14 @@ case class FhirPathExpr(left: Expression, right: Expression, one: Boolean)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val refName = ctx.addReferenceObj("fhirPathExpr", this,
       classOf[FhirPathExpr].getName)
+    val result = ctx.freshName("fhirPathResult")
     nullSafeCodeGen(ctx, ev, (json, path) => {
       s"""
-         |Object fpResult = $refName.evalJson($json, $path);
-         |if (fpResult == null) {
+         |Object $result = $refName.evalJson($json, $path);
+         |if ($result == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = (UTF8String) fpResult;
+         |  ${ev.value} = (UTF8String) $result;
          |}
        """.stripMargin
     })

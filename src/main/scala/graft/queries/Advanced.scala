@@ -202,11 +202,73 @@ object Advanced {
       FROM docs"""),
     doc = "F11 race/ethnicity/birthsex FHIRPath extractors (acceptance set)")
 
+  // --- multi-level aggregation: ROLLUP with grouping_id (subtotal frames —
+  //     beyond the reference's surface, standard analytics completeness)
+  private val q48_rollup = Q(
+    run = (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("gid"), col("n"), col("total")),
+    oracle = Some("""
+      SELECT coalesce(o_orderstatus, '<all>') AS status,
+             coalesce(o_orderpriority, '<all>') AS priority,
+             grouping_id(o_orderstatus, o_orderpriority) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""),
+    doc = "ROLLUP subtotals with grouping_id")
+
+  // --- distinct aggregation (exact; approx_count_distinct is the
+  //     engine-specific HLL variant, exercised in specs)
+  private val q49_distinct_agg = Q(
+    run = (s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")),
+    oracle = Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag"""),
+    doc = "exact distinct aggregation (expand-based)")
+
+  // --- string-function breadth (F14 trim family + casing/pad/replace)
+  private val q50_strings = Q(
+    run = (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("p_name"), "widget", "gadget").as("replaced"),
+        substring(col("p_type"), 1, 4).as("type4"),
+        length(col("p_name")).cast("int").as("len"),
+        reverse(col("p_brand")).as("rev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("translated")),
+    oracle = Some("""
+      SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+             lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+             regexp_replace(p_name, 'widget', 'gadget', 'g') AS replaced,
+             substring(p_type, 1, 4) AS type4,
+             CAST(length(p_name) AS INTEGER) AS len,
+             reverse(p_brand) AS rev,
+             translate(p_name, 'aeiou', 'AEIOU') AS translated
+      FROM part"""),
+    doc = "string-function surface: case/pad/replace/substr/translate")
+
   val all: Seq[(String, Q)] = Seq(
     "q42_lag_delta" -> q42_lag_delta,
     "q43_sessionize" -> q43_sessionize,
     "q44_fhir_org_build" -> q44_fhir_org_build,
     "q45_sample_strat" -> q45_sample_strat,
     "q46_ml_features" -> q46_ml_features,
-    "q47_race_extract" -> q47_race_extract)
+    "q47_race_extract" -> q47_race_extract,
+    "q48_rollup" -> q48_rollup,
+    "q49_distinct_agg" -> q49_distinct_agg,
+    "q50_strings" -> q50_strings)
 }
