@@ -6,25 +6,26 @@ Usage: check_oracle.py <sfDir> <verifyOutDir>
 Reads <verifyOutDir>/oracle_sql.json + per-query parquet dirs written by
 graft.Verify, runs each oracle SQL in DuckDB against the sf tables, and
 compares canonicalized results (columns sorted by name, rows sorted,
-floats rounded) — reporting exact and tolerant match per query.
+floats at 9 significant digits) — vectorized via pandas so 600k-row
+results compare in seconds.
 """
-import json, math, sys
+import json, sys
 import duckdb
+import pandas as pd
 
-def canon(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        rr = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = "NaN"
-                else: v = f"{v:.9g}"
-            rr.append(repr(v))
-        out.append(tuple(rr))
-    out.sort()
-    return [cols[i] for i in idx], out
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            out[c] = s.map(lambda v: "NaN" if pd.isna(v) else f"{v:.9g}")
+        elif s.dtype.kind == "M":
+            out[c] = s.astype("datetime64[us]").astype(str)
+        else:
+            out[c] = s.astype(str)
+    return out.sort_values(list(out.columns), kind="mergesort") \
+              .reset_index(drop=True)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -35,31 +36,31 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            o = con.sql(sql)
-            ocols, orows = o.columns, o.fetchall()
+            o = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             n_fail += 1; continue
         try:
-            s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols, srows = s.columns, s.fetchall()
+            s = canon(con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {str(e)[:120]}")
             n_fail += 1; continue
-        oc, orw = canon(orows, ocols)
-        sc, srw = canon(srows, scols)
-        if oc != sc:
-            print(f"FAIL {name}: columns differ oracle={oc} spark={sc}")
+        if list(o.columns) != list(s.columns):
+            print(f"FAIL {name}: columns differ oracle={list(o.columns)} "
+                  f"spark={list(s.columns)}")
             n_fail += 1; continue
-        if orw == srw:
-            print(f"PASS {name} ({len(srw)} rows)")
+        if len(o) != len(s):
+            print(f"FAIL {name}: rows differ (oracle {len(o)} vs spark {len(s)})")
+            n_fail += 1; continue
+        if o.equals(s):
+            print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
         else:
-            print(f"FAIL {name}: rows differ (oracle {len(orw)} vs spark {len(srw)})")
-            d1 = [r for r in orw if r not in set(srw)][:3]
-            d2 = [r for r in srw if r not in set(orw)][:3]
-            print(f"  oracle-only: {d1}")
-            print(f"  spark-only:  {d2}")
+            neq = (o != s).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())} differing rows of {len(o)}")
+            print("  oracle:", o[neq].head(2).to_dict("records"))
+            print("  spark: ", s[neq].head(2).to_dict("records"))
             n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0

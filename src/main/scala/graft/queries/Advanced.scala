@@ -21,8 +21,11 @@ object Advanced {
   // --- analytic lag/lead over an ordered series (W4 extension)
   private val q42_lag_delta = Q(
     run = (s, d) => {
+      // value tiebreakers: duplicate (orderkey, linenumber) keys exist in
+      // the data — the order must be total for cross-engine determinism
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
       Tables.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         (dec(col("l_extendedprice")) -
@@ -38,7 +41,8 @@ object Advanced {
         lead(l_orderkey, 1) OVER w AS next_order
       FROM lineitem
       WINDOW w AS (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber)"""),
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_quantity, l_extendedprice)"""),
     doc = "analytic lag/lead with deterministic ordering")
 
   // --- gap-based sessionization: the batch equivalent of streaming session

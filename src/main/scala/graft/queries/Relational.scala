@@ -317,8 +317,11 @@ object Relational {
   // --- W4+ running sum per key (ordered series scan with frame)
   private val q16_running = Q(
     run = (s, d) => {
+      // quantity/price tiebreakers: the synthetic data carries duplicate
+      // (orderkey, linenumber) keys, so the order must be total over values
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -328,7 +331,7 @@ object Relational {
       SELECT l_suppkey, l_orderkey, l_linenumber,
         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
           PARTITION BY l_suppkey
-          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
           AS running_qty
       FROM lineitem"""),
