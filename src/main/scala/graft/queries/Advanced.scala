@@ -265,6 +265,40 @@ object Advanced {
       FROM part"""),
     doc = "string-function surface: case/pad/replace/substr/translate")
 
+  // --- as-of (point-in-time) join: click→purchase attribution — for each
+  //     purchase, the user's latest click at-or-before the purchase time.
+  //     Union+window implementation (operators.AsOfJoin) vs DuckDB's
+  //     native ASOF JOIN as the oracle.
+  private val q51_asof_attribution = Q(
+    run = (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          dec(col("value")).cast("double").as("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(dec(col("value"))).cast("double").as("click_value"))
+        .withColumn("click_ts", col("ts"))
+      graft.operators.AsOfJoin.asofJoin(
+        purchases, clicks, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightVals = Seq("click_ts", "click_value"))
+    },
+    oracle = Some("""
+      WITH purchases AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, ts,
+               CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+             c.ts AS asof_click_ts, c.click_value AS asof_click_value
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+    doc = "as-of join (click attribution) vs native ASOF JOIN oracle")
+
   val all: Seq[(String, Q)] = Seq(
     "q42_lag_delta" -> q42_lag_delta,
     "q43_sessionize" -> q43_sessionize,
@@ -274,5 +308,6 @@ object Advanced {
     "q47_race_extract" -> q47_race_extract,
     "q48_rollup" -> q48_rollup,
     "q49_distinct_agg" -> q49_distinct_agg,
-    "q50_strings" -> q50_strings)
+    "q50_strings" -> q50_strings,
+    "q51_asof_attribution" -> q51_asof_attribution)
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof: latest right at-or-before left time, per key; inclusive ties") {
+    val quotes = Seq( // key, t, px
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
+      ("B", 4L, 20.0)).toDF("sym", "qt", "px")
+    val trades = Seq( // key, t, qty
+      ("A", 0L, 1), // before any quote -> null
+      ("A", 5L, 2), // tie: quote at 5 matches (inclusive)
+      ("A", 7L, 3), // between 5 and 9 -> 11.0
+      ("B", 9L, 4), // after B's only quote -> 20.0
+      ("C", 5L, 5)  // key with no quotes -> null
+    ).toDF("sym", "tt", "qty")
+
+    val got = AsOfJoin.asofJoin(trades, quotes, keys = Seq("sym"),
+        leftTime = "tt", rightTime = "qt", rightVals = Seq("qt", "px"))
+      .select("sym", "tt", "qty", "asof_qt", "asof_px")
+      .as[(String, Long, Int, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+
+    assert(got(0) == (("A", 0L, 1, None, None)))
+    assert(got(1) == (("A", 5L, 2, Some(5L), Some(11.0))))
+    assert(got(2) == (("A", 7L, 3, Some(5L), Some(11.0))))
+    assert(got(3) == (("B", 9L, 4, Some(4L), Some(20.0))))
+    assert(got(4) == (("C", 5L, 5, None, None)))
+  }
+
+  test("asof preserves left row count (left-outer semantics)") {
+    val left = (1 to 100).map(i => ("k", i.toLong, i)).toDF("sym", "tt", "v")
+    val right = Seq(("k", 50L, 1.0)).toDF("sym", "qt", "px")
+    val out = AsOfJoin.asofJoin(left, right, Seq("sym"), "tt", "qt", Seq("px"))
+    assert(out.count() == 100)
+    assert(out.filter("asof_px IS NULL").count() == 49) // t=1..49
+  }
+}
