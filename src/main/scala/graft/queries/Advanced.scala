@@ -299,6 +299,31 @@ object Advanced {
         ON p.user_id = c.user_id AND p.ts >= c.ts"""),
     doc = "as-of join (click attribution) vs native ASOF JOIN oracle")
 
+  // --- range join: price-band classification via inequality join (small
+  //     dim → broadcast; the big-to-big binned form lives in
+  //     operators.RangeJoin with spec coverage)
+  private val q52_range_join = Q(
+    run = (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val bands = Seq(("low", 0.0, 450.0), ("mid", 450.0, 920.0),
+        ("high", 920.0, 100000.0)).toDF("band", "lo", "hi")
+      graft.operators.RangeJoin.pointInInterval(
+          Tables.part(s, d), "p_retailprice", bands, "lo", "hi")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("p_retailprice"))).cast("double").as("total_price"))
+    },
+    oracle = Some("""
+      WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 450.0), ('mid', 450.0, 920.0),
+               ('high', 920.0, 100000.0))
+      SELECT band, count(*) AS n,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band"""),
+    doc = "inequality range join onto a band dimension")
+
   val all: Seq[(String, Q)] = Seq(
     "q42_lag_delta" -> q42_lag_delta,
     "q43_sessionize" -> q43_sessionize,
@@ -309,5 +334,6 @@ object Advanced {
     "q48_rollup" -> q48_rollup,
     "q49_distinct_agg" -> q49_distinct_agg,
     "q50_strings" -> q50_strings,
-    "q51_asof_attribution" -> q51_asof_attribution)
+    "q51_asof_attribution" -> q51_asof_attribution,
+    "q52_range_join" -> q52_range_join)
 }
