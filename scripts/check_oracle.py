@@ -36,19 +36,31 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            o = canon(con.sql(sql).df())
+            o_raw = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             n_fail += 1; continue
         try:
-            s = canon(con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            s_raw = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {str(e)[:120]}")
             n_fail += 1; continue
+        o, s = canon(o_raw), canon(s_raw)
         if list(o.columns) != list(s.columns):
             print(f"FAIL {name}: columns differ oracle={list(o.columns)} "
                   f"spark={list(s.columns)}")
+            n_fail += 1; continue
+        # The driver stringifies raw values: a dtype-kind difference (e.g.
+        # DuckDB HUGEINT->float64 vs Spark int64 rendering "123.0" vs "123")
+        # hash-mismatches there even when canon() values agree here.
+        kind_bad = [c for c in sorted(o_raw.columns)
+                    if o_raw[c].dtype.kind != s_raw[c].dtype.kind
+                    and {o_raw[c].dtype.kind, s_raw[c].dtype.kind} - {"i", "u"}]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch on {kind_bad}: "
+                  f"oracle={[str(o_raw[c].dtype) for c in kind_bad]} "
+                  f"spark={[str(s_raw[c].dtype) for c in kind_bad]}")
             n_fail += 1; continue
         if len(o) != len(s):
             print(f"FAIL {name}: rows differ (oracle {len(o)} vs spark {len(s)})")

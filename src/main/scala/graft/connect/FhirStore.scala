@@ -47,11 +47,29 @@ class InMemoryFhirStore extends FhirStore {
     data.remove(s"$resourceType/$id")
   override def read(resourceType: String, id: String): Option[String] =
     Option(data.get(s"$resourceType/$id"))
+  /** Key-scoped match: `key -> value` matches only a JSON field named
+    * `key` whose scalar equals `value` (e.g. `"status":"accepted"`), not
+    * the value appearing anywhere in the resource text — so a task whose
+    * note mentions 'accepted' can't false-positive a status search.
+    */
+  private def fieldMatches(json: String, key: String, value: String): Boolean =
+    if (key.isEmpty) true
+    else {
+      val p = java.util.regex.Pattern.compile(
+        "\"" + java.util.regex.Pattern.quote(key) +
+          "\"\\s*:\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|([^,}\\]\\s]+))")
+      val m = p.matcher(json)
+      var found = false
+      while (!found && m.find())
+        found = value == (if (m.group(1) != null) m.group(1) else m.group(2))
+      found
+    }
+
   override def search(resourceType: String, param: (String, String)*): Seq[String] = {
     val prefix = s"$resourceType/"
     data.asScala.collect {
       case (k, v) if k.startsWith(prefix) &&
-        param.forall { case (key, value) => v.contains(value) || key == "" } => v
+        param.forall { case (key, value) => fieldMatches(v, key, value) } => v
     }.toSeq.sorted
   }
   def size: Int = data.size

@@ -47,11 +47,16 @@ object OdsImport {
     * single-expression form of the reference's row loop.
     */
   def extractIdentifierCode(identifier: Column, systemPattern: String): Column =
-    element_at(
+    // get() (0-based) instead of element_at: under Spark 4 ANSI mode
+    // element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on an empty
+    // filtered list; the reference's row loop just leaves the code empty
+    // (dags/ODSImport.py:129-135), so a non-matching identifier list must
+    // yield null, not crash the import job.
+    get(
       transform(
         filter(split(identifier, ","), x => x.rlike(systemPattern)),
-        x => element_at(split(x, "\\|"), 2)),
-      1)
+        x => get(split(x, "\\|"), lit(1))),
+      lit(0))
 
   val OdsCodePattern = "^https:.*ods-organization-code[|][A-Za-z0-9].*$"
   val GmpCodePattern = "^https:.*gmp-number[|][A-Za-z0-9].*$"

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics: a right row at exactly the left timestamp matches
   * (inclusive, like DuckDB's `ON l.ts >= r.ts`). Right rows should be
-  * unique per (key, time) — pre-aggregate otherwise, or the latest-by
-  * ordering of `rightOrder` decides.
+  * unique per (key, time) — pre-aggregate otherwise; with duplicates the
+  * union's within-partition order decides which wins (nondeterministic).
+  *
+  * Null semantics: carried values are filled as ONE struct, so every
+  * `asof_*` column comes from the same matched right row — a right row
+  * with a legitimate NULL in one carried column contributes that NULL,
+  * never a stale value from an older row (DuckDB ASOF semantics). Rows
+  * whose join key is NULL never match: null-key right rows contribute
+  * nothing and null-key left rows get all-NULL carried values, matching
+  * equi-join oracles (`Window.partitionBy` alone would treat NULL keys
+  * as equal).
   */
 object AsOfJoin {
 
@@ -63,13 +72,17 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // pack the carried values into one struct on right rows only (and only
+    // when no key is null), so last(ignoreNulls) picks the whole matched
+    // row atomically instead of filling each column independently
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val packed = unioned.withColumn("__asof_row",
+      when(col("__side") === 0 && !anyKeyNull, struct(carried.map(col): _*)))
+    val filled = packed.withColumn("__asof_row",
+      last(col("__asof_row"), ignoreNulls = true).over(w))
     val out = filled.filter(col("__side") === 1)
-      .drop("__t", "__side")
     carried.zip(rightVals).foldLeft(out) { case (df, (tmp, v)) =>
-      df.withColumnRenamed(tmp, s"asof_$v")
-    }
+      df.withColumn(s"asof_$v", col("__asof_row").getField(tmp))
+    }.drop(("__t" +: "__side" +: "__asof_row" +: carried): _*)
   }
 }

@@ -74,8 +74,8 @@ object Advanced {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
         SELECT user_id, ts,
-          sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         FROM gaps)
       SELECT user_id, session_no, count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end

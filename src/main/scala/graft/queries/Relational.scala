@@ -486,7 +486,7 @@ object Relational {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")),
     oracle = Some("""
       SELECT event_type,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              count(*) AS n
       FROM events GROUP BY event_type"""),
     doc = "F8/F9 GetJSON/GetProp scalar extraction")
@@ -559,11 +559,11 @@ object Relational {
         sum(compat.indicator(col("c_mktsegment"), "MACHINERY")).as("seg_machinery")),
     oracle = Some("""
       SELECT c_nationkey,
-        sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS seg_automobile,
-        sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS seg_building,
-        sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS seg_furniture,
-        sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS seg_household,
-        sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS seg_machinery
+        CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_automobile,
+        CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS seg_building,
+        CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_furniture,
+        CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS seg_household,
+        CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS seg_machinery
       FROM customer GROUP BY c_nationkey"""),
     doc = "F20 one-hot indicators, deterministic columns")
 

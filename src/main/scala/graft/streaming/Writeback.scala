@@ -94,8 +94,14 @@ object Writeback {
       .withColumn("encounterId",
         expr(identValue("https://fhir.virtually.healthcare/Id/Encounter")))
 
+    // distinct() makes the probe an existence check: several stored
+    // compositions can share one (patient, encounter) and the reference
+    // returns on first match (check_consultation_not_already_present_in_EMIS,
+    // dags/ConsultationNoteWritebackX.py:297-333) — without it each task row
+    // is multiplied per matching composition and writeback emits duplicates.
     val dupKeys = compositions.select(
       col("patientId").as("dup_patient"), col("encounterId").as("dup_encounter"))
+      .distinct()
     val withDup = withIds.join(dupKeys,
         col("patientId") === col("dup_patient") &&
           col("encounterId") === col("dup_encounter"),

@@ -54,6 +54,20 @@ class FhirStoreSpec extends SparkSpec {
     assert(stored.contains("completed") && stored.contains("EMISOpen"))
   }
 
+  test("search params are key-scoped: a value in an unrelated field " +
+      "does not match") {
+    val ref = StoreRef("scoped-search-test")
+    ref.store.update("Task", "a",
+      """{"status":"accepted","note":[{"text":"x"}]}""")
+    ref.store.update("Task", "b",
+      """{"status":"requested","note":[{"text":"was accepted earlier"}]}""")
+    ref.store.update("Task", "c", """{"status":"accepted","priority":3}""")
+    val hits = ref.store.search("Task", "status" -> "accepted")
+    assert(hits.size == 2 && hits.forall(_.contains(""""status":"accepted"""")))
+    assert(ref.store.search("Task", "priority" -> "3").size == 1)
+    assert(ref.store.search("Task", "priority" -> "9").isEmpty)
+  }
+
   test("S4 search source honors the _count limit pushdown") {
     val ref = StoreRef("search-test")
     (1 to 5).foreach(i => ref.store.update("Task", i.toString, s"""{"n":$i}"""))

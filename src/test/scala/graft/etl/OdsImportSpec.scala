@@ -35,6 +35,15 @@ class OdsImportSpec extends SparkSpec {
     assert(got.toSeq == Seq("B86030", "C55555"))
   }
 
+  test("P8 identifier extraction yields null (not ANSI throw) when no " +
+      "identifier matches the system pattern") {
+    val noMatch = Seq("other|x,unrelated|y", "", "plain-no-pipe")
+      .toDF("Identifier")
+    val got = noMatch.select(OdsImport.extractIdentifierCode(
+      col("Identifier"), OdsImport.OdsCodePattern)).as[Option[String]].collect()
+    assert(got.toSeq == Seq(None, None, None))
+  }
+
   test("U1 organisation plan: noop / update / insert with field diffs") {
     val merged = OdsImport.mergeOrganisations(epraccur, storedOrgs)
     val plan = OdsImport.planOrganisations(merged)

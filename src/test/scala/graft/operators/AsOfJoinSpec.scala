@@ -30,6 +30,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(4) == (("C", 5L, 5, None, None)))
   }
 
+  test("asof: carried values come atomically from the matched row — a " +
+      "legit NULL is carried, not back-filled from an older right row") {
+    val right = Seq(
+      ("A", 1L, Some(10.0), Some("x")),
+      ("A", 5L, None, Some("y"))). // later row: px legitimately NULL
+      toDF("sym", "qt", "px", "tag")
+    val left = Seq(("A", 7L)).toDF("sym", "tt")
+    val got = AsOfJoin.asofJoin(left, right, Seq("sym"), "tt", "qt",
+        Seq("px", "tag"))
+      .select("asof_px", "asof_tag")
+      .as[(Option[Double], Option[String])].collect()
+    assert(got.toSeq == Seq((None, Some("y")))) // NOT (Some(10.0), Some("y"))
+  }
+
+  test("asof: NULL join keys never match (equi-join NULL semantics)") {
+    val right = Seq((Option.empty[String], 1L, 10.0), (Some("A"), 1L, 20.0))
+      .toDF("sym", "qt", "px")
+    val left = Seq((Option.empty[String], 5L), (Some("A"), 5L))
+      .toDF("sym", "tt")
+    val got = AsOfJoin.asofJoin(left, right, Seq("sym"), "tt", "qt", Seq("px"))
+      .select("sym", "asof_px").as[(Option[String], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((None, None), (Some("A"), Some(20.0))))
+  }
+
   test("asof preserves left row count (left-outer semantics)") {
     val left = (1 to 100).map(i => ("k", i.toLong, i)).toDF("sym", "tt", "v")
     val right = Seq(("k", 50L, 1.0)).toDF("sym", "qt", "px")

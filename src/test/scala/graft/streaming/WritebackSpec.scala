@@ -60,6 +60,15 @@ class WritebackSpec extends SparkSpec {
     assert(out(4) == (("t5", "completed", false, true, false))) // dup short-circuit
   }
 
+  test("classify: duplicate probe is an existence check — repeated " +
+      "composition keys don't multiply task rows") {
+    val repeated = Seq(("pat5", "enc5"), ("pat5", "enc5"), ("pat5", "enc5"))
+      .toDF("patientId", "encounterId")
+    val out = Writeback.classify(tasks, consultations, repeated)
+    assert(out.count() == 5) // one row per task, not 5 + 2 extra t5 copies
+    assert(out.filter(col("id") === "t5").count() == 1)
+  }
+
   test("classify: message is a converted A04 for processed tasks") {
     val msg = Writeback.classify(tasks, consultations, compositions)
       .filter(col("id") === "t1").select("message").as[String].head()
