@@ -52,15 +52,48 @@ object VectorOps {
     doc = "embedding L2 norms aggregated per label")
 
   // RHP-LSH bucketing: hash family not SQL-expressible → rows-only check;
-  // recall vs the brute-force baseline is asserted in ScalaTest.
+  // recall vs the exact q53 baseline is asserted in ScalaTest. Threshold
+  // 0.4 ≈ the top decile-of-similarity on the synthetic embeddings (max
+  // pairwise cosine ≈ 0.5-0.6 across SFs) so the query yields real rows
+  // at every scale factor.
   private val q41_ann_lsh = Q(
     run = (s, d) =>
-      Similarity.annPairs(Tables.embeddings(s, d), threshold = 0.9),
+      Similarity.annPairs(Tables.embeddings(s, d), threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos")),
     oracle = None,
-    doc = "random-hyperplane LSH bucketed near-dup pairs (scale path)")
+    doc = "banded random-hyperplane LSH near-dup pairs (scale path)")
+
+  // Exact all-pairs similarity join — the oracle-checked baseline the LSH
+  // path approximates. Cosines rounded to 4dp on both engines before the
+  // threshold filter so the compare is order/precision stable.
+  private val q53_sim_join = Q(
+    run = (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val sig = e.select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("norm"))
+      // repartition the probe side: the broadcast nested-loop join's
+      // parallelism equals the stream side's partition count, and the
+      // cached table would otherwise arrive in one partition
+      sig.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .as("a").join(broadcast(sig.as("b")),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.norm") * col("b.norm")), 4).as("cos"))
+        .filter(col("cos") >= 0.4)
+    },
+    oracle = Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4) >= 0.4"""),
+    doc = "exact cosine similarity join above threshold (LSH ground truth)")
 
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
-    "q41_ann_lsh" -> q41_ann_lsh)
+    "q41_ann_lsh" -> q41_ann_lsh,
+    "q53_sim_join" -> q53_sim_join)
 }
