@@ -105,6 +105,34 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding-cosine near-dup dedup marking: a vector is a duplicate when
+    * some LOWER-id vector sits within `threshold` cosine — the keep-first
+    * policy of [[Dedup.exact]] applied to the vector space. `exact = true`
+    * compares all pairs (oracle-checkable, n² verify); `exact = false`
+    * takes candidates from the banded LSH ([[annPairs]]) — the 100 TB
+    * path, where only bucket-mates are verified.
+    */
+  def embeddingDups(emb: DataFrame, threshold: Double,
+      exact: Boolean = true): DataFrame = {
+    val pairs =
+      if (exact) {
+        val sig = emb.select(col("vec_id"), col("embedding"),
+          l2norm(col("embedding")).as("norm"))
+        val np = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        sig.repartition(np).as("a").join(broadcast(sig.as("b")),
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(dot(col("a.embedding"), col("b.embedding")) /
+              (col("a.norm") * col("b.norm")), 4).as("cos"))
+          .filter(col("cos") >= threshold)
+      } else annPairs(emb, threshold)
+    val dupIds = pairs.select(col("vec_b").as("vec_id")).distinct()
+    emb.select(col("vec_id"))
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** IVF-style partitioned top-k: assign every vector to its nearest of
     * `nCentroids` deterministic seed centroids (vec_id-hash sampled), then
     * search only the query's cell and its neighbors. Returned here as the

@@ -19,6 +19,22 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(tokens(text)).cast("long"))
 
+  /** BPE-ish regex pre-tokenization (the GPT-2 style split, minus the
+    * apostrophe-contraction alternatives): a token is an optional leading
+    * space plus a letter run, digit run, or non-alnum symbol run. Counts
+    * from this tokenizer approximate LLM token budgets far better than
+    * whitespace splitting ("foo,bar!" = 4 BPE-ish tokens, 1 whitespace
+    * token). Plain alternation/char-class regex — identical semantics in
+    * Java regex and RE2, so it is oracle-portable.
+    */
+  val BpeTokenPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("long")
+
   /** Stopword hits against a fixed lexicon (codegen'd HOF filter). */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
     val lex = array(stopwords.map(lit): _*)

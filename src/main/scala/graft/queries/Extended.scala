@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.operators.{Sampling, Similarity, TextAnalysis}
+
+/** Round-2 surface widening: deterministic sampling, ranking-window family,
+  * pivot, explode/unnest, embedding dedup, cube/grouping sets, intersect,
+  * BPE-ish tokenization. Every query here is DuckDB-oracled.
+  */
+object Extended {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  // --- A6/M3 scale form: the reference's seeded `groupby().sample(frac)`
+  //     (notebooks/DiabetesSQL.ipynb:3220-3223) made reproducible: hash the
+  //     business key instead of drawing an engine RNG, so the selected set
+  //     is identical on any engine / partitioning / retry (q45 keeps the
+  //     sampleBy form; this is the deterministic variant an oracle CAN
+  //     check).
+  private val q54_sample_hash = Q(
+    run = (s, d) =>
+      Sampling.stratified(Tables.orders(s, d), col("o_orderkey"),
+          col("o_orderstatus"), Map("F" -> 0.5, "O" -> 0.7, "P" -> 0.9))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price")),
+    oracle = Some("""
+      SELECT o_orderstatus,
+             count(*) AS n_sampled,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE (o_orderkey * 2654435761) % 4294967296 <
+            CASE o_orderstatus WHEN 'F' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                               WHEN 'O' THEN CAST(0.7 * 4294967296 AS BIGINT)
+                               WHEN 'P' THEN CAST(0.9 * 4294967296 AS BIGINT)
+                               ELSE -1 END
+      GROUP BY o_orderstatus"""),
+    doc = "deterministic hash-stratified sampling (engine-portable A6)")
+
+  // --- ranking window family (completeness beyond row_number q15):
+  //     ntile / dense_rank / percent_rank / cume_dist over a total order.
+  private val q55_window_rank = Q(
+    run = (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_nationkey,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             CAST(dense_rank() OVER w AS BIGINT) AS drank,
+             round(percent_rank() OVER w, 6) AS prank,
+             round(cume_dist() OVER w, 6) AS cdist
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"""),
+    doc = "ntile/dense_rank/percent_rank/cume_dist ranking windows")
+
+  // --- F20 via the pivot relational operator (the one-hot q28 keeps the
+  //     manual-indicator form; this is `groupBy().pivot()` with explicit
+  //     values for deterministic output columns).
+  private val q56_pivot = Q(
+    run = (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(sum(dec(col("c_acctbal"))).cast("double"))
+        .select(col("c_nationkey"),
+          col("AUTOMOBILE").as("bal_automobile"),
+          col("BUILDING").as("bal_building"),
+          col("FURNITURE").as("bal_furniture"),
+          col("HOUSEHOLD").as("bal_household"),
+          col("MACHINERY").as("bal_machinery")),
+    oracle = Some("""
+      SELECT c_nationkey,
+        CAST(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS bal_automobile,
+        CAST(sum(CASE WHEN c_mktsegment='BUILDING' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS bal_building,
+        CAST(sum(CASE WHEN c_mktsegment='FURNITURE' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS bal_furniture,
+        CAST(sum(CASE WHEN c_mktsegment='HOUSEHOLD' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS bal_household,
+        CAST(sum(CASE WHEN c_mktsegment='MACHINERY' THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS bal_machinery
+      FROM customer GROUP BY c_nationkey"""),
+    doc = "pivot operator with explicit values (deterministic columns)")
+
+  // --- explode/unnest (the Bundle-entry shredding primitive, P9/J3 child
+  //     tables) exercised standalone on document tokens.
+  private val q57_explode = Q(
+    run = (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .filter(col("n") >= 10),
+    oracle = Some("""
+      SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok HAVING count(*) >= 10"""),
+    doc = "explode/unnest + token frequency (array shredding primitive)")
+
+  // --- embedding-cosine near-dup dedup: keep-first marking over the exact
+  //     pair relation (the LSH-candidate variant is q41's scale path).
+  private val q58_embed_dedup = Q(
+    run = (s, d) =>
+      Similarity.embeddingDups(Tables.embeddings(s, d), threshold = 0.4),
+    oracle = Some("""
+      SELECT a.vec_id,
+             EXISTS (SELECT 1 FROM embeddings b
+                     WHERE b.vec_id < a.vec_id
+                       AND round(list_cosine_similarity(
+                             CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])), 4) >= 0.4)
+               AS is_dup
+      FROM embeddings a"""),
+    doc = "embedding-cosine near-dup dedup (keep lowest id)")
+
+  // --- CUBE + grouping_id (beyond q48's ROLLUP): all four grouping sets
+  //     of (status, priority) in one pass.
+  private val q59_cube = Q(
+    run = (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price")),
+    oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+    doc = "CUBE grouping sets with grouping_id")
+
+  // --- INTERSECT set op (q21 covers EXCEPT, q22 UNION).
+  private val q60_intersect = Q(
+    run = (s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey")))
+    },
+    oracle = Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"""),
+    doc = "INTERSECT set operation")
+
+  // --- BPE-ish regex token counting vs whitespace counting — the token
+  //     budget statistic of an LLM-data pipeline.
+  private val q61_tokens_bpe = Q(
+    run = (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws")),
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe,
+        CAST(CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS BIGINT) AS n_ws
+      FROM documents"""),
+    doc = "BPE-ish regex pre-tokenization token counts")
+
+  val all: Seq[(String, Q)] = Seq(
+    "q54_sample_hash" -> q54_sample_hash,
+    "q55_window_rank" -> q55_window_rank,
+    "q56_pivot" -> q56_pivot,
+    "q57_explode" -> q57_explode,
+    "q58_embed_dedup" -> q58_embed_dedup,
+    "q59_cube" -> q59_cube,
+    "q60_intersect" -> q60_intersect,
+    "q61_tokens_bpe" -> q61_tokens_bpe)
+}

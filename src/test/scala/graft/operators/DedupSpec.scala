@@ -56,6 +56,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bpe-ish tokenizer splits punctuation/digit runs that whitespace " +
+      "tokenization merges") {
+    val df = Seq(("foo,bar! x2", "")).toDF("t", "e")
+    val (bpe, ws, bpeEmpty) = df.select(
+      TextAnalysis.bpeTokenCount(col("t")),
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.bpeTokenCount(col("e")))
+      .as[(Long, Long, Long)].head()
+    // foo | , | bar | ! | " x" | "2" -> 6 BPE-ish vs 2 whitespace tokens
+    assert(bpe == 6L && ws == 2L && bpeEmpty == 0L)
+    val toks = df.select(TextAnalysis.bpeTokens(col("t")))
+      .as[Seq[String]].head()
+    assert(toks == Seq("foo", ",", "bar", "!", " x", "2"))
+  }
+
   test("simhash: identical docs distance 0, near-dups within radius") {
     val sh = Dedup.simhash(docs, col("doc_id"), col("text"))
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = (1L to 10000L).map(i =>
+    (i, if (i % 3 == 0) "A" else "B")).toDF("k", "s")
+
+  test("stratified sampling is deterministic and repartition-invariant") {
+    val rates = Map("A" -> 0.3, "B" -> 0.8)
+    val once = Sampling.stratified(df, col("k"), col("s"), rates)
+      .select("k").as[Long].collect().sorted
+    val again = Sampling.stratified(df.repartition(7), col("k"), col("s"),
+      rates).select("k").as[Long].collect().sorted
+    assert(once.sameElements(again))
+  }
+
+  test("stratified sampling rates land near the target fractions") {
+    val rates = Map("A" -> 0.3, "B" -> 0.8)
+    val got = Sampling.stratified(df, col("k"), col("s"), rates)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    val totals = df.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("A").toDouble / totals("A") - 0.3) < 0.05)
+    assert(math.abs(got("B").toDouble / totals("B") - 0.8) < 0.05)
+  }
+
+  test("unknown strata are dropped (cut = -1)") {
+    val got = Sampling.stratified(df, col("k"), col("s"), Map("A" -> 1.0))
+      .select("s").distinct().as[String].collect()
+    assert(got.toSeq == Seq("A"))
+  }
+}

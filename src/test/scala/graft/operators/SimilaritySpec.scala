@@ -27,6 +27,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("embeddingDups: keep-first marking, exact and LSH variants agree " +
+      "on LSH-surfaced dups") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val exact = Similarity.embeddingDups(emb, 0.4, exact = true)
+      .as[(Long, Boolean)].collect().toMap
+    assert(exact.size == emb.count())
+    assert(exact.values.exists(identity) && exact.values.exists(!_))
+    // lowest id overall can never be a dup (no lower id exists)
+    assert(!exact(exact.keys.min))
+    val lsh = Similarity.embeddingDups(emb, 0.4, exact = false)
+      .as[(Long, Boolean)].collect().toMap
+    // LSH candidates are a subset of exact pairs -> dup marks are a subset
+    assert(lsh.collect { case (id, true) => id }.toSet
+      .subsetOf(exact.collect { case (id, true) => id }.toSet))
+  }
+
   test("banded ANN LSH pairs: nonempty, subset of exact, no duplicates") {
     val emb = Tables.embeddings(spark, sf()).cache()
     val lsh = Similarity.annPairs(emb, threshold = 0.4)
