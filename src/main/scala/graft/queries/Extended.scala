@@ -171,6 +171,27 @@ object Extended {
       FROM documents"""),
     doc = "BPE-ish regex pre-tokenization token counts")
 
+  // --- sliding event-time windows (batch form of
+  //     EventStreams.slidingStats): every event lands in len/slide = 4
+  //     overlapping buckets; bucket emitted as epoch seconds so both
+  //     engines compare integers, not timestamp precision.
+  private val q62_window_slide = Q(
+    run = (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("bucket_s"),
+          col("event_type"), col("n")),
+    oracle = Some("""
+      SELECT bucket_s, event_type, count(*) AS n
+      FROM (
+        SELECT event_type,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - 900 * g.i
+                 AS bucket_s
+        FROM events, (SELECT unnest(generate_series(0, 3)) AS i) g)
+      GROUP BY bucket_s, event_type"""),
+    doc = "sliding event-time windows (overlapping buckets, batch view)")
+
   val all: Seq[(String, Q)] = Seq(
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
@@ -179,5 +200,6 @@ object Extended {
     "q58_embed_dedup" -> q58_embed_dedup,
     "q59_cube" -> q59_cube,
     "q60_intersect" -> q60_intersect,
-    "q61_tokens_bpe" -> q61_tokens_bpe)
+    "q61_tokens_bpe" -> q61_tokens_bpe,
+    "q62_window_slide" -> q62_window_slide)
 }

@@ -1,7 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the stateful operators. */
+case class Ev(user_id: Long, ts: Timestamp)
+
+/** Emitted session: closed (or batch-final) gap-bounded activity span. */
+case class Session(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long)
+
+/** Per-user session accumulator carried in Spark state between batches. */
+case class SessionState(start: Long, last: Long, n: Long)
 
 /** Event-time stream aggregation surface (the scale-up streaming layer the
   * reference's roadmap implies — SURVEY.md §2.10 "reserved for the 100 TB
@@ -31,4 +44,73 @@ object EventStreams {
   def runningUserCounts(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_seen"))
+
+  /** Watermarked SLIDING-window stats: each event lands in
+    * windowLen/slide overlapping buckets (q62 is the batch-oracled form).
+    */
+  def slidingStats(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup on event_id: watermarked `dropDuplicates` —
+    * state is bounded by the watermark horizon (an unbounded dedup set
+    * would OOM a 100 TB stream; the watermark lets Spark evict ids older
+    * than the lateness bound).
+    */
+  def dedupStream(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful gap-based sessionization — the streaming form of q43's batch
+    * sessionize, via `flatMapGroupsWithState` with event-time timeout:
+    * per-user state holds the open session; an event within `gapSeconds`
+    * extends it, a later event closes it (emitting the finished session)
+    * and opens a new one; the event-time timeout flushes idle sessions
+    * once the watermark passes start+gap. State per key is O(1) — this
+    * scales to any user cardinality the state store can shard.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapSeconds: Long = 1800,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    implicit val sessEnc: Encoder[Session] = Encoders.product[Session]
+    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, new Timestamp(st.start * 1000L),
+        new Timestamp(st.last * 1000L), st.n)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap horizon: close the idle session
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.map(_.ts.getTime / 1000L).toSeq.sorted
+            var closed = List.empty[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { t =>
+              st =
+                if (st == null) SessionState(t, t, 1)
+                else if (t - st.last <= gapSeconds)
+                  SessionState(st.start, math.max(st.last, t), st.n + 1)
+                else { closed ::= flush(userId, st); SessionState(t, t, 1) }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp((st.last + gapSeconds) * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

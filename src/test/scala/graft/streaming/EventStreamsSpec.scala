@@ -68,4 +68,68 @@ class EventStreamsSpec extends SparkSpec {
       .select(col("bucket"), col("n")).as[(Timestamp, Long)].head()
     assert(out == ((ts("2024-01-01 00:00:00"), 2L)))
   }
+
+  test("sliding windows land each event in len/slide overlapping buckets") {
+    val batch = Seq((ts("2024-01-01 01:00:00"), "click", 1.0))
+      .toDF("ts", "event_type", "value")
+    val buckets = EventStreams.slidingStats(batch)
+      .select(col("bucket")).as[Timestamp].collect().sorted.toSeq
+    assert(buckets == Seq(ts("2024-01-01 00:15:00"), ts("2024-01-01 00:30:00"),
+      ts("2024-01-01 00:45:00"), ts("2024-01-01 01:00:00")))
+  }
+
+  test("streaming dedup drops repeated event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.dedupStream(df)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      stream.addData(
+        (1L, ts("2024-01-01 00:00:01"), "a"),
+        (1L, ts("2024-01-01 00:00:02"), "a-dup"),
+        (2L, ts("2024-01-01 00:00:03"), "b"))
+      q.processAllAvailable()
+      stream.addData((1L, ts("2024-01-01 00:01:00"), "a-again"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select(col("event_id"))
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L)) // both duplicates suppressed
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap closes a session, timeout flushes " +
+      "the idle one, matches q43 gap semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(stream.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out")
+      .start()
+    try {
+      // user 7: two events 10 min apart (one session), then a 40-min gap
+      stream.addData(
+        Ev(7L, ts("2024-01-01 00:00:00")),
+        Ev(7L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      stream.addData(Ev(7L, ts("2024-01-01 00:50:00"))) // gap > 30 min
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[Session].collect()
+      assert(closed.length == 1)
+      assert(closed(0) == Session(7L, ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:10:00"), 2L))
+      // push the watermark far past the open session's gap horizon:
+      // the event-time timeout fires and flushes it
+      stream.addData(Ev(9L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      stream.addData(Ev(9L, ts("2024-01-01 07:00:00")))
+      q.processAllAvailable()
+      val flushed = spark.table("sess_out").as[Session].collect()
+        .filter(s => s.user_id == 7L)
+      assert(flushed.map(s => (s.session_start, s.n_events)).toSet ==
+        Set((ts("2024-01-01 00:00:00"), 2L), (ts("2024-01-01 00:50:00"), 1L)))
+    } finally q.stop()
+  }
 }
