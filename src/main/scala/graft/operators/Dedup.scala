@@ -62,14 +62,18 @@ object Dedup {
       maxDf: Int = 50): DataFrame = {
     // cache the raw shingle relation: it backs both the df computation and
     // the join, and its plan is shared with fingerprint/minhash queries
-    // (Spark's cacheManager dedups by plan equality across queries)
-    val allSh = shingles(docs, id, text, len, stride).cache()
-    val rare = allSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("sh"))
-    val sh = allSh.join(rare, "sh")
+    // (Spark's cacheManager dedups by plan equality across queries).
+    // The join/df-cap key is the 64-bit shingle hash, not the 16-char
+    // string: half the shuffle bytes and a long-vs-long compare; two
+    // distinct shingles of one doc pair colliding (~n²/2⁶⁴) is negligible.
+    val allSh = shingles(docs, id, text, len, stride)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh")).cache()
+    val rare = allSh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shh"))
+    val sh = allSh.join(rare, "shh")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -106,8 +110,11 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
       k: Int = 16, shingleLen: Int = 16, stride: Int = 4): DataFrame = {
+    // same subplan as the cached hashed-shingle relation in
+    // jaccardPairs/minhashDedup — the cache manager substitutes it here
     val sh = shingles(docs, id, text, shingleLen, stride)
-      .withColumn("x", pmod(xxhash64(col("sh")), lit(P)))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .withColumn("x", pmod(col("shh"), lit(P)))
     val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * lit(a) + lit(b), lit(P))).as(s"sig_$i")
     }
@@ -145,12 +152,14 @@ object Dedup {
   def minhashDedup(docs: DataFrame, id: Column, text: Column,
       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val cand = minhashCandidates(docs, id, text, k, bands)
-    val sh = shingles(docs, id, text).cache() // shared plan with jaccard/fingerprint
+    // shared plan with jaccardPairs' cached hashed-shingle relation
+    val sh = shingles(docs, id, text)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // intersection via join on shingle within candidate pairs
+    // intersection via join on hashed shingle within candidate pairs
     val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        col("doc_b") === col("sb.doc_id") && col("sa.shh") === col("sb.shh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
