@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FhirPathExpr
+import graft.functions.{DotProduct, FhirPathExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions at session build time, so deployments that construct their
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("get_fhirpath_one"),
       new ExpressionInfo(classOf[FhirPathExpr].getName, "get_fhirpath_one"),
       (exprs: Seq[Expression]) => FhirPathExpr(exprs(0), exprs(1), one = true)))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }

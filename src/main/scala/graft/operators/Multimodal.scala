@@ -47,6 +47,21 @@ object Multimodal {
       ascii(decode(col("payload"), "UTF-8")).cast("int").as("first_byte"),
       col("meta_source"))
 
+  /** FAKE resize: deterministic stand-in for an image resize — emits the
+    * target dimensions plus a truncated-payload "thumbnail" (prefix bytes),
+    * so downstream schema/partitioning and byte-budget accounting are real
+    * while the interpolation kernel is swappable for a codec call.
+    */
+  def resizeStub(assets: DataFrame, width: Int, height: Int): DataFrame =
+    assets.select(
+      col("asset_id"),
+      lit(width).as("target_width"),
+      lit(height).as("target_height"),
+      // FAKE-RESIZE: thumbnail = first width*height/64 payload bytes —
+      // placeholder for `resize(decode(payload), width, height)`.
+      substring(col("payload"), 1, width * height / 64).as("thumb"),
+      octet_length(col("payload")).cast("long").as("orig_bytes"))
+
   /** Frame-sampling shape: one row per sampled offset (stride over bytes,
     * standing in for video frame indices) — demonstrates the explode-style
     * fan-out a frame sampler produces, with deterministic offsets.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{Sampling, Similarity, TextAnalysis}
+import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Round-2 surface widening: deterministic sampling, ranking-window family,
   * pivot, explode/unnest, embedding dedup, cube/grouping sets, intersect,
@@ -192,6 +192,117 @@ object Extended {
       GROUP BY bucket_s, event_type"""),
     doc = "sliding event-time windows (overlapping buckets, batch view)")
 
+  // --- multimodal frame sampling, aggregated per asset: the fan-out count
+  //     is pure arithmetic over payload length on both engines.
+  private val q63_frames = Q(
+    run = (s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.ingestAsBinary(Tables.documents(s, d)), stride = 64)
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_offset")).as("last_off")),
+    oracle = Some("""
+      SELECT doc_id AS asset_id,
+             CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 64)
+               AS BIGINT) + 1 AS n_frames,
+             CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 64)
+               AS INT) * 64 AS last_off
+      FROM documents"""),
+    doc = "multimodal frame-sampling fan-out (deterministic offsets)")
+
+  // --- MDM-style blocked fuzzy match: block on lang (the classic blocking
+  //     key that keeps fuzzy matching off the O(n²) cliff), then edit
+  //     distance on the document head — the reference's ODS merge is
+  //     exactly this shape with exact keys (dags/ODSImport.py:140-155).
+  private val q64_fuzzy_block = Q(
+    run = (s, d) => {
+      val doc = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 32).as("head"))
+      doc.as("a").join(doc.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.head"), col("b.head")).as("dist"))
+        .filter(col("dist") <= 5)
+    },
+    oracle = Some("""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.head, b.head) AS INT) AS dist
+      FROM (SELECT doc_id, lang, substring(text, 1, 32) AS head FROM documents) a
+      JOIN (SELECT doc_id, lang, substring(text, 1, 32) AS head FROM documents) b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 5"""),
+    doc = "blocked fuzzy match (levenshtein within blocking key)")
+
+  // --- statistical aggregates (corr/covar/stddev), rounded before compare:
+  //     the merge formulas differ across engines in the last bits.
+  private val q65_stats = Q(
+    run = (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_q"),
+          round(avg(col("l_quantity")), 4).as("avg_q")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             round(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+             round(stddev_samp(l_quantity), 4) AS sd_q,
+             round(avg(l_quantity), 4) AS avg_q
+      FROM lineitem GROUP BY l_returnflag"""),
+    doc = "corr/covar/stddev statistical aggregates")
+
+  // --- RANGE window frame over a value ordering (vs q16's ROWS frame):
+  //     30-day trailing spend per customer, ordered by day number so both
+  //     engines frame on plain integers.
+  private val q66_range_frame = Q(
+    run = (s, d) => {
+      val o = Tables.orders(s, d).withColumn("day",
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("trail30_spend"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_custkey, day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trail30_spend
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+              CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+                AS day
+            FROM orders)"""),
+    doc = "RANGE window frame (30-day trailing sum)")
+
+  // --- array-function surface: distinct-sort-slice-join over tokens
+  //     (array_sort/array_distinct/slice/array_join vs DuckDB list ops).
+  private val q67_array_funcs = Q(
+    run = (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        array_join(
+          slice(array_sort(array_distinct(
+            filter(split(col("text"), " "), t => t =!= ""))), 1, 5),
+          "|").as("first5"),
+        size(array_distinct(
+          filter(split(col("text"), " "), t => t =!= ""))).as("n_distinct")),
+    oracle = Some("""
+      SELECT doc_id,
+             array_to_string(
+               list_sort(list_distinct(
+                 list_filter(string_split(text, ' '), t -> t <> '')))[1:5],
+               '|') AS first5,
+             CAST(len(list_distinct(
+               list_filter(string_split(text, ' '), t -> t <> ''))) AS INT)
+               AS n_distinct
+      FROM documents"""),
+    doc = "array function surface (distinct/sort/slice/join)")
+
   val all: Seq[(String, Q)] = Seq(
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
@@ -201,5 +312,10 @@ object Extended {
     "q59_cube" -> q59_cube,
     "q60_intersect" -> q60_intersect,
     "q61_tokens_bpe" -> q61_tokens_bpe,
-    "q62_window_slide" -> q62_window_slide)
+    "q62_window_slide" -> q62_window_slide,
+    "q63_frames" -> q63_frames,
+    "q64_fuzzy_block" -> q64_fuzzy_block,
+    "q65_stats" -> q65_stats,
+    "q66_range_frame" -> q66_range_frame,
+    "q67_array_funcs" -> q67_array_funcs)
 }
