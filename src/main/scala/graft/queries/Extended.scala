@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Round-2 surface widening: deterministic sampling, ranking-window family,
   * pivot, explode/unnest, embedding dedup, cube/grouping sets, intersect,
@@ -48,19 +48,23 @@ object Extended {
     run = (s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
+      // percent_rank/cume_dist are rationals k/n whose 6-dp rounding can
+      // land exactly on a .5 midpoint — Spark rounds half-up, DuckDB
+      // half-even. floor(x*1e6) sidesteps the midpoint rule (the doubles
+      // themselves are bit-identical IEEE divisions on both engines).
       Tables.customer(s, d).select(
         col("c_custkey"), col("c_nationkey"),
         ntile(4).over(w).as("quartile"),
         dense_rank().over(w).as("drank"),
-        round(percent_rank().over(w), 6).as("prank"),
-        round(cume_dist().over(w), 6).as("cdist"))
+        floor(percent_rank().over(w) * 1000000).cast("long").as("prank_u"),
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cdist_u"))
     },
     oracle = Some("""
       SELECT c_custkey, c_nationkey,
              CAST(ntile(4) OVER w AS INT) AS quartile,
              CAST(dense_rank() OVER w AS BIGINT) AS drank,
-             round(percent_rank() OVER w, 6) AS prank,
-             round(cume_dist() OVER w, 6) AS cdist
+             CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_u,
+             CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_u
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"""),
     doc = "ntile/dense_rank/percent_rank/cume_dist ranking windows")
@@ -303,6 +307,65 @@ object Extended {
       FROM documents"""),
     doc = "array function surface (distinct/sort/slice/join)")
 
+  // --- correlated EXISTS / NOT IN subquery forms through spark.sql (the
+  //     SQL front door; Catalyst decorrelates to semi/anti joins).
+  private val q68_exists = Q(
+    run = (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_nationkey
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND c_custkey NOT IN (SELECT o_custkey FROM v_orders
+                                WHERE o_orderstatus = 'P')""")
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_nationkey
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderstatus = 'P')"""),
+    doc = "correlated EXISTS + NOT IN subqueries (decorrelated by Catalyst)")
+
+  // --- date-part extraction family (F1/F16 completeness): fields with
+  //     identical cross-engine definitions, plus aligned day-of-week.
+  private val q69_date_extract = Q(
+    run = (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow_sun0"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        last_day(col("o_orderdate")).cast("date").cast("string").as("month_end")),
+    oracle = Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(day(o_orderdate) AS INT) AS dom,
+             CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0,
+             CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+             CAST(last_day(o_orderdate) AS VARCHAR) AS month_end
+      FROM orders"""),
+    doc = "date-part extraction family (aligned day-of-week numbering)")
+
+  // --- HLL/t-digest sketches: engine-specific internals → rows-only for
+  //     the driver; error bounds vs exact are asserted in SketchesSpec.
+  private val q70_sketch = Q(
+    run = (s, d) =>
+      Sketches.distinctCounts(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_orderkey")),
+    oracle = None,
+    doc = "HLL approximate distinct (mergeable sketch; spec-bounded error)")
+
   val all: Seq[(String, Q)] = Seq(
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
@@ -317,5 +380,8 @@ object Extended {
     "q64_fuzzy_block" -> q64_fuzzy_block,
     "q65_stats" -> q65_stats,
     "q66_range_frame" -> q66_range_frame,
-    "q67_array_funcs" -> q67_array_funcs)
+    "q67_array_funcs" -> q67_array_funcs,
+    "q68_exists" -> q68_exists,
+    "q69_date_extract" -> q69_date_extract,
+    "q70_sketch" -> q70_sketch)
 }
