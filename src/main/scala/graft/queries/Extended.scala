@@ -222,7 +222,11 @@ object Extended {
       val doc = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 32).as("head"))
-      doc.as("a").join(doc.as("b"),
+      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // spread the probe side: the broadcast join's parallelism equals its
+      // partition count, and the cached table arrives in one partition —
+      // without this every levenshtein runs in a single task
+      doc.repartition(np, col("doc_id")).as("a").join(broadcast(doc.as("b")),
           col("a.lang") === col("b.lang") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
