@@ -10,17 +10,23 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the work under measurement.
   *
   * The manifest's queries are independent, so the measured pass runs them
-  * CONCURRENTLY (SPARK_GRAFT_BENCH_PAR threads, default 8) over the shared
+  * CONCURRENTLY (SPARK_GRAFT_BENCH_PAR threads, default 4) over the shared
   * session — exactly how a multi-tenant engine amortizes driver-side
   * planning and keeps all cores busy while small jobs schedule. Spark's
   * scheduler interleaves the jobs' tasks across the local[N] cores.
   * Headline `value` = wall-clock of the measured pass; per-query numbers
-  * are each query's own submit→complete latency under that concurrency,
-  * and `sum` preserves the old sequential-sum view.
+  * are each query's own submit→complete latency under that concurrency;
+  * `sum` is the sum of those latencies (the sequential-total view); `par`
+  * and `passes` make the measurement mode explicit in the output so the
+  * number is never mistaken for a sequential single-shot run.
   *
   * A full unmeasured warm pass runs first: JIT + codegen compilation and
   * the table cache are steady-state costs, not per-query costs (the DuckDB
   * baseline likewise benches on a warm OS page cache).
+  *
+  * Failures are never silent: a query that throws is recorded in the
+  * `failed` list of the emitted JSON, and passes with fewer failures are
+  * preferred over faster ones when selecting the best pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,50 +54,62 @@ object Bench {
     }
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // (seconds, succeeded) — failures surface in the output JSON, never
+    // silently improve the headline
     def runOne(name: String, fn: (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    def pass(label: String, order: Seq[String]): (Seq[(String, Double)], Double) = {
+    case class Pass(times: Seq[(String, Double)], failed: Seq[String],
+        wall: Double)
+    def pass(label: String, order: Seq[String]): Pass = {
       val byName = queries.toMap
       val pool = Executors.newFixedThreadPool(par)
       val t0 = System.nanoTime()
       val futures = order.map { name =>
-        name -> pool.submit(new Callable[Double] {
-          override def call(): Double = runOne(name, byName(name))
+        name -> pool.submit(new Callable[(Double, Boolean)] {
+          override def call(): (Double, Boolean) = runOne(name, byName(name))
         })
       }
       val results = futures.map { case (name, f) => name -> f.get() }
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.MINUTES)
       val wall = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $label pass: $wall%.3f s wall")
-      (results, wall)
+      val failed = results.collect { case (n, (_, false)) => n }
+      System.err.println(f"[bench] $label pass: $wall%.3f s wall" +
+        (if (failed.nonEmpty) s", FAILED: ${failed.mkString(",")}" else ""))
+      Pass(results.map { case (n, (t, _)) => n -> t }, failed, wall)
     }
 
     // warm pass (unmeasured): JIT/codegen compilation — and its times feed
     // longest-processing-time-first scheduling of the measured passes,
     // which minimizes makespan under the fixed-width pool
-    val (warmTimes, _) = pass("warm", queries.map(_._1))
-    val lptOrder = warmTimes.sortBy(-_._2).map(_._1)
+    val warm = pass("warm", queries.map(_._1))
+    val lptOrder = warm.times.sortBy(-_._2).map(_._1)
     // best of 3 measured passes: this host shows transient multi-minute
     // external load spikes that inflate a ~15 s pass up to 20×; the best
-    // pass is the steady-state number the engine actually delivers
-    val (results, wall) = (1 to 3)
-      .map(i => pass(s"measured-$i", lptOrder)).minBy(_._2)
-    results.foreach { case (n, dt) =>
+    // pass is the steady-state number the engine actually delivers.
+    // Fewest failures wins before wall time — a crashing pass must never
+    // outscore a working one.
+    val best = (1 to 3).map(i => pass(s"measured-$i", lptOrder))
+      .minBy(p => (p.failed.length, p.wall))
+    best.times.foreach { case (n, dt) =>
       System.err.println(f"[bench] $n%-22s $dt%8.3f s")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = best.times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sum = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$wall,"unit":"sec",""" +
-      s""""queries":$qs,"sum":$sum,"par":$par,"sf":"$sfDir"}""")
+    val failedJson = best.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sum = best.times.map(_._2).sum
+    println(s"""{"metric":"total","value":${best.wall},"unit":"sec",""" +
+      s""""queries":$qs,"sum":$sum,"par":$par,"passes":3,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,23 +47,20 @@ class InMemoryFhirStore extends FhirStore {
     data.remove(s"$resourceType/$id")
   override def read(resourceType: String, id: String): Option[String] =
     Option(data.get(s"$resourceType/$id"))
-  /** Key-scoped match: `key -> value` matches only a JSON field named
-    * `key` whose scalar equals `value` (e.g. `"status":"accepted"`), not
-    * the value appearing anywhere in the resource text — so a task whose
-    * note mentions 'accepted' can't false-positive a status search.
+  /** Key-scoped match on the TOP-LEVEL field named `key` (FHIR search
+    * parameter semantics): parsed comparison, so a value appearing in an
+    * unrelated/nested field (a note mentioning 'accepted', an output
+    * item's own `status`) can't false-positive, and escaped characters in
+    * values compare correctly.
     */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
   private def fieldMatches(json: String, key: String, value: String): Boolean =
     if (key.isEmpty) true
-    else {
-      val p = java.util.regex.Pattern.compile(
-        "\"" + java.util.regex.Pattern.quote(key) +
-          "\"\\s*:\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|([^,}\\]\\s]+))")
-      val m = p.matcher(json)
-      var found = false
-      while (!found && m.find())
-        found = value == (if (m.group(1) != null) m.group(1) else m.group(2))
-      found
-    }
+    else
+      try {
+        val node = mapper.readTree(json).path(key)
+        !node.isMissingNode && node.asText() == value
+      } catch { case _: Exception => false }
 
   override def search(resourceType: String, param: (String, String)*): Seq[String] = {
     val prefix = s"$resourceType/"

@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val Knuth = 2654435761L // Knuth multiplicative hash constant
-  private val M = 4294967296L     // 2^32
+  private val K31 = 1327217885L // 31-bit multiplicative hash constant
+  private val M = 4294967296L   // 2^32
 
-  /** Uniform bucket in [0, 2^32) from an integer key — plain long
-    * arithmetic (max key ~2^33 stays far below ANSI overflow).
+  /** Uniform bucket in [0, 2^32) from an integer key. The key is reduced
+    * mod 2^32 BEFORE the multiply so the intermediate product is at most
+    * (2^32-1)·K31 < 2^62 — no ANSI overflow for any long key (a raw
+    * key·constant multiply would throw for snowflake-scale ids).
     */
   def hashBucket(key: Column): Column =
-    pmod(key.cast("long") * lit(Knuth), lit(M))
+    pmod(pmod(key.cast("long"), lit(M)) * lit(K31), lit(M))
 
   /** Keep rows whose hash bucket falls under the per-stratum rate.
     * `rates`: stratum value -> sampling fraction in [0,1].

@@ -37,15 +37,18 @@ object Sketches {
   }
 
   /** Heavy hitters: groups holding at least `minShare` of all rows — the
-    * skew-detection primitive feeding [[Salt]]'s salted joins. Exact
-    * two-aggregation form (count + total); at extreme cardinality swap the
-    * first aggregation for a count-min sample.
+    * skew-detection primitive feeding [[Salt]]'s salted joins. Fully lazy,
+    * ONE scan of the input: the row total is the sum of the per-key counts
+    * (broadcast back over the tiny aggregate), never a second `count()`
+    * pass over the raw data. At extreme key cardinality swap the first
+    * aggregation for a count-min sample.
     */
   def heavyHitters(df: DataFrame, key: Column,
       minShare: Double): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
-    val total = df.count().toDouble
-    counts.filter(col("n") >= lit(total * minShare))
-      .withColumn("share", col("n") / lit(total))
+    val total = counts.agg(sum(col("n")).as("t"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") >= col("t") * minShare)
+      .select(col("key"), col("n"), (col("n") / col("t")).as("share"))
   }
 }

@@ -34,7 +34,7 @@ object Extended {
              count(*) AS n_sampled,
              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       FROM orders
-      WHERE (o_orderkey * 2654435761) % 4294967296 <
+      WHERE ((o_orderkey % 4294967296) * 1327217885) % 4294967296 <
             CASE o_orderstatus WHEN 'F' THEN CAST(0.5 * 4294967296 AS BIGINT)
                                WHEN 'O' THEN CAST(0.7 * 4294967296 AS BIGINT)
                                WHEN 'P' THEN CAST(0.9 * 4294967296 AS BIGINT)

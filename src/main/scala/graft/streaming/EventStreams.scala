@@ -99,11 +99,20 @@ object EventStreams {
             var closed = List.empty[Session]
             var st = state.getOption.orNull
             sorted.foreach { t =>
-              st =
-                if (st == null) SessionState(t, t, 1)
-                else if (t - st.last <= gapSeconds)
-                  SessionState(st.start, math.max(st.last, t), st.n + 1)
-                else { closed ::= flush(userId, st); SessionState(t, t, 1) }
+              if (st == null) st = SessionState(t, t, 1)
+              else if (t - st.last > gapSeconds) {
+                // newer than the open session's gap: close it, open fresh
+                closed ::= flush(userId, st); st = SessionState(t, t, 1)
+              } else if (t + gapSeconds < st.start) {
+                // late (within watermark) but older than the open session's
+                // gap horizon: its own already-closed session
+                closed ::= flush(userId, SessionState(t, t, 1))
+              } else
+                // inside or gap-adjacent to the open span — extend BOTH
+                // bounds so a late event before session_start moves the
+                // start back, matching the batch gap semantics (q43)
+                st = SessionState(math.min(st.start, t),
+                  math.max(st.last, t), st.n + 1)
             }
             if (st != null) {
               state.update(st)

@@ -66,6 +66,13 @@ class FhirStoreSpec extends SparkSpec {
     assert(hits.size == 2 && hits.forall(_.contains(""""status":"accepted"""")))
     assert(ref.store.search("Task", "priority" -> "3").size == 1)
     assert(ref.store.search("Task", "priority" -> "9").isEmpty)
+    // nested fields with the same name must not match (top-level semantics)
+    ref.store.update("Task", "d",
+      """{"status":"requested","output":[{"status":"accepted"}]}""")
+    assert(ref.store.search("Task", "status" -> "accepted").size == 2)
+    // escaped characters in values compare unescaped
+    ref.store.update("Task", "e", """{"owner":"O\"Brien"}""")
+    assert(ref.store.search("Task", "owner" -> """O"Brien""").size == 1)
   }
 
   test("S4 search source honors the _count limit pushdown") {

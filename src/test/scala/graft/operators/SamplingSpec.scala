@@ -28,6 +28,12 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got("B").toDouble / totals("B") - 0.8) < 0.05)
   }
 
+  test("snowflake-scale keys don't overflow under ANSI mode") {
+    val big = Seq(5000000000L, Long.MaxValue, -17L).map((_, "A")).toDF("k", "s")
+    // must not throw ARITHMETIC_OVERFLOW; result content irrelevant here
+    Sampling.stratified(big, col("k"), col("s"), Map("A" -> 0.5)).collect()
+  }
+
   test("unknown strata are dropped (cut = -1)") {
     val got = Sampling.stratified(df, col("k"), col("s"), Map("A" -> 1.0))
       .select("s").distinct().as[String].collect()

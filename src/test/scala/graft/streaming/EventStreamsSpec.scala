@@ -100,6 +100,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: a late in-watermark event before " +
+      "session_start extends the start backwards (q43 parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(stream.toDS(),
+        watermark = "2 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_sess_out")
+      .start()
+    try {
+      stream.addData(Ev(3L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // late but within the 2h watermark, 10 min BEFORE the open start
+      stream.addData(Ev(3L, ts("2024-01-01 00:50:00")))
+      q.processAllAvailable()
+      // advance watermark far ahead so the session flushes via timeout
+      stream.addData(Ev(4L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      stream.addData(Ev(4L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val sess = spark.table("late_sess_out").as[Session].collect()
+        .filter(_.user_id == 3L)
+      assert(sess.length == 1)
+      assert(sess(0) == Session(3L, ts("2024-01-01 00:50:00"),
+        ts("2024-01-01 01:00:00"), 2L)) // start moved back, both counted
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap closes a session, timeout flushes " +
       "the idle one, matches q43 gap semantics") {
     implicit val sqlCtx = spark.sqlContext
