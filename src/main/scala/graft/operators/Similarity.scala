@@ -139,10 +139,15 @@ object Similarity {
     * per-cell assignment + within-cell ranking — the building block a
     * 100 TB ANN index job materializes as a partitioned table.
     */
-  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  /** `roundDp`: decimals the scores are rounded to BEFORE ranking, so the
+    * argmax (ties broken by centroid id) is deterministic across engines
+    * and summation orders.
+    */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame,
+      roundDp: Int = 6): DataFrame = {
     val scored = emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"),
-        cosine(col("embedding"), col("cv")).as("cos"))
+        round(cosine(col("embedding"), col("cv")), roundDp).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))

@@ -91,9 +91,35 @@ object VectorOps {
                                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.4"""),
     doc = "exact cosine similarity join above threshold (LSH ground truth)")
 
+  // IVF cell assignment — the index-build step of the partitioned ANN
+  // path: every vector → nearest of 8 deterministic seed centroids (the
+  // first 8 vectors), rounded-cosine argmax with centroid-id tie-break.
+  private val q71_ivf_assign = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.ivfAssign(emb, centroids, roundDp = 4)
+    },
+    oracle = Some("""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.cv AS DOUBLE[])), 4) AS cos
+        FROM embeddings e, c)
+      SELECT vec_id, centroid_id, cos AS centroid_cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, centroid_id) AS rn
+            FROM scored)
+      WHERE rn = 1"""),
+    doc = "IVF cell assignment (nearest-centroid argmax, index-build step)")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
     "q41_ann_lsh" -> q41_ann_lsh,
-    "q53_sim_join" -> q53_sim_join)
+    "q53_sim_join" -> q53_sim_join,
+    "q71_ivf_assign" -> q71_ivf_assign)
 }
