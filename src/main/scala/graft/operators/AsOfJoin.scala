@@ -36,10 +36,16 @@ object AsOfJoin {
     * @param leftTime   event-time column name on `left`
     * @param rightTime  event-time column name on `right`
     * @param rightVals  right columns to carry onto left rows (as-of values)
+    * @param direction  "backward" (latest right at-or-before, default) or
+    *                   "forward" (earliest right at-or-after) — both
+    *                   inclusive at equal timestamps, matching DuckDB's
+    *                   `ON l.ts >= r.ts` / `ON l.ts <= r.ts` forms
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String], direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val markedLeft = left
       .withColumn("__t", col(leftTime))
@@ -68,18 +74,29 @@ object AsOfJoin {
       .unionByName(alignedRight.select(
         (leftCols.map(col) :+ col("__t") :+ col("__side")) ++ carried.map(col): _*))
 
-    // right rows sort before left rows at equal time → inclusive match
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right rows sort BEFORE left rows at equal time and the
+    // latest prior right row wins (last over preceding frame); forward:
+    // right rows sort AFTER left rows at ties and the earliest following
+    // right row wins (first over following frame) — inclusive either way
+    val w =
+      if (direction == "backward")
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t"), col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // pack the carried values into one struct on right rows only (and only
-    // when no key is null), so last(ignoreNulls) picks the whole matched
-    // row atomically instead of filling each column independently
+    // when no key is null), so last/first(ignoreNulls) picks the whole
+    // matched row atomically instead of filling each column independently
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
     val packed = unioned.withColumn("__asof_row",
       when(col("__side") === 0 && !anyKeyNull, struct(carried.map(col): _*)))
     val filled = packed.withColumn("__asof_row",
-      last(col("__asof_row"), ignoreNulls = true).over(w))
+      if (direction == "backward")
+        last(col("__asof_row"), ignoreNulls = true).over(w)
+      else first(col("__asof_row"), ignoreNulls = true).over(w))
     val out = filled.filter(col("__side") === 1)
     carried.zip(rightVals).foldLeft(out) { case (df, (tmp, v)) =>
       df.withColumn(s"asof_$v", col("__asof_row").getField(tmp))

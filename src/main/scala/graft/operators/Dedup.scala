@@ -217,4 +217,56 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // --- Connected components -----------------------------------------------
+
+  /** Transitive dedup clustering: near-dup PAIRS → connected COMPONENTS
+    * (component id = min member id), the step that turns pairwise
+    * similarity into keep-one-per-cluster decisions. Iterative min-label
+    * propagation: each round joins labels one hop along the edges and
+    * takes the min — O(cluster diameter) rounds, each one join + one
+    * aggregation shuffle, with an early exit when no label changes.
+    * Near-dup clusters have tiny diameters (chains of similars), so this
+    * converges in a handful of rounds at any corpus size; for adversarial
+    * long-chain graphs swap in pointer-jumping (label-of-label) to halve
+    * the depth per round. Each round's labels are materialized through
+    * `localCheckpoint` — the label relation appears twice in the next
+    * round's plan, so WITHOUT lineage truncation the logical plan doubles
+    * per round and analysis cost explodes exponentially (on a cluster use
+    * reliable `checkpoint` for fault tolerance instead).
+    *
+    * @param pairs two-column undirected pair relation (src, dst)
+    * @param ids   one-column relation of ALL node ids (isolated nodes keep
+    *              their own id as component)
+    */
+  def components(pairs: DataFrame, ids: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val src = pairs.columns(0)
+    val dst = pairs.columns(1)
+    val idc = ids.columns(0)
+    val edges = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
+      .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
+      .distinct().localCheckpoint(true)
+    var labels = ids.select(col(idc).as("id"), col(idc).as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbMin = edges
+        .join(labels, edges("e_dst") === labels("id"))
+        .groupBy(col("e_src")).agg(min(col("component")).as("nb_min"))
+      val next = labels
+        .join(nbMin, labels("id") === nbMin("e_src"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nb_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true) // truncate lineage: see scaladoc
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 }

@@ -370,6 +370,73 @@ object Extended {
     oracle = None,
     doc = "HLL approximate distinct (mergeable sketch; spec-bounded error)")
 
+  // --- forward as-of join: for each click, the NEXT purchase at-or-after
+  //     (time-to-conversion shape) — vs DuckDB's native forward ASOF.
+  private val q72_asof_forward = Q(
+    run = (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(dec(col("value"))).cast("double").as("purchase_value"))
+        .withColumn("purchase_ts", col("ts"))
+      graft.operators.AsOfJoin.asofJoin(
+        clicks, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightVals = Seq("purchase_ts", "purchase_value"),
+        direction = "forward")
+    },
+    oracle = Some("""
+      WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      purchases AS (
+        SELECT user_id, ts,
+               CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.user_id, c.event_id, c.ts,
+             p.ts AS asof_purchase_ts,
+             p.purchase_value AS asof_purchase_value
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts <= p.ts"""),
+    doc = "forward as-of join (next purchase after click) vs native ASOF")
+
+  // --- transitive dedup clustering: exact cosine pairs → connected
+  //     components (min-member id), oracled via a recursive CTE.
+  private val q73_components = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val sig = emb.select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("norm"))
+      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pairs = sig.repartition(np).as("a")
+        .join(broadcast(sig.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.norm") * col("b.norm")), 4).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"))
+      graft.operators.Dedup
+        .components(pairs, emb.select(col("vec_id")))
+        .select(col("id").as("vec_id"), col("component"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              >= 0.4),
+      edges AS (SELECT va AS s, vb AS d FROM pairs
+                UNION ALL SELECT vb, va FROM pairs),
+      reach(s, d) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      SELECT s AS vec_id, min(d) AS component FROM reach GROUP BY s"""),
+    doc = "connected-components dedup clustering (min-label propagation)")
+
   val all: Seq[(String, Q)] = Seq(
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
@@ -387,5 +454,7 @@ object Extended {
     "q67_array_funcs" -> q67_array_funcs,
     "q68_exists" -> q68_exists,
     "q69_date_extract" -> q69_date_extract,
-    "q70_sketch" -> q70_sketch)
+    "q70_sketch" -> q70_sketch,
+    "q72_asof_forward" -> q72_asof_forward,
+    "q73_components" -> q73_components)
 }

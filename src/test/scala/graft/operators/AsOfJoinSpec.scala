@@ -55,6 +55,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq((None, None), (Some("A"), Some(20.0))))
   }
 
+  test("asof forward: earliest right at-or-after left time; inclusive ties") {
+    val quotes = Seq(
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0)).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 0L, 1),  // before all -> earliest after = qt 1
+      ("A", 5L, 2),  // tie: quote at 5 matches (inclusive)
+      ("A", 6L, 3),  // between 5 and 9 -> 12.0 at 9
+      ("A", 10L, 4)  // after all -> null
+    ).toDF("sym", "tt", "qty")
+    val got = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tt", "qt",
+        Seq("qt", "px"), direction = "forward")
+      .select("tt", "asof_qt", "asof_px")
+      .as[(Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((0L, Some(1L), Some(10.0))))
+    assert(got(1) == ((5L, Some(5L), Some(11.0))))
+    assert(got(2) == ((6L, Some(9L), Some(12.0))))
+    assert(got(3) == ((10L, None, None)))
+  }
+
   test("asof preserves left row count (left-outer semantics)") {
     val left = (1 to 100).map(i => ("k", i.toLong, i)).toDF("sym", "tt", "v")
     val right = Seq(("k", 50L, 1.0)).toDF("sym", "qt", "px")

@@ -71,6 +71,26 @@ class DedupSpec extends SparkSpec {
     assert(toks == Seq("foo", ",", "bar", "!", " x", "2"))
   }
 
+  test("connected components: transitive pairs cluster to min id, " +
+      "isolated nodes keep their own") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val ids = (1L to 9L).toDF("id")
+    val got = Dedup.components(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L) // chain 1-2-3
+    assert(got(7L) == 7L && got(9L) == 7L)
+    assert(Seq(4L, 5L, 6L, 8L).forall(i => got(i) == i))    // isolated
+  }
+
+  test("connected components converge on a long chain within maxIter") {
+    // chain 1-2-3-...-8: diameter 7, min-label needs 7 hops
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val ids = (1L to 8L).toDF("id")
+    val got = Dedup.components(pairs, ids, maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L))
+  }
+
   test("simhash: identical docs distance 0, near-dups within radius") {
     val sh = Dedup.simhash(docs, col("doc_id"), col("text"))
       .as[(Long, Long)].collect().toMap
