@@ -247,7 +247,11 @@ object Dedup {
     val edges = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
       .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
       .distinct().localCheckpoint(true)
-    var labels = ids.select(col(idc).as("id"), col(idc).as("component"))
+    // propagate only over nodes that actually appear in a pair — isolated
+    // nodes (the vast majority of a deduped corpus) are attached with
+    // their own id at the end, not dragged through every iteration
+    var labels = edges.select(col("e_src").as("id")).distinct()
+      .withColumn("component", col("id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -255,18 +259,22 @@ object Dedup {
       val nbMin = edges
         .join(labels, edges("e_dst") === labels("id"))
         .groupBy(col("e_src")).agg(min(col("component")).as("nb_min"))
+      // carry the previous label through the checkpoint so the convergence
+      // count is the SAME action that materializes the round (one job per
+      // iteration, not two)
       val next = labels
         .join(nbMin, labels("id") === nbMin("e_src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev_c"),
           least(col("component"), coalesce(col("nb_min"), col("component")))
             .as("component"))
-        .localCheckpoint(true) // truncate lineage: see scaladoc
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
+        .localCheckpoint(false) // lazy: materialized by the count below
+      val changed = next.filter(col("component") =!= col("prev_c")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
-    labels
+    ids.select(col(idc).as("id"))
+      .join(labels.withColumnRenamed("component", "paired_c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("paired_c"), col("id")).as("component"))
   }
 }
