@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * `asof_*` column comes from the same matched right row — a right row
   * with a legitimate NULL in one carried column contributes that NULL,
   * never a stale value from an older row (DuckDB ASOF semantics). Rows
-  * whose join key is NULL never match: null-key right rows contribute
-  * nothing and null-key left rows get all-NULL carried values, matching
-  * equi-join oracles (`Window.partitionBy` alone would treat NULL keys
-  * as equal).
+  * whose join key OR time is NULL never match: null-key/null-time right
+  * rows contribute nothing and null-key/null-time left rows get all-NULL
+  * carried values, matching the SQL comparison semantics of the oracle
+  * (`NULL <= ts` is NULL — without the guard Spark's NULLS FIRST ordering
+  * would sort a null-time left row to the partition front and the forward
+  * frame would hand it the earliest right row).
   */
 object AsOfJoin {
 
@@ -92,14 +94,17 @@ object AsOfJoin {
     // matched row atomically instead of filling each column independently
     val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
     val packed = unioned.withColumn("__asof_row",
-      when(col("__side") === 0 && !anyKeyNull, struct(carried.map(col): _*)))
+      when(col("__side") === 0 && !anyKeyNull && col("__t").isNotNull,
+        struct(carried.map(col): _*)))
     val filled = packed.withColumn("__asof_row",
       if (direction == "backward")
         last(col("__asof_row"), ignoreNulls = true).over(w)
       else first(col("__asof_row"), ignoreNulls = true).over(w))
     val out = filled.filter(col("__side") === 1)
     carried.zip(rightVals).foldLeft(out) { case (df, (tmp, v)) =>
-      df.withColumn(s"asof_$v", col("__asof_row").getField(tmp))
+      // a null-time left row must carry nothing (NULL <= ts is NULL in SQL)
+      df.withColumn(s"asof_$v",
+        when(col("__t").isNotNull, col("__asof_row").getField(tmp)))
     }.drop(("__t" +: "__side" +: "__asof_row" +: carried): _*)
   }
 }

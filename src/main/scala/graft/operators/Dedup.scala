@@ -226,10 +226,14 @@ object Dedup {
     * propagation: each round joins labels one hop along the edges and
     * takes the min — O(cluster diameter) rounds, each one join + one
     * aggregation shuffle, with an early exit when no label changes.
-    * Near-dup clusters have tiny diameters (chains of similars), so this
-    * converges in a handful of rounds at any corpus size; for adversarial
-    * long-chain graphs swap in pointer-jumping (label-of-label) to halve
-    * the depth per round. Each round's labels are materialized through
+    * Each round does a neighbor-min step AND a pointer-jump step
+    * (label := label of my label), so convergence is logarithmic in the
+    * component diameter — a chain of length 2^k resolves in ~k rounds
+    * (the real sf0.1 cosine graph has an eccentricity-16 component that
+    * a plain hop-per-round loop left wrong at the default budget). The
+    * loop runs until NO label changes; `maxIter` is a safety bound and
+    * exhausting it THROWS rather than silently emitting a partial
+    * clustering. Each round's labels are materialized through
     * `localCheckpoint` — the label relation appears twice in the next
     * round's plan, so WITHOUT lineage truncation the logical plan doubles
     * per round and analysis cost explodes exponentially (on a cluster use
@@ -240,7 +244,7 @@ object Dedup {
     *              their own id as component)
     */
   def components(pairs: DataFrame, ids: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 25): DataFrame = {
     val src = pairs.columns(0)
     val dst = pairs.columns(1)
     val idc = ids.columns(0)
@@ -259,20 +263,33 @@ object Dedup {
       val nbMin = edges
         .join(labels, edges("e_dst") === labels("id"))
         .groupBy(col("e_src")).agg(min(col("component")).as("nb_min"))
-      // carry the previous label through the checkpoint so the convergence
-      // count is the SAME action that materializes the round (one job per
-      // iteration, not two)
-      val next = labels
+      val hopped = labels
         .join(nbMin, labels("id") === nbMin("e_src"), "left")
         .select(col("id"), col("component").as("prev_c"),
           least(col("component"), coalesce(col("nb_min"), col("component")))
             .as("component"))
-        .localCheckpoint(false) // lazy: materialized by the count below
+      // pointer jump: adopt the label of my current label — doubles the
+      // propagation distance per round (logarithmic convergence)
+      val jumped = hopped.as("l")
+        .join(hopped.select(col("id").as("c_id"),
+          col("component").as("c_comp")).as("c"),
+          col("l.component") === col("c_id"), "left")
+        .select(col("l.id").as("id"), col("l.prev_c").as("prev_c"),
+          least(col("l.component"),
+            coalesce(col("c_comp"), col("l.component"))).as("component"))
+      // carry the previous label through the checkpoint so the convergence
+      // count is the SAME action that materializes the round (one job per
+      // iteration, not two)
+      val next = jumped.localCheckpoint(false) // materialized by the count
       val changed = next.filter(col("component") =!= col("prev_c")).count()
       labels = next.select(col("id"), col("component"))
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components() did not converge within $maxIter rounds — " +
+          "raise maxIter (propagation distance doubles per round)")
     ids.select(col(idc).as("id"))
       .join(labels.withColumnRenamed("component", "paired_c"), Seq("id"), "left")
       .select(col("id"), coalesce(col("paired_c"), col("id")).as("component"))

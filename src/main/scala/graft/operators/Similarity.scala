@@ -105,6 +105,25 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Exact all-pairs cosine similarity join above `threshold` (4-dp
+    * rounded before the filter for cross-engine stability). The probe
+    * side is repartitioned so the broadcast nested-loop join parallelizes
+    * (a cached table arrives in one partition). Shared by the q53 sim
+    * join, [[embeddingDups]], and the q73 component clustering — one
+    * definition so rounding/partitioning fixes can't drift apart.
+    */
+  def exactCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val np = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    sig.repartition(np).as("a").join(broadcast(sig.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup dedup marking: a vector is a duplicate when
     * some LOWER-id vector sits within `threshold` cosine — the keep-first
     * policy of [[Dedup.exact]] applied to the vector space. `exact = true`
@@ -115,17 +134,8 @@ object Similarity {
   def embeddingDups(emb: DataFrame, threshold: Double,
       exact: Boolean = true): DataFrame = {
     val pairs =
-      if (exact) {
-        val sig = emb.select(col("vec_id"), col("embedding"),
-          l2norm(col("embedding")).as("norm"))
-        val np = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-        sig.repartition(np).as("a").join(broadcast(sig.as("b")),
-            col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(dot(col("a.embedding"), col("b.embedding")) /
-              (col("a.norm") * col("b.norm")), 4).as("cos"))
-          .filter(col("cos") >= threshold)
-      } else annPairs(emb, threshold)
+      if (exact) exactCosinePairs(emb, threshold)
+      else annPairs(emb, threshold)
     val dupIds = pairs.select(col("vec_b").as("vec_id")).distinct()
     emb.select(col("vec_id"))
       .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")

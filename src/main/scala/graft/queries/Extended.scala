@@ -407,15 +407,7 @@ object Extended {
   private val q73_components = Q(
     run = (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val sig = emb.select(col("vec_id"), col("embedding"),
-        Similarity.l2norm(col("embedding")).as("norm"))
-      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val pairs = sig.repartition(np).as("a")
-        .join(broadcast(sig.as("b")), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.norm") * col("b.norm")), 4).as("cos"))
-        .filter(col("cos") >= 0.4)
+      val pairs = Similarity.exactCosinePairs(emb, threshold = 0.4)
         .select(col("vec_a"), col("vec_b"))
       graft.operators.Dedup
         .components(pairs, emb.select(col("vec_id")))

@@ -67,21 +67,8 @@ object VectorOps {
   // path approximates. Cosines rounded to 4dp on both engines before the
   // threshold filter so the compare is order/precision stable.
   private val q53_sim_join = Q(
-    run = (s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val sig = e.select(col("vec_id"), col("embedding"),
-        Similarity.l2norm(col("embedding")).as("norm"))
-      // repartition the probe side: the broadcast nested-loop join's
-      // parallelism equals the stream side's partition count, and the
-      // cached table would otherwise arrive in one partition
-      sig.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-        .as("a").join(broadcast(sig.as("b")),
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.norm") * col("b.norm")), 4).as("cos"))
-        .filter(col("cos") >= 0.4)
-    },
+    run = (s, d) =>
+      Similarity.exactCosinePairs(Tables.embeddings(s, d), threshold = 0.4),
     oracle = Some("""
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

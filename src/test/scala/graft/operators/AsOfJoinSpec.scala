@@ -75,6 +75,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(3) == ((10L, None, None)))
   }
 
+  test("asof: NULL timestamps never match in either direction " +
+      "(SQL NULL-comparison semantics)") {
+    val right = Seq((Some("A"), Option(1L), 10.0),
+      (Some("A"), Option.empty[Long], 99.0)).toDF("sym", "qt", "px")
+    val left = Seq((Some("A"), Option(5L)), (Some("A"), Option.empty[Long]))
+      .toDF("sym", "tt")
+    val back = AsOfJoin.asofJoin(left, right, Seq("sym"), "tt", "qt",
+        Seq("px")).select("tt", "asof_px")
+      .as[(Option[Long], Option[Double])].collect().toMap
+    assert(back(Some(5L)) == Some(10.0)) // null-time right row ignored
+    assert(back(None).isEmpty)           // null-time left row carries nothing
+    val fwd = AsOfJoin.asofJoin(left, right, Seq("sym"), "tt", "qt",
+        Seq("px"), direction = "forward").select("tt", "asof_px")
+      .as[(Option[Long], Option[Double])].collect().toMap
+    assert(fwd(Some(5L)).isEmpty) // no right row at-or-after 5
+    assert(fwd(None).isEmpty)     // NOT matched to the earliest right row
+  }
+
   test("asof preserves left row count (left-outer semantics)") {
     val left = (1 to 100).map(i => ("k", i.toLong, i)).toDF("sym", "tt", "v")
     val right = Seq(("k", 50L, 1.0)).toDF("sym", "qt", "px")

@@ -82,13 +82,23 @@ class DedupSpec extends SparkSpec {
     assert(Seq(4L, 5L, 6L, 8L).forall(i => got(i) == i))    // isolated
   }
 
-  test("connected components converge on a long chain within maxIter") {
-    // chain 1-2-3-...-8: diameter 7, min-label needs 7 hops
-    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
-    val ids = (1L to 8L).toDF("id")
+  test("connected components: pointer jumping converges a 40-hop chain " +
+      "in few rounds (the sf0.1 graph has eccentricity 16)") {
+    val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val ids = (1L to 40L).toDF("id")
+    // hop-per-round needs 39 rounds; hop+jump doubles distance per round
     val got = Dedup.components(pairs, ids, maxIter = 10)
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L))
+  }
+
+  test("connected components throw on non-convergence instead of " +
+      "silently emitting a partial clustering") {
+    val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val ids = (1L to 40L).toDF("id")
+    intercept[IllegalStateException] {
+      Dedup.components(pairs, ids, maxIter = 2).collect()
+    }
   }
 
   test("simhash: identical docs distance 0, near-dups within radius") {

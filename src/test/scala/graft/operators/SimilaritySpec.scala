@@ -27,6 +27,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("ivfAssign: every vector lands on its nearest centroid, " +
+      "ties broken by centroid id") {
+    val emb = Tables.embeddings(spark, sf())
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val assigned = Similarity.ivfAssign(emb, centroids, roundDp = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(assigned.length == emb.count())
+    // seed vectors assign to themselves at cosine 1
+    (0L until 4L).foreach { i =>
+      val row = assigned.find(_._1 == i).get
+      assert(row._2 == i && row._3 == 1.0)
+    }
+  }
+
   test("embeddingDups: keep-first marking, exact and LSH variants agree " +
       "on LSH-surfaced dups") {
     val emb = Tables.embeddings(spark, sf()).cache()
