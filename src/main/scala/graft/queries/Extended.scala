@@ -429,6 +429,33 @@ object Extended {
       SELECT s AS vec_id, min(d) AS component FROM reach GROUP BY s"""),
     doc = "connected-components dedup clustering (min-label propagation)")
 
+  // --- the registered IRIS-compat scalar surface exercised through the
+  //     SQL front door (ported reference queries run verbatim): piece /
+  //     ifnull3 / isnull2 / contains_code resolve to codegen'd built-ins.
+  private val q74_compat_sql = Q(
+    run = (s, d) => {
+      graft.functions.compat.registerAll(s) // idempotent; Verify sessions
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_custkey,
+               piece(c_name, '#', 2) AS cust_num,
+               ifnull3(c_mktsegment, 'none', c_mktsegment) AS seg,
+               CASE WHEN contains_code(c_mktsegment, 'MACH') THEN 1 ELSE 0
+                 END AS is_mach,
+               isnull2(c_mktsegment, '') AS seg2
+        FROM v_customer""")
+    },
+    oracle = Some("""
+      SELECT c_custkey,
+             coalesce(string_split(c_name, '#')[2], '') AS cust_num,
+             CASE WHEN c_mktsegment IS NULL THEN 'none' ELSE c_mktsegment
+               END AS seg,
+             CASE WHEN contains(c_mktsegment, 'MACH') THEN 1 ELSE 0
+               END AS is_mach,
+             coalesce(c_mktsegment, '') AS seg2
+      FROM customer"""),
+    doc = "IRIS-compat functions via the spark.sql front door")
+
   val all: Seq[(String, Q)] = Seq(
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
@@ -448,5 +475,6 @@ object Extended {
     "q69_date_extract" -> q69_date_extract,
     "q70_sketch" -> q70_sketch,
     "q72_asof_forward" -> q72_asof_forward,
-    "q73_components" -> q73_components)
+    "q73_components" -> q73_components,
+    "q74_compat_sql" -> q74_compat_sql)
 }
