@@ -294,4 +294,20 @@ object Dedup {
       .join(labels.withColumnRenamed("component", "paired_c"), Seq("id"), "left")
       .select(col("id"), coalesce(col("paired_c"), col("id")).as("component"))
   }
+
+  /** Survivor selection: keep the best-quality member of each component
+    * (ties broken by lowest id) — the decision step of a pretraining dedup
+    * pipeline (drop near-dups, keep the highest-quality copy). One window
+    * over the component partitioning; isolated nodes survive trivially.
+    *
+    * @param components (id, component) relation from [[components]]
+    * @param quality    relation carrying `id` plus the quality column(s)
+    * @param q          quality ordering column (higher = better)
+    */
+  def survivors(components: DataFrame, quality: DataFrame,
+      q: Column): DataFrame = {
+    val joined = components.join(quality, "id")
+    val w = Window.partitionBy(col("component")).orderBy(q.desc, col("id"))
+    joined.withColumn("is_survivor", row_number().over(w) === 1)
+  }
 }

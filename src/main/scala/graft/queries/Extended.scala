@@ -456,6 +456,51 @@ object Extended {
       FROM customer"""),
     doc = "IRIS-compat functions via the spark.sql front door")
 
+  // --- the dedup ENDGAME composed end-to-end: blocked fuzzy pairs →
+  //     transitive components → keep the highest-quality member of each
+  //     cluster (longest doc, ties to lowest id). Fully oracle-checked
+  //     via recursive CTE + ranking window.
+  private val q75_keep_best = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val doc = docs.select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 32).as("head"))
+      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pairs = doc.repartition(np, col("doc_id")).as("a")
+        .join(broadcast(doc.as("b")),
+          col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            levenshtein(col("a.head"), col("b.head")) <= 5)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val comp = graft.operators.Dedup.components(
+        pairs, docs.select(col("doc_id")))
+      graft.operators.Dedup.survivors(comp,
+          docs.select(col("doc_id").as("id"), col("n_chars")),
+          col("n_chars"))
+        .select(col("id").as("doc_id"), col("component"),
+          col("n_chars"), col("is_survivor"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE heads AS (
+        SELECT doc_id, lang, substring(text, 1, 32) AS head FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM heads a JOIN heads b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 5),
+      edges AS (SELECT da AS s, db AS d FROM pairs
+                UNION ALL SELECT db, da FROM pairs),
+      reach(s, d) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS component FROM reach GROUP BY s)
+      SELECT c.doc_id, c.component, d.n_chars,
+             (row_number() OVER (PARTITION BY c.component
+                ORDER BY d.n_chars DESC, c.doc_id) = 1) AS is_survivor
+      FROM comp c JOIN documents d USING (doc_id)"""),
+    doc = "dedup endgame: fuzzy pairs → components → keep-best survivor")
+
   val all: Seq[(String, Q)] = Seq(
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
@@ -476,5 +521,6 @@ object Extended {
     "q70_sketch" -> q70_sketch,
     "q72_asof_forward" -> q72_asof_forward,
     "q73_components" -> q73_components,
-    "q74_compat_sql" -> q74_compat_sql)
+    "q74_compat_sql" -> q74_compat_sql,
+    "q75_keep_best" -> q75_keep_best)
 }

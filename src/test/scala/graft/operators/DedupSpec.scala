@@ -92,6 +92,17 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("survivors keep the highest-quality member per component, " +
+      "ties to lowest id; isolated nodes survive") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "component")
+    val quality = Seq((1L, 10L), (2L, 99L), (3L, 99L), (4L, 5L))
+      .toDF("id", "q")
+    val got = Dedup.survivors(comp, quality, col("q"))
+      .select("id", "is_survivor").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
   test("connected components throw on non-convergence instead of " +
       "silently emitting a partial clustering") {
     val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("a", "b")
