@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the work under measurement.
   *
   * The manifest's queries are independent, so the measured pass runs them
-  * CONCURRENTLY (SPARK_GRAFT_BENCH_PAR threads, default 4) over the shared
+  * CONCURRENTLY (SPARK_GRAFT_BENCH_PAR threads, default 5) over the shared
   * session — exactly how a multi-tenant engine amortizes driver-side
   * planning and keeps all cores busy while small jobs schedule. Spark's
   * scheduler interleaves the jobs' tasks across the local[N] cores.
@@ -32,10 +32,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // par=4 is the measured sweet spot on local[32]: enough overlap to hide
-    // driver-side planning and small-job gaps, below the GC/scheduler
+    // par=5 is the measured sweet spot on local[32] with the current mix
+    // (four heavy shingle queries lead the LPT order; a fifth slot keeps
+    // the small-query tail flowing) — still below the GC/scheduler
     // contention cliff seen at 6-8 concurrent heavy queries on an 8g heap
-    val par = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "4").toInt
+    val par = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
