@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output goes straight through (no sbt "[info]" log prefix) so
 // the one-line JSON contract of graft.Bench/graft.Verify stays parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The harness captures only the last 2000 chars of output; sbt's
+// "[success] Total time" trailer would push the Bench JSON line out of
+// that window.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,6 +70,11 @@ object Bench {
     }
     case class Pass(times: Seq[(String, Double)], failed: Seq[String],
         wall: Double)
+    // Per-query hard deadline: a single hung query (a non-converging
+    // iterative plan, a wedged shuffle) must fail THAT query, not block
+    // the whole bench with no output at all.
+    val perQueryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "600").toLong
     def pass(label: String, order: Seq[String]): Pass = {
       val byName = queries.toMap
       val pool = Executors.newFixedThreadPool(par)
@@ -79,7 +84,14 @@ object Bench {
           override def call(): (Double, Boolean) = runOne(name, byName(name))
         })
       }
-      val results = futures.map { case (name, f) => name -> f.get() }
+      val results = futures.map { case (name, f) =>
+        name -> (try f.get(perQueryTimeoutSec, TimeUnit.SECONDS)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[bench] $name TIMED OUT (${perQueryTimeoutSec}s)")
+          f.cancel(true)
+          (perQueryTimeoutSec.toDouble, false)
+        })
+      }
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.MINUTES)
       val wall = (System.nanoTime() - t0) / 1e9
@@ -104,13 +116,48 @@ object Bench {
     best.times.foreach { case (n, dt) =>
       System.err.println(f"[bench] $n%-22s $dt%8.3f s")
     }
-    val qs = best.times.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness keeps only the LAST 2000 chars of output and parses the
+    // JSON line out of that window — the line must fit there whole. Emit
+    // compact values (2dp) and, if the query map still won't fit the
+    // budget, keep only the slowest entries and say how many were cut.
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.endsWith(".00")) s.dropRight(3) else s
+    }
     val failedJson = best.failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sum = best.times.map(_._2).sum
-    println(s"""{"metric":"total","value":${best.wall},"unit":"sec",""" +
-      s""""queries":$qs,"sum":$sum,"par":$par,"passes":3,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}""")
+    def line(entries: Seq[(String, Double)], cut: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(best.wall)},"unit":"sec",""" +
+        s""""queries":$qs,"sum":${fmt(sum)},"par":$par,"passes":3,""" +
+        (if (cut > 0) s""""cut":$cut,""" else "") +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val budget = 1900
+    val bySlow = best.times.sortBy(-_._2)
+    val full = line(best.times, 0)
+    val out =
+      if (full.length <= budget) full
+      else {
+        // drop fastest entries until the line fits
+        var n = bySlow.length
+        while (n > 1 && line(bySlow.take(n), bySlow.length - n).length > budget)
+          n -= 1
+        line(bySlow.take(n).sortBy(_._1), bySlow.length - n)
+      }
+    // full-detail record alongside (not size-capped): per-query times at
+    // native precision for offline analysis
+    val fullQs = best.times.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      w.println(s"""{"metric":"total","value":${best.wall},"unit":"sec",""" +
+        s""""queries":$fullQs,"sum":$sum,"par":$par,"passes":3,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}""")
+      w.close()
+    } catch { case _: Throwable => () }
+    println(out)
     spark.stop()
   }
 }

@@ -18,15 +18,37 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   private val K31 = 1327217885L // 31-bit multiplicative hash constant
+  private val K2 = 1540483477L  // second odd mix constant (31-bit)
   private val M = 4294967296L   // 2^32
 
-  /** Uniform bucket in [0, 2^32) from an integer key. The key is reduced
-    * mod 2^32 BEFORE the multiply so the intermediate product is at most
-    * (2^32-1)·K31 < 2^62 — no ANSI overflow for any long key (a raw
-    * key·constant multiply would throw for snowflake-scale ids).
+  /** Uniform bucket in [0, 2^32) from an integer key.
+    *
+    * Stages (each expressible identically in ANSI SQL, so a DuckDB oracle
+    * can reproduce the selected set bit-for-bit):
+    *   1. fold the high word: key XOR (key >> 32) — two 64-bit ids that
+    *      are congruent mod 2^32 (e.g. snowflake ids sharing low bits) no
+    *      longer co-sample deterministically;
+    *   2. reduce mod 2^32 BEFORE the multiply so the intermediate product
+    *      is at most (2^32-1)·K < 2^63 — no ANSI overflow for any key;
+    *   3. multiply-mod by K31, then XOR-shift (>>16) and multiply-mod by
+    *      K2 — the second round gives the high bits avalanche a single
+    *      odd-constant multiply lacks, so structured key spaces
+    *      (sequential ids, fixed strides) don't bias per-stratum rates.
     */
-  def hashBucket(key: Column): Column =
-    pmod(pmod(key.cast("long"), lit(M)) * lit(K31), lit(M))
+  def hashBucket(key: Column): Column = {
+    val folded = key.cast("long").bitwiseXOR(shiftright(key.cast("long"), 32))
+    val r1 = pmod(pmod(folded, lit(M)) * lit(K31), lit(M))
+    pmod(r1.bitwiseXOR(shiftright(r1, 16)) * lit(K2), lit(M))
+  }
+
+  /** The DuckDB/ANSI-SQL text of [[hashBucket]] over column `k` — kept in
+    * one place so every oracle that samples agrees with the engine.
+    */
+  def hashBucketSql(k: String): String = {
+    val folded = s"xor($k, $k >> 32)"
+    val r1 = s"((($folded % 4294967296 + 4294967296) % 4294967296) * 1327217885) % 4294967296"
+    s"((xor($r1, ($r1) >> 16)) * 1540483477) % 4294967296"
+  }
 
   /** Keep rows whose hash bucket falls under the per-stratum rate.
     * `rates`: stratum value -> sampling fraction in [0,1].

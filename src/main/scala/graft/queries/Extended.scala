@@ -29,12 +29,12 @@ object Extended {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_sampled"),
           sum(dec(col("o_totalprice"))).cast("double").as("sum_price")),
-    oracle = Some("""
+    oracle = Some(s"""
       SELECT o_orderstatus,
              count(*) AS n_sampled,
              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       FROM orders
-      WHERE ((o_orderkey % 4294967296) * 1327217885) % 4294967296 <
+      WHERE ${Sampling.hashBucketSql("o_orderkey")} <
             CASE o_orderstatus WHEN 'F' THEN CAST(0.5 * 4294967296 AS BIGINT)
                                WHEN 'O' THEN CAST(0.7 * 4294967296 AS BIGINT)
                                WHEN 'P' THEN CAST(0.9 * 4294967296 AS BIGINT)

@@ -95,28 +95,29 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            val sorted = evs.map(_.ts.getTime / 1000L).toSeq.sorted
+            // Gap-merge over SEGMENTS: each incoming event is a 1-event
+            // span, the open session (if any) is an n-event span. Sorting
+            // by start and merging spans within gapSeconds reproduces the
+            // batch gap semantics (q43) for every arrival order — in
+            // particular, multiple late events that predate the open
+            // session but fall within gapSeconds of one another merge into
+            // ONE session instead of flushing as singletons. The newest
+            // span stays open in state; everything before it closes.
+            val segs = (evs.map { e =>
+              val t = e.ts.getTime / 1000L; SessionState(t, t, 1)
+            }.toSeq ++ state.getOption.toSeq).sortBy(s => (s.start, s.last))
             var closed = List.empty[Session]
-            var st = state.getOption.orNull
-            sorted.foreach { t =>
-              if (st == null) st = SessionState(t, t, 1)
-              else if (t - st.last > gapSeconds) {
-                // newer than the open session's gap: close it, open fresh
-                closed ::= flush(userId, st); st = SessionState(t, t, 1)
-              } else if (t + gapSeconds < st.start) {
-                // late (within watermark) but older than the open session's
-                // gap horizon: its own already-closed session
-                closed ::= flush(userId, SessionState(t, t, 1))
-              } else
-                // inside or gap-adjacent to the open span — extend BOTH
-                // bounds so a late event before session_start moves the
-                // start back, matching the batch gap semantics (q43)
-                st = SessionState(math.min(st.start, t),
-                  math.max(st.last, t), st.n + 1)
+            var cur: SessionState = null
+            segs.foreach { sgm =>
+              if (cur == null) cur = sgm
+              else if (sgm.start - cur.last <= gapSeconds)
+                cur = SessionState(cur.start,
+                  math.max(cur.last, sgm.last), cur.n + sgm.n)
+              else { closed ::= flush(userId, cur); cur = sgm }
             }
-            if (st != null) {
-              state.update(st)
-              state.setTimeoutTimestamp((st.last + gapSeconds) * 1000L)
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp((cur.last + gapSeconds) * 1000L)
             }
             closed.reverseIterator
           }

@@ -34,6 +34,21 @@ class SamplingSpec extends SparkSpec {
     Sampling.stratified(big, col("k"), col("s"), Map("A" -> 0.5)).collect()
   }
 
+  test("ids congruent mod 2^32 do not co-sample deterministically") {
+    // 64-bit ids sharing their low word must not always land in the same
+    // bucket: the high-word fold decorrelates them.
+    val low = (1L to 2000L).map((_, "A")).toDF("k", "s")
+    val high = (1L to 2000L).map(i => (i + 4294967296L, "A")).toDF("k", "s")
+    val selLow = Sampling.stratified(low, col("k"), col("s"), Map("A" -> 0.5))
+      .select("k").as[Long].collect().toSet
+    val selHigh = Sampling.stratified(high, col("k"), col("s"), Map("A" -> 0.5))
+      .select("k").as[Long].collect().map(_ - 4294967296L).toSet
+    val overlap = (selLow & selHigh).size.toDouble /
+      math.max(1, math.max(selLow.size, selHigh.size))
+    // independent ~0.5 samples overlap ~50%; perfectly correlated = 100%
+    assert(overlap < 0.75, s"high/low-word samples too correlated: $overlap")
+  }
+
   test("unknown strata are dropped (cut = -1)") {
     val got = Sampling.stratified(df, col("k"), col("s"), Map("A" -> 1.0))
       .select("s").distinct().as[String].collect()

@@ -128,6 +128,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: late events older than the open session " +
+      "gap-merge with each other instead of flushing as singletons") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(stream.toDS(),
+        gapSeconds = 30, watermark = "6 hours")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_merge_out")
+      .start()
+    try {
+      // open session starts at 01:00:00 with gap 30s
+      stream.addData(Ev(5L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // two late events, both far older than start-gap, 20s apart:
+      // batch gap semantics (q43) puts them in ONE 2-event session
+      stream.addData(
+        Ev(5L, ts("2024-01-01 00:01:40")),
+        Ev(5L, ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val closed = spark.table("late_merge_out").as[Session].collect()
+        .filter(_.user_id == 5L)
+      assert(closed.toSeq == Seq(Session(5L, ts("2024-01-01 00:01:40"),
+        ts("2024-01-01 00:02:00"), 2L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap closes a session, timeout flushes " +
       "the idle one, matches q43 gap semantics") {
     implicit val sqlCtx = spark.sqlContext
