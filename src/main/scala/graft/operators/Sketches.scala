@@ -36,6 +36,51 @@ object Sketches {
       .agg(percentile_approx(value, pArr, lit(accuracy)).as("qs"))
   }
 
+  /** Deterministic KMV (k-minimum-values) distinct estimator: hash every
+    * value through the engine-portable [[Sampling.hashBucket]] mix, keep
+    * the k-th smallest distinct hash h_k per group, estimate
+    * nd ≈ (k-1)·2^32 / h_k (exact count when the group has < k distinct
+    * values). Unlike HLL the entire computation is reproducible on any
+    * engine — the DuckDB oracle re-derives the identical estimate — while
+    * keeping the sketch property that only k hashes per group matter.
+    * This form materializes distinct (group, hash) pairs; the mergeable
+    * low-shuffle variant for 100 TB remains `approx_count_distinct`
+    * ([[distinctCounts]]) — KMV is the cross-engine-checkable counterpart.
+    */
+  def kmvDistinct(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df.select(group.as("grp"),
+      Sampling.hashBucket(value).as("hv")).distinct()
+    val w = Window.partitionBy("grp").orderBy("hv")
+    hashed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("grp")))
+      .filter(col("rn") === least(lit(k.toLong), col("nd")))
+      .select(col("grp"),
+        when(col("nd") < k, col("nd"))
+          .otherwise(floor(lit((k - 1).toDouble * 4294967296.0) /
+            greatest(col("hv"), lit(1L))).cast("long"))
+          .as("est_nd"))
+  }
+
+  /** ANSI-SQL text of [[kmvDistinct]] for the DuckDB oracle — one source
+    * of truth with the engine so the estimates stay bit-identical.
+    */
+  def kmvDistinctSql(table: String, group: String, value: String,
+      k: Int): String = s"""
+    WITH h AS (SELECT DISTINCT $group AS grp,
+                 ${Sampling.hashBucketSql(value)} AS hv FROM $table),
+    r AS (SELECT grp, hv,
+            row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+            count(*) OVER (PARTITION BY grp) AS nd
+          FROM h)
+    SELECT grp, CASE WHEN nd < $k THEN nd
+                ELSE CAST(floor(${k - 1} * 4294967296.0 /
+                          greatest(hv, 1)) AS BIGINT) END AS est_nd
+    FROM r WHERE rn = least($k, nd)"""
+
   /** Heavy hitters: groups holding at least `minShare` of all rows — the
     * skew-detection primitive feeding [[Salt]]'s salted joins. Fully lazy,
     * ONE scan of the input: the row total is the sum of the per-key counts

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Multimodal, Salt, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Round-2 surface widening: deterministic sampling, ranking-window family,
   * pivot, explode/unnest, embedding dedup, cube/grouping sets, intersect,
@@ -501,6 +501,57 @@ object Extended {
       FROM comp c JOIN documents d USING (doc_id)"""),
     doc = "dedup endgame: fuzzy pairs → components → keep-best survivor")
 
+  // --- deterministic KMV distinct estimator: the cross-engine-checkable
+  //     counterpart to q70's HLL (same sketch idea — only k hashes per
+  //     group matter — but reproducible, so the oracle re-derives the
+  //     identical estimate rather than settling for a rows-only check)
+  private val q76_kmv_distinct = Q(
+    run = (s, d) =>
+      Sketches.kmvDistinct(Tables.events(s, d), col("event_type"),
+        col("user_id"), k = 64),
+    oracle = Some(
+      Sketches.kmvDistinctSql("events", "event_type", "user_id", k = 64)),
+    doc = "KMV k-minimum-values distinct estimate, bit-identical to oracle")
+
+  // --- GROUPING SETS: the general multi-level aggregation form (rollup
+  //     q48 / cube q59 are its special cases) — one shuffle computes an
+  //     arbitrary set of grouping combinations
+  private val q77_grouping_sets = Q(
+    run = (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("n"), col("qty")),
+    oracle = Some("""
+      SELECT coalesce(l_returnflag, '<all>') AS rflag,
+             coalesce(l_linestatus, '<all>') AS lstatus,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), ())"""),
+    doc = "GROUPING SETS multi-level aggregation (general rollup/cube form)")
+
+  // --- salted two-phase aggregation through the driver gate: the skew
+  //     answer when one grouping key dominates — partial agg on
+  //     (key, salt) spreads the hot key over `salts` reducers, final agg
+  //     on key recombines; the RESULT is identical to the plain groupBy,
+  //     which is exactly what the oracle certifies
+  private val q78_salted_agg = Q(
+    run = (s, d) =>
+      Salt.saltedCount(Tables.orders(s, d), "o_orderpriority", salts = 8),
+    oracle = Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderpriority"""),
+    doc = "salted two-phase aggregation (result invariant under salting)")
+
   val all: Seq[(String, Q)] = Seq(
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
@@ -522,5 +573,8 @@ object Extended {
     "q72_asof_forward" -> q72_asof_forward,
     "q73_components" -> q73_components,
     "q74_compat_sql" -> q74_compat_sql,
-    "q75_keep_best" -> q75_keep_best)
+    "q75_keep_best" -> q75_keep_best,
+    "q76_kmv_distinct" -> q76_kmv_distinct,
+    "q77_grouping_sets" -> q77_grouping_sets,
+    "q78_salted_agg" -> q78_salted_agg)
 }

@@ -57,6 +57,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"))
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (batch) dimension table — the streaming form of the reference's
+    * lookup merges (SURVEY.md J4). Broadcast keeps it shuffle-free per
+    * batch; the dimension is re-read each batch, so slowly-changing dims
+    * stay current without restarting the query.
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup on event_id: watermarked `dropDuplicates` —
     * state is bounded by the watermark horizon (an unbounded dedup set
     * would OOM a 100 TB stream; the watermark lets Spark evict ids older

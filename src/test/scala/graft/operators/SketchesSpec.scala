@@ -34,6 +34,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KMV distinct estimate lands near exact; small groups are exact") {
+    // big group: ~1000 distinct values, estimate within KMV's ~1/sqrt(k)
+    // error envelope; small group: fewer than k distincts → exact count
+    val df = ((1L to 1000L).map(("big", _)) ++
+      (1L to 10L).map(("small", _))).toDF("g", "v")
+    val est = Sketches.kmvDistinct(df, col("g"), col("v"), k = 64)
+      .as[(String, Long)].collect().toMap
+    assert(est("small") == 10L)
+    val rel = math.abs(est("big") - 1000L).toDouble / 1000.0
+    assert(rel <= 0.35, s"KMV estimate ${est("big")} vs 1000 (rel $rel)")
+  }
+
+  test("KMV estimate is invariant to partitioning and duplication") {
+    val df = (1L to 500L).map(("g", _)).toDF("g", "v")
+    val dup = df.union(df).repartition(13)
+    val a = Sketches.kmvDistinct(df, col("g"), col("v"), k = 32)
+      .as[(String, Long)].collect().toMap
+    val b = Sketches.kmvDistinct(dup, col("g"), col("v"), k = 32)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("heavy hitters finds the dominant keys with shares") {
     val df = (Seq.fill(80)("hot") ++ (1 to 20).map(i => s"cold$i")).toDF("k")
     val hh = Sketches.heavyHitters(df, col("k"), minShare = 0.5)

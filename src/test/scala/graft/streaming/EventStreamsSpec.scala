@@ -78,6 +78,25 @@ class EventStreamsSpec extends SparkSpec {
       ts("2024-01-01 00:45:00"), ts("2024-01-01 01:00:00")))
   }
 
+  test("stream-static enrich joins each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("user_id", "event_type")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(df, dim, "user_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_out")
+      .start()
+    try {
+      stream.addData((1L, "click"), (3L, "view"))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select(col("user_id"), col("tier"))
+        .as[(Long, Option[String])].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String)]
