@@ -54,7 +54,11 @@ object Bench {
       graft.core.Tables.load(spark, sfDir, t).cache().count()
     }
 
+    // optional comma-separated subset for targeted perf iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // (seconds, succeeded) — failures surface in the output JSON, never
     // silently improve the headline
     def runOne(name: String, fn: (SparkSession, String) =>

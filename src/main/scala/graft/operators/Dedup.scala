@@ -223,21 +223,24 @@ object Dedup {
   /** Transitive dedup clustering: near-dup PAIRS → connected COMPONENTS
     * (component id = min member id), the step that turns pairwise
     * similarity into keep-one-per-cluster decisions. Iterative min-label
-    * propagation: each round joins labels one hop along the edges and
-    * takes the min — O(cluster diameter) rounds, each one join + one
-    * aggregation shuffle, with an early exit when no label changes.
-    * Each round does a neighbor-min step AND a pointer-jump step
-    * (label := label of my label), so convergence is logarithmic in the
-    * component diameter — a chain of length 2^k resolves in ~k rounds
-    * (the real sf0.1 cosine graph has an eccentricity-16 component that
-    * a plain hop-per-round loop left wrong at the default budget). The
-    * loop runs until NO label changes; `maxIter` is a safety bound and
-    * exhausting it THROWS rather than silently emitting a partial
-    * clustering. Each round's labels are materialized through
-    * `localCheckpoint` — the label relation appears twice in the next
-    * round's plan, so WITHOUT lineage truncation the logical plan doubles
-    * per round and analysis cost explodes exponentially (on a cluster use
-    * reliable `checkpoint` for fault tolerance instead).
+    * propagation: each round takes the min label over self ∪ neighbors
+    * (one join + one aggregation) AND a pointer-jump step (label :=
+    * label of my label), so convergence is logarithmic in the component
+    * diameter — a chain of length 2^k resolves in ~k rounds (the real
+    * sf0.1 cosine graph has a deep component that a plain hop-per-round
+    * loop left wrong at the default budget). Labels are monotone
+    * non-increasing, so convergence is detected by an unchanged decimal
+    * label-sum — a scalar read off the same action that materializes the
+    * round. `maxIter` is a safety bound and exhausting it THROWS rather
+    * than silently emitting a partial clustering. Each round's labels are
+    * materialized through `localCheckpoint` — the label relation appears
+    * twice in the next round's plan, so WITHOUT lineage truncation the
+    * logical plan doubles per round and analysis cost explodes
+    * exponentially (on a cluster use reliable `checkpoint` for fault
+    * tolerance instead). Round cost at small graph sizes is Spark's
+    * per-action latency, not data: AQE's stage coalescing matters (3×
+    * measured), and small edge sets drop to one partition so every
+    * round-internal exchange disappears.
     *
     * @param pairs two-column undirected pair relation (src, dst)
     * @param ids   one-column relation of ALL node ids (isolated nodes keep
@@ -248,42 +251,62 @@ object Dedup {
     val src = pairs.columns(0)
     val dst = pairs.columns(1)
     val idc = ids.columns(0)
-    val edges = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
+    val edgesWide = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
       .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
       .distinct().localCheckpoint(true)
+    // Size-adaptive parallelism (the AQE move, applied across the loop):
+    // the edge count is free off the checkpoint, and when the pair graph
+    // is small — near-dup graphs are sparse, pairs are a tiny fraction of
+    // the corpus even at 100 TB — a single partition makes every join and
+    // aggregation below exchange-free (SinglePartition satisfies any
+    // required clustering), collapsing each round to one task instead of
+    // a multi-stage shuffle cascade. Large graphs keep full-width
+    // shuffles.
+    val edges =
+      if (edgesWide.count() <= 2000000) edgesWide.coalesce(1)
+      else edgesWide
     // propagate only over nodes that actually appear in a pair — isolated
     // nodes (the vast majority of a deduped corpus) are attached with
     // their own id at the end, not dragged through every iteration
     var labels = edges.select(col("e_src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // hop: min label over self ∪ neighbors — one join + one agg shuffle.
+    // The self branch re-aliases its columns: both union legs descend
+    // from the same `labels` plan and Catalyst's union constraint
+    // rewrite rejects duplicate attribute ids across branches.
+    def hop(l: DataFrame): DataFrame = l
+      .select(col("id").as("id"), col("component").as("component"))
+      .union(edges.join(l, edges("e_dst") === l("id"))
+        .select(col("e_src").as("id"), col("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+    // pointer jump: adopt the label of my current label — doubles the
+    // propagation distance per step (logarithmic convergence)
+    def jump(l: DataFrame): DataFrame = l.as("l")
+      .join(l.select(col("id").as("c_id"),
+        col("component").as("c_comp")).as("c"),
+        col("l.component") === col("c_id"), "left")
+      .select(col("l.id").as("id"),
+        least(col("l.component"),
+          coalesce(col("c_comp"), col("l.component"))).as("component"))
     var iter = 0
     var converged = false
+    // labels are monotone non-increasing per id (every update is a min),
+    // so the decimal label-sum is a strictly decreasing scalar until the
+    // fixed point: an unchanged sum IS convergence. That replaces a
+    // prev-label carry + filter-count with a plain sum over the same
+    // materializing action (decimal, not long — a 100 TB corpus sums ids
+    // past 2^63 and ANSI mode would throw).
+    var prevSum: java.math.BigDecimal = null
     while (iter < maxIter && !converged) {
-      val nbMin = edges
-        .join(labels, edges("e_dst") === labels("id"))
-        .groupBy(col("e_src")).agg(min(col("component")).as("nb_min"))
-      val hopped = labels
-        .join(nbMin, labels("id") === nbMin("e_src"), "left")
-        .select(col("id"), col("component").as("prev_c"),
-          least(col("component"), coalesce(col("nb_min"), col("component")))
-            .as("component"))
-      // pointer jump: adopt the label of my current label — doubles the
-      // propagation distance per round (logarithmic convergence)
-      val jumped = hopped.as("l")
-        .join(hopped.select(col("id").as("c_id"),
-          col("component").as("c_comp")).as("c"),
-          col("l.component") === col("c_id"), "left")
-        .select(col("l.id").as("id"), col("l.prev_c").as("prev_c"),
-          least(col("l.component"),
-            coalesce(col("c_comp"), col("l.component"))).as("component"))
-      // carry the previous label through the checkpoint so the convergence
-      // count is the SAME action that materializes the round (one job per
-      // iteration, not two)
-      val next = jumped.localCheckpoint(false) // materialized by the count
-      val changed = next.filter(col("component") =!= col("prev_c")).count()
-      labels = next.select(col("id"), col("component"))
-      converged = changed == 0
+      val stepped = jump(hop(labels))
+      val next = stepped.localCheckpoint(false) // materialized by the sum
+      val sumNow = next
+        .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .first().getDecimal(0)
+      labels = next
+      converged = prevSum != null && prevSum.compareTo(sumNow) == 0
+      prevSum = sumNow
       iter += 1
     }
     if (!converged)
