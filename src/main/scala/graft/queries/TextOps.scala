@@ -148,6 +148,62 @@ object TextOps {
       FROM documents"""),
     doc = "multimodal binary-column pipeline (deterministic fake decode)")
 
+  // --- the curation endgame, composed from the oracle-proven pieces
+  //     above: quality gate (token count) ∧ normalized-dedup keep set →
+  //     per-language corpus budget (docs + total tokens). This is the
+  //     shape of a pretraining-corpus accounting query: every stage is a
+  //     narrow column transform or one aggregation, no stage widens data.
+  private val q79_corpus_pipeline = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+      val scores = TextAnalysis.langScores(col("text"))
+      val enriched = docs.select(col("doc_id"),
+        feats("n_tokens").as("n_tokens"),
+        TextAnalysis.langPredict(scores).as("lang_pred"))
+      val kept = Dedup.normalized(docs, col("doc_id"), col("text"))
+        .filter(col("is_kept")).select(col("doc_id"))
+      enriched.join(kept, Seq("doc_id"), "left_semi")
+        .filter(col("n_tokens") >= 20)
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+      enriched AS (
+        SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(tk, t -> t IN ('the','and','is','of','a'))) AS BIGINT) AS score_en,
+          CAST(len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+          CAST(len(list_filter(tk, t -> t IN ('le','les','et','une','est'))) AS BIGINT) AS score_fr,
+          CAST(len(list_filter(tk, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de
+        FROM toks),
+      langs AS (
+        SELECT doc_id, n_tokens,
+          CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+               WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+               WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+               WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+               WHEN score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
+               ELSE 'und' END AS lang_pred
+        FROM enriched),
+      kept AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY
+            md5(array_to_string(list_sort(
+              regexp_split_to_array(lower(trim(text)), '\s+')), ' '))
+            ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1)
+      SELECT lang_pred, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM langs JOIN kept USING (doc_id)
+      WHERE n_tokens >= 20
+      GROUP BY lang_pred"""),
+    doc = "corpus curation: quality gate ∧ dedup keep → per-language budget")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -156,5 +212,6 @@ object TextOps {
     "q35_fingerprint" -> q35_fingerprint,
     "q36_minhash_pairs" -> q36_minhash_pairs,
     "q37_simhash" -> q37_simhash,
-    "q38_multimodal" -> q38_multimodal)
+    "q38_multimodal" -> q38_multimodal,
+    "q79_corpus_pipeline" -> q79_corpus_pipeline)
 }

@@ -103,10 +103,56 @@ object VectorOps {
       WHERE rn = 1"""),
     doc = "IVF cell assignment (nearest-centroid argmax, index-build step)")
 
+  // --- the clustering UPDATE step on top of q71's assignment: recompute
+  //     each cell's center per dimension. Medians, not means: an exact
+  //     interpolated median touches two sorted elements, so the result is
+  //     independent of row order / partitioning — a float mean's summation
+  //     order is not, and would flake a cross-engine hash compare.
+  //     (k-medians update; one shuffle to (cell, dim) after the explode)
+  private val q80_kmedians_step = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.ivfAssign(emb, centroids, roundDp = 4)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), col("pos"))
+        // + 0.0 canonicalizes IEEE negative zero (a -0.0 median hashes
+        // as "-0" and the engines disagree on which zero they produce)
+        .agg((round(percentile(col("col").cast("double"), lit(0.5)), 4)
+          + lit(0.0)).as("med"), count(lit(1)).as("n_members"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.cv AS DOUBLE[])), 4) AS cos
+        FROM embeddings e, c),
+      assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      dims AS (
+        SELECT a.centroid_id, CAST(g - 1 AS INTEGER) AS pos,
+               CAST(e.embedding[CAST(g AS INTEGER)] AS DOUBLE) AS x
+        FROM assigned a
+        JOIN embeddings e USING (vec_id),
+        unnest(generate_series(1, len(e.embedding))) AS t(g))
+      SELECT centroid_id, pos, round(quantile_cont(x, 0.5), 4) + 0.0 AS med,
+             count(*) AS n_members
+      FROM dims GROUP BY centroid_id, pos"""),
+    doc = "k-medians centroid update over IVF cells (order-stable exact median)")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
     "q41_ann_lsh" -> q41_ann_lsh,
     "q53_sim_join" -> q53_sim_join,
-    "q71_ivf_assign" -> q71_ivf_assign)
+    "q71_ivf_assign" -> q71_ivf_assign,
+    "q80_kmedians_step" -> q80_kmedians_step)
 }
