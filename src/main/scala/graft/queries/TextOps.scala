@@ -204,6 +204,97 @@ object TextOps {
       GROUP BY lang_pred"""),
     doc = "corpus curation: quality gate ∧ dedup keep → per-language budget")
 
+  // --- Gopher/C4-style repetition signals: duplicate-bigram ratio and
+  //     top-token share — the "document is degenerate boilerplate" gate a
+  //     pretraining filter applies before anything expensive. Pure HOF
+  //     column math (no explode, no shuffle): per-row work, trivially
+  //     partition-parallel at any scale.
+  private val q81_repetition = Q(
+    run = (s, d) => {
+      val tk = split(lower(trim(col("text"))), "\\s+")
+      // 0-based get() (ANSI-safe); bigram i = tokens i, i+1
+      val bigrams = transform(sequence(lit(0), size(tk) - 2),
+        i => concat(get(tk, i), lit(" "), get(tk, i + 1)))
+      val topTokN = array_max(transform(tk,
+        t => size(filter(tk, u => u === t)).cast("long")))
+      Tables.documents(s, d).select(col("doc_id"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
+        (lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+          size(bigrams).cast("double")).as("dup_bigram_ratio"),
+        (topTokN.cast("double") / size(tk).cast("double"))
+          .as("top_token_share"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+      bg AS (
+        SELECT doc_id, tk,
+          list_transform(generate_series(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i + 1]) AS bigrams
+        FROM toks)
+      SELECT doc_id,
+        CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+        1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) /
+              CAST(len(bigrams) AS DOUBLE) AS dup_bigram_ratio,
+        CAST(list_max(list_transform(tk,
+               t -> len(list_filter(tk, u -> u = t)))) AS DOUBLE) /
+          CAST(len(tk) AS DOUBLE) AS top_token_share
+      FROM bg"""),
+    doc = "repetition quality signals: dup-bigram ratio, top-token share")
+
+  // --- regex redaction (the PII-scrub shape: emails/URLs/entities →
+  //     placeholder) with hit accounting; per-row regexp work inside
+  //     codegen, no shuffle
+  private val q82_scrub = Q(
+    run = (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), lit("\\b(customer|value)\\b"),
+          lit("<redacted>")).as("scrubbed"),
+        size(regexp_extract_all(col("text"),
+          lit("\\b(customer|value)\\b"), lit(0))).cast("long").as("n_hits")),
+    oracle = Some("""
+      SELECT doc_id,
+        regexp_replace(text, '\b(customer|value)\b', '<redacted>', 'g')
+          AS scrubbed,
+        CAST(len(regexp_extract_all(text, '\b(customer|value)\b'))
+          AS BIGINT) AS n_hits
+      FROM documents"""),
+    doc = "regex redaction with hit counts (PII/entity scrub shape)")
+
+  // --- decontamination probe: which corpus docs share any character
+  //     shingle with a (small) probe/benchmark set — the n-gram-overlap
+  //     contamination check run before training. The probe side is tiny
+  //     by construction → broadcast; the corpus side never self-joins.
+  private val q83_contamination = Q(
+    run = (s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), col("doc_id"),
+        col("text"))
+      val probes = sh.filter(col("doc_id") < 10)
+        .select(col("sh"), col("doc_id").as("probe_id"))
+      sh.filter(col("doc_id") >= 10)
+        .join(broadcast(probes), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("probe_id")).as("n_probes_hit"),
+          countDistinct(col("sh")).as("n_shingles_hit"))
+    },
+    oracle = Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 16) AS sh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM documents)),
+      probes AS (SELECT sh, doc_id AS probe_id FROM sh WHERE doc_id < 10)
+      SELECT s.doc_id,
+             count(DISTINCT p.probe_id) AS n_probes_hit,
+             count(DISTINCT s.sh) AS n_shingles_hit
+      FROM sh s JOIN probes p USING (sh)
+      WHERE s.doc_id >= 10
+      GROUP BY s.doc_id"""),
+    doc = "decontamination: corpus docs sharing shingles with a probe set")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -213,5 +304,8 @@ object TextOps {
     "q36_minhash_pairs" -> q36_minhash_pairs,
     "q37_simhash" -> q37_simhash,
     "q38_multimodal" -> q38_multimodal,
-    "q79_corpus_pipeline" -> q79_corpus_pipeline)
+    "q79_corpus_pipeline" -> q79_corpus_pipeline,
+    "q81_repetition" -> q81_repetition,
+    "q82_scrub" -> q82_scrub,
+    "q83_contamination" -> q83_contamination)
 }
