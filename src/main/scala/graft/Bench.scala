@@ -83,21 +83,46 @@ object Bench {
       val byName = queries.toMap
       val pool = Executors.newFixedThreadPool(par)
       val t0 = System.nanoTime()
+      // The deadline is relative to when the task actually STARTS running
+      // (startedAt, set inside call()), not to when the sequential f.get
+      // loop reaches the future — under a saturated pool those differ by
+      // the whole queue wait. Each task runs under its own job group so a
+      // timed-out query is cancelled through the Spark scheduler (which
+      // kills its running stages) rather than relying on Thread.interrupt.
       val futures = order.map { name =>
-        name -> pool.submit(new Callable[(Double, Boolean)] {
-          override def call(): (Double, Boolean) = runOne(name, byName(name))
-        })
+        val startedAt = new java.util.concurrent.atomic.AtomicLong(0L)
+        (name, startedAt, pool.submit(new Callable[(Double, Boolean)] {
+          override def call(): (Double, Boolean) = {
+            startedAt.set(System.nanoTime())
+            spark.sparkContext.setJobGroup(s"bench-$name", name,
+              interruptOnCancel = true)
+            try runOne(name, byName(name))
+            finally spark.sparkContext.clearJobGroup()
+          }
+        }))
       }
-      val results = futures.map { case (name, f) =>
-        name -> (try f.get(perQueryTimeoutSec, TimeUnit.SECONDS)
-        catch { case _: java.util.concurrent.TimeoutException =>
-          System.err.println(s"[bench] $name TIMED OUT (${perQueryTimeoutSec}s)")
-          f.cancel(true)
-          (perQueryTimeoutSec.toDouble, false)
-        })
+      val results = futures.map { case (name, startedAt, f) =>
+        var res: Option[(Double, Boolean)] = None
+        while (res.isEmpty) {
+          try res = Some(f.get(1, TimeUnit.SECONDS))
+          catch { case _: java.util.concurrent.TimeoutException =>
+            val st = startedAt.get()
+            if (st != 0L &&
+                (System.nanoTime() - st) / 1e9 > perQueryTimeoutSec) {
+              System.err.println(
+                s"[bench] $name TIMED OUT (${perQueryTimeoutSec}s)")
+              spark.sparkContext.cancelJobGroup(s"bench-$name")
+              f.cancel(true)
+              res = Some((perQueryTimeoutSec.toDouble, false))
+            }
+          }
+        }
+        name -> res.get
       }
       pool.shutdown()
-      pool.awaitTermination(1, TimeUnit.MINUTES)
+      if (!pool.awaitTermination(1, TimeUnit.MINUTES))
+        System.err.println("[bench] WARNING: cancelled query still running " +
+          "after 60s drain; next pass may contend with it")
       val wall = (System.nanoTime() - t0) / 1e9
       val failed = results.collect { case (n, (_, false)) => n }
       System.err.println(f"[bench] $label pass: $wall%.3f s wall" +

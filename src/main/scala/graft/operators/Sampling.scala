@@ -45,7 +45,10 @@ object Sampling {
     * one place so every oracle that samples agrees with the engine.
     */
   def hashBucketSql(k: String): String = {
-    val folded = s"xor($k, $k >> 32)"
+    // cast to BIGINT so the >>32 fold matches hashBucket's 64-bit
+    // semantics even when the oracle-side column is 32-bit INTEGER
+    val k64 = s"CAST($k AS BIGINT)"
+    val folded = s"xor($k64, $k64 >> 32)"
     val r1 = s"((($folded % 4294967296 + 4294967296) % 4294967296) * 1327217885) % 4294967296"
     s"((xor($r1, ($r1) >> 16)) * 1540483477) % 4294967296"
   }

@@ -212,16 +212,23 @@ object TextOps {
   private val q81_repetition = Q(
     run = (s, d) => {
       val tk = split(lower(trim(col("text"))), "\\s+")
-      // 0-based get() (ANSI-safe); bigram i = tokens i, i+1
-      val bigrams = transform(sequence(lit(0), size(tk) - 2),
-        i => concat(get(tk, i), lit(" "), get(tk, i + 1)))
+      // 0-based get() (ANSI-safe); bigram i = tokens i, i+1. Guard the
+      // <2-token case: sequence(0, -1) would produce a DESCENDING [0,-1]
+      // (two null bigrams) where the oracle's generate_series is empty.
+      val bigrams = when(size(tk) >= 2,
+        transform(sequence(lit(0), size(tk) - 2),
+          i => concat(get(tk, i), lit(" "), get(tk, i + 1))))
+        .otherwise(array().cast("array<string>"))
       val topTokN = array_max(transform(tk,
         t => size(filter(tk, u => u === t)).cast("long")))
       Tables.documents(s, d).select(col("doc_id"),
         size(bigrams).cast("long").as("n_bigrams"),
         size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
-        (lit(1.0) - size(array_distinct(bigrams)).cast("double") /
-          size(bigrams).cast("double")).as("dup_bigram_ratio"),
+        // 0 bigrams -> NULL ratio, matching the oracle's NULL division
+        when(size(bigrams) > 0,
+          lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+            size(bigrams).cast("double"))
+          .otherwise(lit(null).cast("double")).as("dup_bigram_ratio"),
         (topTokN.cast("double") / size(tk).cast("double"))
           .as("top_token_share"))
     },
@@ -237,8 +244,9 @@ object TextOps {
       SELECT doc_id,
         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
         CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
-        1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) /
-              CAST(len(bigrams) AS DOUBLE) AS dup_bigram_ratio,
+        CASE WHEN len(bigrams) = 0 THEN NULL
+             ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) /
+                        CAST(len(bigrams) AS DOUBLE) END AS dup_bigram_ratio,
         CAST(list_max(list_transform(tk,
                t -> len(list_filter(tk, u -> u = t)))) AS DOUBLE) /
           CAST(len(tk) AS DOUBLE) AS top_token_share
