@@ -245,25 +245,37 @@ object Dedup {
     * @param pairs two-column undirected pair relation (src, dst)
     * @param ids   one-column relation of ALL node ids (isolated nodes keep
     *              their own id as component)
+    * @param driverMaxEdges edge-count bound for the driver union-find fast
+    *              path; 0 forces the distributed loop
     */
   def components(pairs: DataFrame, ids: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverMaxEdges: Long = 4000000L): DataFrame = {
     val src = pairs.columns(0)
     val dst = pairs.columns(1)
     val idc = ids.columns(0)
     val edgesWide = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
       .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
       .distinct().localCheckpoint(true)
-    // Size-adaptive parallelism (the AQE move, applied across the loop):
+    val edgeCount = edgesWide.count()
+    // Size-adaptive execution, decided on the MEASURED edge count (the
+    // AQE move applied across the whole algorithm). A near-dup pair graph
+    // is sparse by construction — LSH/blocking emits a tiny fraction of
+    // the corpus as pairs — so even a 100 TB corpus usually yields an edge
+    // set that fits on the driver. Below `driverMaxEdges` (~64 MB of
+    // longs at the default), union-find on the driver replaces O(log D)
+    // Spark rounds (each a join + agg + checkpoint + convergence action)
+    // with one collect + one O(E α(E)) pass + one broadcast-joined label
+    // frame. Above the bound, the distributed logarithmic-round loop
+    // below is the scale path.
+    if (edgeCount <= driverMaxEdges)
+      return componentsOnDriver(edgesWide, ids, idc)
     // the edge count is free off the checkpoint, and when the pair graph
-    // is small — near-dup graphs are sparse, pairs are a tiny fraction of
-    // the corpus even at 100 TB — a single partition makes every join and
-    // aggregation below exchange-free (SinglePartition satisfies any
-    // required clustering), collapsing each round to one task instead of
-    // a multi-stage shuffle cascade. Large graphs keep full-width
-    // shuffles.
+    // is small a single partition makes every join and aggregation below
+    // exchange-free (SinglePartition satisfies any required clustering),
+    // collapsing each round to one task instead of a multi-stage shuffle
+    // cascade. Large graphs keep full-width shuffles.
     val edges =
-      if (edgesWide.count() <= 2000000) edgesWide.coalesce(1)
+      if (edgeCount <= 2000000) edgesWide.coalesce(1)
       else edgesWide
     // propagate only over nodes that actually appear in a pair — isolated
     // nodes (the vast majority of a deduped corpus) are attached with
@@ -315,6 +327,47 @@ object Dedup {
           "raise maxIter (propagation distance doubles per round)")
     ids.select(col(idc).as("id"))
       .join(labels.withColumnRenamed("component", "paired_c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("paired_c"), col("id")).as("component"))
+  }
+
+  /** Small-graph fast path: collect the (already deduped, symmetric) edge
+    * relation, run union-find with path compression on the driver, and
+    * broadcast-join the labels back onto the full id relation. Roots are
+    * kept at the minimum member id (smaller root wins every union), so the
+    * output is identical to the distributed min-label propagation.
+    */
+  private def componentsOnDriver(edges: DataFrame, ids: DataFrame,
+      idc: String): DataFrame = {
+    val spark = ids.sparkSession
+    val idType = ids.schema.head.dataType
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val next = parent.getOrElse(c, c)
+        parent(c) = r
+        c = next
+      }
+      r
+    }
+    edges.select(col("e_src").cast("long"), col("e_dst").cast("long"))
+      .collect().foreach { row =>
+        val ra = find(row.getLong(0))
+        val rb = find(row.getLong(1))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+    val nodes = parent.keySet.toSeq
+    val labels = nodes.map(n => (n, find(n)))
+    import spark.implicits._
+    val labelDf = labels.toDF("id", "paired_c")
+      .select(col("id").cast(idType).as("id"),
+        col("paired_c").cast(idType).as("paired_c"))
+    ids.select(col(idc).as("id"))
+      .join(broadcast(labelDf), Seq("id"), "left")
       .select(col("id"), coalesce(col("paired_c"), col("id")).as("component"))
   }
 

@@ -152,16 +152,63 @@ object Similarity {
   /** `roundDp`: decimals the scores are rounded to BEFORE ranking, so the
     * argmax (ties broken by centroid id) is deterministic across engines
     * and summation orders.
+    *
+    * Shuffle-free shape: the centroid set is tiny by construction (an IVF
+    * index has k ≪ n cells), so it is packed into ONE broadcast array row
+    * and the nearest-centroid argmax runs as `array_max` over per-centroid
+    * (cos, -id) structs inside the corpus projection — a pure map. The
+    * previous form (explode over centroids + row_number window per vec_id)
+    * shuffled the whole corpus ×k just to pick each row's max; at 100 TB
+    * that shuffle IS the job.
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame,
       roundDp: Int = 6): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
+    val packed = centroids.groupBy().agg(
+      collect_list(struct(col("centroid_id"), col("cv"))).as("cents"))
+    // struct comparison is field-order lexicographic: max cos first, then
+    // max(-centroid_id) = min centroid_id on ties — same order as the
+    // oracle's (cos DESC, centroid_id) ranking
+    val best = array_max(transform(col("cents"), c =>
+      struct(
+        round(cosine(col("embedding"), c("cv")), roundDp).as("cos"),
+        (-c("centroid_id")).as("neg_cid"),
+        c("centroid_id").as("centroid_id"))))
+    emb.crossJoin(broadcast(packed))
+      .select(col("vec_id"), best.as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.cos").as("centroid_cos"))
+  }
+
+  /** The IVF ANN QUERY path on top of [[ivfAssign]]: rank cells by the
+    * query↔centroid cosine, probe the top `nprobe` cells, and exactly
+    * rerank only their members — the standard recall/cost dial of an IVF
+    * index. Scale shape: cell ranking touches k centroid rows; the probed
+    * cell set broadcasts into a semi-join against the assignment, so the
+    * rerank scan reads ~nprobe/k of the corpus instead of all of it; the
+    * final top-k is a TakeOrdered, not a global sort.
+    *
+    * Deterministic throughout: cosines rounded to `roundDp` before every
+    * rank, ties broken by id.
+    *
+    * @param corpus  (vec_id, embedding) rows to search (query excluded by
+    *                the caller if it lives in the same table)
+    * @param query   single-row (qv) relation
+    */
+  def ivfSearch(corpus: DataFrame, centroids: DataFrame, query: DataFrame,
+      nprobe: Int, k: Int, roundDp: Int = 4): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, roundDp)
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("centroid_id"),
+        round(cosine(col("cv"), col("qv")), roundDp).as("ccos"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    corpus.join(assigned, Seq("vec_id"))
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .crossJoin(broadcast(query))
       .select(col("vec_id"), col("centroid_id"),
-        round(cosine(col("embedding"), col("cv")), roundDp).as("cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cos").as("centroid_cos"))
+        round(cosine(col("embedding"), col("qv")), roundDp).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -211,25 +212,49 @@ object TextOps {
   //     partition-parallel at any scale.
   private val q81_repetition = Q(
     run = (s, d) => {
-      val tk = split(lower(trim(col("text"))), "\\s+")
+      // Materialize tokens, then bigrams, as ATTRIBUTES in staged
+      // projections before anything references them repeatedly. An
+      // inlined alias referenced inside a HOF lambda is re-evaluated PER
+      // ELEMENT (HOFs run interpreted, outside codegen's subexpression
+      // elimination) — with `tk` inlined, every bigram re-ran the regex
+      // tokenizer over the full text and this query was ~10× slower.
+      // CollapseProject keeps the stages apart: it never re-inlines an
+      // expensive alias that is referenced more than once.
+      val tkc = col("tk")
+      val withTk = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       // 0-based get() (ANSI-safe); bigram i = tokens i, i+1. Guard the
       // <2-token case: sequence(0, -1) would produce a DESCENDING [0,-1]
       // (two null bigrams) where the oracle's generate_series is empty.
-      val bigrams = when(size(tk) >= 2,
-        transform(sequence(lit(0), size(tk) - 2),
-          i => concat(get(tk, i), lit(" "), get(tk, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val topTokN = array_max(transform(tk,
-        t => size(filter(tk, u => u === t)).cast("long")))
-      Tables.documents(s, d).select(col("doc_id"),
-        size(bigrams).cast("long").as("n_bigrams"),
-        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"),
+      val withBg = withTk.select(col("doc_id"), tkc,
+        when(size(tkc) >= 2,
+          transform(sequence(lit(0), size(tkc) - 2),
+            i => concat(get(tkc, i), lit(" "), get(tkc, i + 1))))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+      // max token multiplicity via sorted run-length scan: equal tokens
+      // are adjacent after array_sort, so the longest run IS the top
+      // token's count; the fold carries (prev, run, best) — O(n log n)
+      // per doc vs the O(n²) count-each-token-against-all form.
+      val topTokN = aggregate(
+        array_sort(tkc),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, t) => {
+          val run = when(t === acc("prev"), acc("run") + lit(1L))
+            .otherwise(lit(1L))
+          struct(t.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))
+      val bg = col("bigrams")
+      withBg.select(col("doc_id"),
+        size(bg).cast("long").as("n_bigrams"),
+        size(array_distinct(bg)).cast("long").as("n_distinct_bigrams"),
         // 0 bigrams -> NULL ratio, matching the oracle's NULL division
-        when(size(bigrams) > 0,
-          lit(1.0) - size(array_distinct(bigrams)).cast("double") /
-            size(bigrams).cast("double"))
+        when(size(bg) > 0,
+          lit(1.0) - size(array_distinct(bg)).cast("double") /
+            size(bg).cast("double"))
           .otherwise(lit(null).cast("double")).as("dup_bigram_ratio"),
-        (topTokN.cast("double") / size(tk).cast("double"))
+        (topTokN.cast("double") / size(tkc).cast("double"))
           .as("top_token_share"))
     },
     oracle = Some("""
@@ -303,6 +328,110 @@ object TextOps {
       GROUP BY s.doc_id"""),
     doc = "decontamination: corpus docs sharing shingles with a probe set")
 
+  // --- TF-IDF top terms per document: the classic two-aggregation shape
+  //     (term frequencies, then document frequencies off the same relation)
+  //     + a broadcast scalar for N. Both aggregations are partial-agg
+  //     friendly; the per-doc top-3 is one window over the scored relation.
+  //     Scores are rounded to 6dp BEFORE ranking so the rank order (ties
+  //     then broken by term) is identical across engines.
+  private val q85_tfidf = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("term_tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("term_df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("term_tf") *
+          log(col("n_docs").cast("double") / col("term_df").cast("double")),
+          6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("term_tf"), col("term_df"),
+          col("tfidf"), col("rk"))
+    },
+    oracle = Some("""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS term_tf
+        FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.term_tf, dfreq.term_df,
+               round(tf.term_tf * ln(CAST(n_docs AS DOUBLE) /
+                 CAST(dfreq.term_df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term), n)
+      SELECT doc_id, term, term_tf, term_df, tfidf, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+      WHERE rk <= 3"""),
+    doc = "TF-IDF top terms per doc (two-phase agg + broadcast N)")
+
+  // --- corpus n-gram counting (the language-model counts job): explode
+  //     trigrams → one partial-agg'd count shuffle → global top-k via
+  //     TakeOrdered. The <3-token guard mirrors q81's bigram edge fix.
+  private val q86_ngram_counts = Q(
+    run = (s, d) => {
+      // tokens materialized as an attribute first — see q81: an inlined
+      // tokenizer alias inside the HOF lambda re-splits the text per
+      // trigram element
+      val tkc = col("tk")
+      val tri = when(size(tkc) >= 3,
+        transform(sequence(lit(0), size(tkc) - 3),
+          i => concat_ws(" ", get(tkc, i), get(tkc, i + 1), get(tkc, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .select(TextAnalysis.tokens(col("text")).as("tk"))
+        .select(explode(tri).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+      tri AS (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 2),
+          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS ngram
+        FROM toks)
+      SELECT ngram, count(*) AS n FROM tri
+      GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20"""),
+    doc = "corpus trigram counts, global top-k (LM counts shape)")
+
+  // --- deterministic hash-priority sampling per stratum: the reproducible
+  //     "reservoir" — rank by md5(id) inside each language and keep the
+  //     k smallest. Rerunnable on any cluster layout (no RNG state), and
+  //     the sample is stable under corpus growth except where new docs
+  //     genuinely displace old ranks — the property mixture re-balancing
+  //     jobs rely on.
+  private val q87_priority_sample = Q(
+    run = (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+    },
+    oracle = Some("""
+      SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 5"""),
+    doc = "hash-priority stratified sample (deterministic bottom-k per lang)")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -315,5 +444,8 @@ object TextOps {
     "q79_corpus_pipeline" -> q79_corpus_pipeline,
     "q81_repetition" -> q81_repetition,
     "q82_scrub" -> q82_scrub,
-    "q83_contamination" -> q83_contamination)
+    "q83_contamination" -> q83_contamination,
+    "q85_tfidf" -> q85_tfidf,
+    "q86_ngram_counts" -> q86_ngram_counts,
+    "q87_priority_sample" -> q87_priority_sample)
 }

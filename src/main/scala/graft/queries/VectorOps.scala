@@ -148,11 +148,57 @@ object VectorOps {
       FROM dims GROUP BY centroid_id, pos"""),
     doc = "k-medians centroid update over IVF cells (order-stable exact median)")
 
+  // --- the IVF QUERY path completing q71's index build: rank the 8 cells
+  //     by query↔centroid cosine, probe the top 3, exact-rerank only their
+  //     members. Fully deterministic (fixed centroids, rounded cosines,
+  //     id tie-breaks) → oracle-checked end to end, unlike hash-family ANN.
+  private val q84_ivf_search = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      Similarity.ivfSearch(emb.filter(col("vec_id") =!= 0), centroids, qv,
+        nprobe = 3, k = 10)
+    },
+    oracle = Some("""
+      WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+                 FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.cv AS DOUBLE[])), 4) AS ccos
+        FROM embeddings e, c WHERE e.vec_id <> 0),
+      assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      probed AS (
+        SELECT centroid_id FROM c, q
+        ORDER BY round(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                              CAST(qv AS DOUBLE[])), 4) DESC,
+                 centroid_id
+        LIMIT 3)
+      SELECT e.vec_id, a.centroid_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])), 4) AS cos
+      FROM embeddings e
+      JOIN assigned a USING (vec_id)
+      JOIN probed p ON a.centroid_id = p.centroid_id, q
+      ORDER BY cos DESC, e.vec_id
+      LIMIT 10"""),
+    doc = "IVF ANN query: probe nprobe nearest cells, exact rerank within")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
     "q41_ann_lsh" -> q41_ann_lsh,
     "q53_sim_join" -> q53_sim_join,
     "q71_ivf_assign" -> q71_ivf_assign,
-    "q80_kmedians_step" -> q80_kmedians_step)
+    "q80_kmedians_step" -> q80_kmedians_step,
+    "q84_ivf_search" -> q84_ivf_search)
 }

@@ -86,8 +86,9 @@ class DedupSpec extends SparkSpec {
       "in few rounds (the sf0.1 graph has eccentricity 16)") {
     val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("a", "b")
     val ids = (1L to 40L).toDF("id")
-    // hop-per-round needs 39 rounds; hop+jump doubles distance per round
-    val got = Dedup.components(pairs, ids, maxIter = 10)
+    // hop-per-round needs 39 rounds; hop+jump doubles distance per round.
+    // driverMaxEdges = 0 forces the distributed loop under test.
+    val got = Dedup.components(pairs, ids, maxIter = 10, driverMaxEdges = 0L)
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L))
   }
@@ -108,8 +109,25 @@ class DedupSpec extends SparkSpec {
     val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("a", "b")
     val ids = (1L to 40L).toDF("id")
     intercept[IllegalStateException] {
-      Dedup.components(pairs, ids, maxIter = 2).collect()
+      // driverMaxEdges = 0 forces the distributed loop (the driver
+      // union-find fast path has no iteration budget to exhaust)
+      Dedup.components(pairs, ids, maxIter = 2, driverMaxEdges = 0L).collect()
     }
+  }
+
+  test("connected components: driver fast path and distributed loop agree") {
+    // a few chains + a cycle + isolated nodes
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L)))
+      .toDF("a", "b")
+    val ids = (1L to 35L).toDF("id")
+    val fast = Dedup.components(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.components(pairs, ids, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+    assert(fast(10L) == 1L && fast(22L) == 20L && fast(31L) == 30L &&
+      fast(35L) == 35L)
   }
 
   test("simhash: identical docs distance 0, near-dups within radius") {

@@ -42,6 +42,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfSearch: probing ALL cells equals brute-force top-k; " +
+      "fewer probes return a subset of the searched cells") {
+    val emb = Tables.embeddings(spark, sf())
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // nprobe = k(cells): the rerank sees every vector -> exact top-k
+    val full = Similarity.ivfSearch(corpus, centroids, qv, nprobe = 8, k = 10)
+      .select(col("vec_id"), col("cos")).as[(Long, Double)].collect()
+    val brute = Similarity.topKForQuery(corpus, qv, 10)
+      .select(col("vec_id"), round(col("cos"), 4)).as[(Long, Double)].collect()
+    // compare under the rounded order (brute ranks pre-rounding, so a
+    // rounding-boundary tie may permute adjacent rows)
+    def key(r: (Long, Double)) = (-r._2, r._1)
+    assert(full.sortBy(key).toSeq == brute.sortBy(key).toSeq)
+    // partial probe: results come only from probed cells, sorted desc
+    val part = Similarity.ivfSearch(corpus, centroids, qv, nprobe = 2, k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(part.map(_._2).distinct.length <= 2)
+    assert(part.map(_._3).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("embeddingDups: keep-first marking, exact and LSH variants agree " +
       "on LSH-surfaced dups") {
     val emb = Tables.embeddings(spark, sf()).cache()
