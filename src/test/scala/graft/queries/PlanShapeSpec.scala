@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+import graft.SparkSpec
+
+/** Physical-plan regression gates: the scale properties README.md claims
+  * ("Designed for 100 TB") asserted against the actual optimized plans, so
+  * a refactor that silently reintroduces a shuffle, loses a pushed filter,
+  * or widens a scan fails CI instead of surviving until a cluster run.
+  *
+  * Assertions run on the pre-execution plan string (AQE's initial plan) —
+  * the shape Catalyst chose, which is what carries to a real cluster.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.queries.Manifest.queries(name)(spark, sf())
+      .queryExecution.explainString(SimpleMode)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  test("q1_agg: filter pushed to the parquet scan, schema pruned, " +
+      "partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected pushed shipdate filter:\n$p")
+    // projection pruning: untouched wide columns never leave the scan
+    assert(!p.contains("l_comment"), s"scan reads unused l_comment:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("q6_join_inner: dimension join broadcasts (fact side not shuffled)") {
+    val p = plan("q6_join_inner")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q12_semi / q13_anti: existence probes stay semi/anti, " +
+      "never materializing the join") {
+    assert(plan("q12_semi").contains("LeftSemi"))
+    assert(plan("q13_anti").contains("LeftAnti"))
+  }
+
+  test("q17_topk: sort+limit fuses to TakeOrderedAndProject " +
+      "(no global sort)") {
+    val p = plan("q17_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k fusion:\n$p")
+  }
+
+  test("q81_repetition: pure per-row column math — zero exchanges") {
+    val p = plan("q81_repetition")
+    assert(!p.contains("Exchange"), s"per-row query must not shuffle:\n$p")
+  }
+
+  test("q71_ivf_assign: nearest-centroid argmax is a broadcast map — " +
+      "no window, no corpus shuffle") {
+    val p = plan("q71_ivf_assign")
+    assert(!p.contains("Window"), s"argmax must not use a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+    // the only exchange allowed is the single-row centroid-array build
+    val corpusExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    assert(corpusExchanges.size <= 1,
+      s"corpus must not shuffle for assignment:\n$p")
+  }
+
+  test("q83_contamination: the probe set broadcasts; the corpus side " +
+      "is never self-joined wide") {
+    val p = plan("q83_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+  }
+
+  test("q39_knn_brute: single-vector query broadcasts and top-k fuses") {
+    val p = plan("q39_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
