@@ -432,6 +432,112 @@ object TextOps {
       WHERE rk <= 5"""),
     doc = "hash-priority stratified sample (deterministic bottom-k per lang)")
 
+  // --- dataset-mixture planning: per-language token inventory vs target
+  //     mixture weights → per-language sampling rate against a global
+  //     token budget. The aggregate is corpus-wide but the output is one
+  //     row per language — the planning step that precedes q87-style
+  //     sampled extraction. Weights/budget are plan literals (broadcast
+  //     by constant folding, no side table).
+  private val q88_mixture_plan = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scores = TextAnalysis.langScores(col("text"))
+      val budget = 50000L
+      val weight = typedLit(Map(
+        "en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.1))
+      val perLang = docs.select(
+          TextAnalysis.langPredict(scores).as("lang_pred"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      perLang
+        // try_element_at: ANSI mode makes plain element_at THROW on a map
+        // miss ('und' has no weight) instead of returning NULL
+        .withColumn("target_tokens",
+          (coalesce(try_element_at(weight, col("lang_pred")), lit(0.0)) *
+            lit(budget.toDouble)).cast("double"))
+        .withColumn("sample_rate",
+          round(least(lit(1.0),
+            col("target_tokens") / col("lang_tokens").cast("double")), 6))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               END AS n_tokens
+        FROM documents),
+      scored AS (
+        SELECT n_tokens,
+          CAST(len(list_filter(tk, t -> t IN ('the','and','is','of','a'))) AS BIGINT) AS score_en,
+          CAST(len(list_filter(tk, t -> t IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+          CAST(len(list_filter(tk, t -> t IN ('le','les','et','une','est'))) AS BIGINT) AS score_fr,
+          CAST(len(list_filter(tk, t -> t IN ('der','die','und','das','ist'))) AS BIGINT) AS score_de
+        FROM toks),
+      langs AS (
+        SELECT n_tokens,
+          CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+               WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+               WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+               WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+               WHEN score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
+               ELSE 'und' END AS lang_pred
+        FROM scored),
+      per_lang AS (
+        SELECT lang_pred, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+        FROM langs GROUP BY lang_pred)
+      SELECT lang_pred, n_docs, lang_tokens,
+        CASE lang_pred WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2
+                       WHEN 'fr' THEN 0.2 WHEN 'de' THEN 0.1
+                       ELSE 0.0 END * 50000.0 AS target_tokens,
+        round(least(1.0, (CASE lang_pred WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2
+                            WHEN 'fr' THEN 0.2 WHEN 'de' THEN 0.1
+                            ELSE 0.0 END * 50000.0)
+          / CAST(lang_tokens AS DOUBLE)), 6) AS sample_rate
+      FROM per_lang"""),
+    doc = "dataset-mixture plan: per-language sample rate vs token budget")
+
+  // --- greedy sequence packing: assign docs to fixed token-budget bins
+  //     (the training-sequence packing pass). One ordered window per
+  //     language computes the running token offset; the bin id is
+  //     offset div budget. Deterministic order (doc_id), pure long math.
+  private val q89_pack_bins = Q(
+    run = (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum_tokens") - col("n_tokens"))
+            .cast("double") / 2048.0).cast("long"))
+        .withColumn("bin_offset", col("cum_tokens") - col("n_tokens")
+          - col("bin") * 2048L)
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               END AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+        FROM t)
+      SELECT doc_id, lang, n_tokens, cum_tokens,
+             CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048.0)
+               AS BIGINT) AS bin,
+             cum_tokens - n_tokens -
+               CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048.0)
+                 AS BIGINT) * 2048 AS bin_offset
+      FROM c"""),
+    doc = "greedy token-budget sequence packing (per-lang running offset)")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -447,5 +553,7 @@ object TextOps {
     "q83_contamination" -> q83_contamination,
     "q85_tfidf" -> q85_tfidf,
     "q86_ngram_counts" -> q86_ngram_counts,
-    "q87_priority_sample" -> q87_priority_sample)
+    "q87_priority_sample" -> q87_priority_sample,
+    "q88_mixture_plan" -> q88_mixture_plan,
+    "q89_pack_bins" -> q89_pack_bins)
 }
