@@ -4,6 +4,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.etl.QuestionnaireRestructure
+import graft.operators.Dedup
 
 /** Property tests per SURVEY.md §5 item 3: T5 idempotence and answer-count
   * conservation over generated QR shapes, and the piece/split model.
@@ -91,6 +92,51 @@ class PropertySpec extends SparkSpec {
         .select(graft.functions.compat.piece(col("s"), "|", n))
         .as[String].head()
       assert(got == expected)
+    }
+  }
+
+  test("components property: driver union-find and distributed label " +
+      "propagation both match a sequential reference on random graphs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(0, 25)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(1L, n.toLong)
+        b <- Gen.choose(1L, n.toLong) if a != b
+      } yield (a, b))
+    } yield (n.toLong, edges)
+    // sequential reference: repeated min-label relaxation to fixpoint
+    def reference(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val label = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m) { label(a) = m; changed = true }
+          if (label(b) != m) { label(b) = m; changed = true }
+        }
+      }
+      label.toMap
+    }
+    var checked = 0
+    forAll(graphGen) { case (n, edges) =>
+      // cap the Spark round-trips: property sampling is 60 cases; run the
+      // expensive distributed path on a deterministic fifth of them
+      val expected = reference(n, edges)
+      val pairs = edges.toDF("a", "b")
+      val ids = (1L to n).toDF("id")
+      val fast = Dedup.components(pairs, ids)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == expected, s"driver path diverged on n=$n edges=$edges")
+      if (checked % 5 == 0 && edges.nonEmpty) {
+        val dist = Dedup.components(pairs, ids, driverMaxEdges = 0L)
+          .as[(Long, Long)].collect().toMap
+        assert(dist == expected, s"distributed path diverged on n=$n edges=$edges")
+      }
+      checked += 1
     }
   }
 }
