@@ -246,10 +246,11 @@ object Dedup {
     * @param ids   one-column relation of ALL node ids (isolated nodes keep
     *              their own id as component)
     * @param driverMaxEdges edge-count bound for the driver union-find fast
-    *              path; 0 forces the distributed loop
+    *              path; 0 forces the distributed loop (on non-empty graphs —
+    *              an empty edge set short-circuits to all-isolated labels)
     */
   def components(pairs: DataFrame, ids: DataFrame,
-      maxIter: Int = 25, driverMaxEdges: Long = 4000000L): DataFrame = {
+      maxIter: Int = 25, driverMaxEdges: Long = 2000000L): DataFrame = {
     val src = pairs.columns(0)
     val dst = pairs.columns(1)
     val idc = ids.columns(0)
@@ -257,16 +258,40 @@ object Dedup {
       .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
       .distinct().localCheckpoint(true)
     val edgeCount = edgesWide.count()
+    // Integral node ids are the contract (as in GraphX's Long VertexId):
+    // the driver fast path collects longs, and the distributed loop's
+    // decimal convergence sum is numeric — fail LOUDLY for other key
+    // types instead of silently miscasting. Callers with string/struct
+    // keys should densify first (zipWithIndex / monotonically_increasing
+    // per-partition offsets), which is also what keeps 100 TB shuffle
+    // keys narrow.
+    val integralIds = pairs.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(integralIds,
+      s"components() requires integral node ids, got " +
+        s"${pairs.schema.head.dataType.catalogString} — map keys to longs " +
+        "(zipWithIndex) before clustering")
+    // no edges: every node is its own component (neither loop below can
+    // improve on that, and the distributed convergence sum is undefined
+    // over an empty label relation)
+    if (edgeCount == 0)
+      return ids.select(col(idc).as("id"), col(idc).as("component"))
     // Size-adaptive execution, decided on the MEASURED edge count (the
     // AQE move applied across the whole algorithm). A near-dup pair graph
     // is sparse by construction — LSH/blocking emits a tiny fraction of
     // the corpus as pairs — so even a 100 TB corpus usually yields an edge
-    // set that fits on the driver. Below `driverMaxEdges` (~64 MB of
-    // longs at the default), union-find on the driver replaces O(log D)
-    // Spark rounds (each a join + agg + checkpoint + convergence action)
-    // with one collect + one O(E α(E)) pass + one broadcast-joined label
-    // frame. Above the bound, the distributed logarithmic-round loop
-    // below is the scale path.
+    // set that fits on the driver. Below `driverMaxEdges` (the collected
+    // rows + boxed hash map cost a few hundred MB of transient driver
+    // heap at the default bound — size it for your driver), union-find
+    // on the driver replaces O(log D) Spark rounds (each a join + agg +
+    // checkpoint + convergence action) with one collect + one O(E α(E))
+    // pass + one broadcast-joined label frame. Above the bound, the
+    // distributed logarithmic-round loop below is the scale path.
     if (edgeCount <= driverMaxEdges)
       return componentsOnDriver(edgesWide, ids, idc)
     // the edge count is free off the checkpoint, and when the pair graph
@@ -355,10 +380,14 @@ object Dedup {
     }
     edges.select(col("e_src").cast("long"), col("e_dst").cast("long"))
       .collect().foreach { row =>
-        val ra = find(row.getLong(0))
-        val rb = find(row.getLong(1))
-        if (ra < rb) parent(rb) = ra
-        else if (rb < ra) parent(ra) = rb
+        // null-keyed pairs carry no connectivity (they join to nothing in
+        // the distributed loop either) — skip them
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val ra = find(row.getLong(0))
+          val rb = find(row.getLong(1))
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
       }
     val nodes = parent.keySet.toSeq
     val labels = nodes.map(n => (n, find(n)))

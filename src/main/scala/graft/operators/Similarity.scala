@@ -161,8 +161,12 @@ object Similarity {
     * shuffled the whole corpus ×k just to pick each row's max; at 100 TB
     * that shuffle IS the job.
     */
+  /** @param keep extra `emb` columns carried through the assignment (e.g.
+    *              `embedding` so a downstream rerank/centroid-update never
+    *              re-joins the corpus to its own assignment)
+    */
   def ivfAssign(emb: DataFrame, centroids: DataFrame,
-      roundDp: Int = 6): DataFrame = {
+      roundDp: Int = 6, keep: Seq[String] = Nil): DataFrame = {
     val packed = centroids.groupBy().agg(
       collect_list(struct(col("centroid_id"), col("cv"))).as("cents"))
     // struct comparison is field-order lexicographic: max cos first, then
@@ -174,9 +178,13 @@ object Similarity {
         (-c("centroid_id")).as("neg_cid"),
         c("centroid_id").as("centroid_id"))))
     emb.crossJoin(broadcast(packed))
-      .select(col("vec_id"), best.as("best"))
-      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
-        col("best.cos").as("centroid_cos"))
+      .select(col("vec_id") +: best.as("best") +: keep.map(col): _*)
+      // an EMPTY centroid set still aggregates to one (empty-array) row,
+      // and array_max over it is null — filter so the result is zero rows,
+      // matching the join/window formulation this replaced
+      .filter(col("best").isNotNull)
+      .select(col("vec_id") +: col("best.centroid_id").as("centroid_id") +:
+        col("best.cos").as("centroid_cos") +: keep.map(col): _*)
   }
 
   /** The IVF ANN QUERY path on top of [[ivfAssign]]: rank cells by the
@@ -196,14 +204,17 @@ object Similarity {
     */
   def ivfSearch(corpus: DataFrame, centroids: DataFrame, query: DataFrame,
       nprobe: Int, k: Int, roundDp: Int = 4): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, roundDp)
+    // the assignment CARRIES the embedding (keep) — reranking must never
+    // re-join the corpus against its own assignment
+    val assigned = ivfAssign(corpus, centroids, roundDp,
+      keep = Seq("embedding"))
     val probed = centroids.crossJoin(broadcast(query))
       .select(col("centroid_id"),
         round(cosine(col("cv"), col("qv")), roundDp).as("ccos"))
       .orderBy(col("ccos").desc, col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"))
-    corpus.join(assigned, Seq("vec_id"))
+    assigned
       .join(broadcast(probed), Seq("centroid_id"), "left_semi")
       .crossJoin(broadcast(query))
       .select(col("vec_id"), col("centroid_id"),

@@ -35,6 +35,21 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(bpeTokens(text)).cast("long")
 
+  /** Space-joined word n-grams over a token array. Guards the <n-token
+    * case: `sequence(0, size - n)` DESCENDS when size < n (yielding null
+    * entries) instead of being empty — the bug class q81's oracle
+    * divergence came from. Pass `tokens` as a MATERIALIZED attribute, not
+    * an inlined expression: HOF lambdas re-evaluate inlined subtrees per
+    * element (see q81_repetition).
+    */
+  def ngrams(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"ngrams: n must be >= 1, got $n")
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", (0 until n).map(j => get(tokens, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Stopword hits against a fixed lexicon (codegen'd HOF filter). */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
     val lex = array(stopwords.map(lit): _*)

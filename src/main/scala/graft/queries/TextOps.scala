@@ -223,14 +223,8 @@ object TextOps {
       val tkc = col("tk")
       val withTk = Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-      // 0-based get() (ANSI-safe); bigram i = tokens i, i+1. Guard the
-      // <2-token case: sequence(0, -1) would produce a DESCENDING [0,-1]
-      // (two null bigrams) where the oracle's generate_series is empty.
       val withBg = withTk.select(col("doc_id"), tkc,
-        when(size(tkc) >= 2,
-          transform(sequence(lit(0), size(tkc) - 2),
-            i => concat(get(tkc, i), lit(" "), get(tkc, i + 1))))
-          .otherwise(array().cast("array<string>")).as("bigrams"))
+        TextAnalysis.ngrams(tkc, 2).as("bigrams"))
       // max token multiplicity via sorted run-length scan: equal tokens
       // are adjacent after array_sort, so the longest run IS the top
       // token's count; the fold carries (prev, run, best) — O(n log n)
@@ -381,17 +375,9 @@ object TextOps {
   //     TakeOrdered. The <3-token guard mirrors q81's bigram edge fix.
   private val q86_ngram_counts = Q(
     run = (s, d) => {
-      // tokens materialized as an attribute first — see q81: an inlined
-      // tokenizer alias inside the HOF lambda re-splits the text per
-      // trigram element
-      val tkc = col("tk")
-      val tri = when(size(tkc) >= 3,
-        transform(sequence(lit(0), size(tkc) - 3),
-          i => concat_ws(" ", get(tkc, i), get(tkc, i + 1), get(tkc, i + 2))))
-        .otherwise(array().cast("array<string>"))
       Tables.documents(s, d)
         .select(TextAnalysis.tokens(col("text")).as("tk"))
-        .select(explode(tri).as("ngram"))
+        .select(explode(TextAnalysis.ngrams(col("tk"), 3)).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)

@@ -114,8 +114,10 @@ object VectorOps {
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-      Similarity.ivfAssign(emb, centroids, roundDp = 4)
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      // keep=embedding: the assignment carries the vector, so the update
+      // step never re-joins the corpus against its own assignment
+      Similarity.ivfAssign(emb, centroids, roundDp = 4,
+          keep = Seq("embedding"))
         .select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy(col("centroid_id"), col("pos"))
         // + 0.0 canonicalizes IEEE negative zero (a -0.0 median hashes

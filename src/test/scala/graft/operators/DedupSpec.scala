@@ -115,6 +115,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: empty pair set -> every node isolated, " +
+      "on both paths") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val ids = (1L to 5L).toDF("id")
+    for (bound <- Seq(0L, 1000L)) {
+      val got = Dedup.components(pairs, ids, driverMaxEdges = bound)
+        .as[(Long, Long)].collect().toMap
+      assert(got == (1L to 5L).map(i => i -> i).toMap)
+    }
+  }
+
+  test("connected components: non-integral id types are rejected loudly " +
+      "(both the collect path and the decimal convergence sum are numeric)") {
+    val pairs = Seq(("b", "c"), ("c", "a10")).toDF("x", "y")
+    val ids = Seq("a10", "b", "c", "z").toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.components(pairs, ids).collect()
+    }
+    assert(e.getMessage.contains("integral node ids"))
+  }
+
   test("connected components: driver fast path and distributed loop agree") {
     // a few chains + a cycle + isolated nodes
     val pairs = ((1L to 9L).map(i => (i, i + 1)) ++

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SimpleMode
 
 import graft.SparkSpec
@@ -18,9 +17,6 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     graft.queries.Manifest.queries(name)(spark, sf())
       .queryExecution.explainString(SimpleMode)
-
-  private def planOf(df: DataFrame): String =
-    df.queryExecution.explainString(SimpleMode)
 
   test("q1_agg: filter pushed to the parquet scan, schema pruned, " +
       "partial aggregation before the exchange") {
