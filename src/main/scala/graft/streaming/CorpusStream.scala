@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.TextAnalysis
+
+/** Enriched, quality-gated document ready for budget accounting. */
+case class CuratedDoc(doc_id: Long, ingest_ts: Timestamp, lang_pred: String,
+    n_tokens: Long, fp: String)
+
+/** Budget-gate verdict: running per-language token total at admission. */
+case class Admission(doc_id: Long, lang_pred: String, n_tokens: Long,
+    cum_tokens: Long, admitted: Boolean)
+
+/** Per-language budget accumulator carried across micro-batches. */
+case class BudgetState(total: Long)
+
+/** The corpus-curation pipeline (q79's batch shape) on an UNBOUNDED
+  * document stream — the online form of training-data ingestion: quality
+  * gate → watermark-bounded exact dedup on the token-bag fingerprint →
+  * stateful per-language token-budget admission. Stages 1-2 are the same
+  * plans batch and streaming (Structured Streaming's unified Dataset
+  * contract); stage 3 carries one O(1) counter per language in the state
+  * store, so the operator scales to any stream rate — the state size is
+  * the language cardinality, not the document count.
+  */
+object CorpusStream {
+
+  /** Stateless enrichment + quality gate: token count, language ID, and
+    * the normalized (token-bag) fingerprint — one narrow projection, no
+    * shuffle, identical in batch and streaming.
+    */
+  def enrich(docs: DataFrame, minTokens: Long = 20): Dataset[CuratedDoc] = {
+    implicit val enc: Encoder[CuratedDoc] = Encoders.product[CuratedDoc]
+    val scores = TextAnalysis.langScores(col("text"))
+    docs.select(
+        col("doc_id"),
+        col("ingest_ts"),
+        TextAnalysis.langPredict(scores).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.normalizedHash(col("text")).as("fp"))
+      .filter(col("n_tokens") >= minTokens)
+      .as[CuratedDoc]
+  }
+
+  /** Watermark-bounded exact dedup on the normalized fingerprint: the
+    * streaming form of q33's keep-first. State holds only fingerprints
+    * inside the lateness horizon — an unbounded dedup set would OOM at
+    * stream scale; the watermark makes eviction explicit.
+    */
+  def dedup(docs: Dataset[CuratedDoc],
+      watermark: String = "10 minutes"): Dataset[CuratedDoc] = {
+    implicit val enc: Encoder[CuratedDoc] = Encoders.product[CuratedDoc]
+    docs.withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .as[CuratedDoc]
+  }
+
+  /** Stateful per-language token-budget admission: each document is
+    * emitted with the language's running total at its admission point and
+    * an `admitted` verdict (docs arriving after the budget filled are
+    * flagged, not dropped — the caller chooses to divert or discard).
+    * Within a micro-batch, documents are ordered by (ingest_ts, doc_id) so
+    * the cutoff is deterministic under any partitioning/arrival order.
+    */
+  def budgetGate(docs: Dataset[CuratedDoc],
+      budgetPerLang: Long): Dataset[Admission] = {
+    implicit val admitEnc: Encoder[Admission] = Encoders.product[Admission]
+    implicit val stateEnc: Encoder[BudgetState] = Encoders.product[BudgetState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    docs.groupByKey(_.lang_pred)
+      .flatMapGroupsWithState[BudgetState, Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, ds: Iterator[CuratedDoc],
+            state: GroupState[BudgetState]) =>
+          var total = state.getOption.map(_.total).getOrElse(0L)
+          val out = ds.toSeq.sortBy(d => (d.ingest_ts.getTime, d.doc_id))
+            .map { d =>
+              val admitted = total < budgetPerLang
+              if (admitted) total += d.n_tokens
+              Admission(d.doc_id, lang, d.n_tokens,
+                if (admitted) total else total + d.n_tokens, admitted)
+            }
+          state.update(BudgetState(total))
+          out.iterator
+      }
+  }
+
+  /** The full streaming pipeline, composed. */
+  def pipeline(docs: DataFrame, minTokens: Long = 20,
+      watermark: String = "10 minutes",
+      budgetPerLang: Long = 50000L): Dataset[Admission] =
+    budgetGate(dedup(enrich(docs, minTokens), watermark), budgetPerLang)
+}

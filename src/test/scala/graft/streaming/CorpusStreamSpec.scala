@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // 25 tokens (passes the minTokens=20 gate), parameterized head word so
+  // fingerprints differ; `flip` permutes word order to exercise the
+  // token-BAG fingerprint (same bag => duplicate)
+  private def text(head: String, flip: Boolean = false): String = {
+    val tail = (1 to 24).map(i => s"w$i")
+    val words = if (flip) tail.reverse :+ head else head +: tail
+    words.mkString(" ")
+  }
+
+  test("enrich gates on token count and fingerprints the token bag") {
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:00:01"), text("the")),
+      (2L, ts("2024-01-01 00:00:02"), "too short"),
+      (3L, ts("2024-01-01 00:00:03"), text("the", flip = true)))
+      .toDF("doc_id", "ingest_ts", "text")
+    val got = CorpusStream.enrich(docs).collect().sortBy(_.doc_id)
+    assert(got.map(_.doc_id).toSeq == Seq(1L, 3L)) // doc 2 gated out
+    assert(got(0).fp == got(1).fp) // same token bag, different order
+    assert(got(0).n_tokens == 25L)
+  }
+
+  test("streaming dedup keeps the first arrival of a fingerprint " +
+      "within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = CorpusStream.dedup(CorpusStream.enrich(docs), "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("corpus_dedup")
+      .start()
+    try {
+      stream.addData((1L, ts("2024-01-01 00:00:01"), text("alpha")))
+      q.processAllAvailable()
+      // same token bag in a later batch -> dropped; new bag -> kept
+      stream.addData(
+        (2L, ts("2024-01-01 00:01:00"), text("alpha", flip = true)),
+        (3L, ts("2024-01-01 00:01:30"), text("beta")))
+      q.processAllAvailable()
+      val kept = spark.table("corpus_dedup")
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("budget gate admits per-language until the token budget fills, " +
+      "carrying the running total across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val docs = stream.toDF().toDF("doc_id", "ingest_ts", "text")
+    // every doc is 25 tokens; budget 60 => docs 1,2 admitted (25, 50),
+    // doc 3 admitted (total 50 < 60, overflows to 75), doc 4 rejected
+    val q = CorpusStream.pipeline(docs, minTokens = 20,
+        watermark = "10 minutes", budgetPerLang = 60L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("corpus_budget")
+      .start()
+    try {
+      stream.addData(
+        (1L, ts("2024-01-01 00:00:01"), text("the alpha")),
+        (2L, ts("2024-01-01 00:00:02"), text("the beta")))
+      q.processAllAvailable()
+      stream.addData(
+        (3L, ts("2024-01-01 00:00:03"), text("the gamma")),
+        (4L, ts("2024-01-01 00:00:04"), text("the delta")))
+      q.processAllAvailable()
+      val got = spark.table("corpus_budget")
+        .as[Admission].collect().sortBy(_.doc_id)
+      assert(got.map(a => (a.doc_id, a.cum_tokens, a.admitted)).toSeq ==
+        Seq((1L, 26L, true), (2L, 52L, true), (3L, 78L, true),
+          (4L, 104L, false)))
+    } finally q.stop()
+  }
+}
