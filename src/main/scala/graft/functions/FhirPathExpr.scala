@@ -74,9 +74,7 @@ case class FhirPathExpr(left: Expression, right: Expression, one: Boolean)
       cachedPath = FhirPathExpr.parsePath(pathStr)
       cachedPathStr = pathStr
     }
-    val root =
-      try mapper.readTree(json.toString)
-      catch { case _: Exception => return null }
+    val root = FhirPathExpr.parseMemo(mapper, json.toString)
     if (root == null) return null
 
     var current: List[JsonNode] = List(root)
@@ -104,6 +102,33 @@ case class FhirPathExpr(left: Expression, right: Expression, one: Boolean)
 }
 
 object FhirPathExpr {
+
+  /** Last-document parse memo, one slot per task thread: a projection that
+    * extracts k paths from the same JSON column holds k expression
+    * INSTANCES, each of which would re-parse the identical document for
+    * its row (q26 3×, q47 5×, the reference's race/ethnicity extract
+    * likewise). All instances evaluate row-by-row inside the same stage,
+    * so memoizing the single last (string, tree) pair turns k parses into
+    * one parse + (k-1) string compares. Keyed by the immutable String copy
+    * — NOT the incoming UTF8String, which is a view into a reused row
+    * buffer and cannot be held across rows. A failed parse memoizes null
+    * so malformed docs aren't re-parsed k times either.
+    */
+  private val lastDoc = new ThreadLocal[(String, JsonNode)]()
+
+  private[functions] def parseMemo(mapper: ObjectMapper,
+      json: String): JsonNode = {
+    val memo = lastDoc.get()
+    if (memo != null && memo._1 == json) memo._2
+    else {
+      val tree =
+        try mapper.readTree(json)
+        catch { case _: Exception => null }
+      lastDoc.set((json, tree))
+      tree
+    }
+  }
+
   sealed trait Seg
   final case class Member(name: String) extends Seg
   final case class Indexed(name: String, idx: Int) extends Seg

@@ -80,6 +80,19 @@ class FhirPathSpec extends SparkSpec {
       ex.getCause != null)
   }
 
+  test("parse memo never serves a stale tree: alternating documents and " +
+      "multi-path extraction over distinct rows stay row-correct") {
+    // two paths per row (memo hit within row) over docs that alternate
+    // content (memo miss across rows) — a stale memo would smear row n's
+    // values into row n+1
+    val docs = (1 to 50).map(i => s"""{"id":"$i","v":{"x":"x$i"}}""")
+    val got = docs.toDF("j")
+      .select(compat.getFhirPathOne(col("j"), "id").as("id"),
+        compat.getFhirPathOne(col("j"), "v.x").as("x"))
+      .as[(String, String)].collect().toSeq
+    assert(got == (1 to 50).map(i => (s"$i", s"x$i")))
+  }
+
   test("non-string results render as compact JSON") {
     val j = """{"a":{"b":[1,2]},"n":3}"""
     val got = Seq(j).toDF("j")
