@@ -136,9 +136,12 @@ object Similarity {
     val pairs =
       if (exact) exactCosinePairs(emb, threshold)
       else annPairs(emb, threshold)
+    // near-dup ids are a small fraction of the corpus by construction —
+    // broadcast the mark set instead of sort-merge-joining the corpus
     val dupIds = pairs.select(col("vec_b").as("vec_id")).distinct()
     emb.select(col("vec_id"))
-      .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .join(broadcast(dupIds.withColumn("__dup", lit(true))),
+        Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }

@@ -335,9 +335,14 @@ object TextOps {
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("term_tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("term_df"))
+      // document frequency as a WINDOW over tf, not a groupBy+self-join:
+      // the join form re-scans and re-aggregates the corpus (column
+      // pruning makes the two tf subtrees differ, so AQE cannot reuse the
+      // exchange) — the window computes df in the same pass
+      val withDf = tf.withColumn("term_df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, Seq("term"))
+      val scored = withDf
         .crossJoin(broadcast(n))
         .withColumn("tfidf", round(col("term_tf") *
           log(col("n_docs").cast("double") / col("term_df").cast("double")),
