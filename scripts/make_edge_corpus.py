@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Build the EDGE-CASE verification corpus: a copy of an sf dir whose
+`documents` table is replaced with hostile inputs (empty text,
+whitespace-only, 1-token, degenerate repeats, unicode, one huge token,
+mixed whitespace) — the distributions the synthetic corpus never
+exercises, where cross-engine divergences hide (e.g. DuckDB's
+array_to_string(empty) = NULL vs Spark array_join(empty) = '').
+
+Usage: make_edge_corpus.py [srcSfDir] [outDir]
+Then:  scripts/run_main.sh graft.Verify <outDir> /tmp/verify_edge
+       python3 scripts/check_oracle.py <outDir> /tmp/verify_edge
+"""
+import shutil, sys
+from pathlib import Path
+
+import duckdb
+
+src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/edge_sf")
+
+out.mkdir(parents=True, exist_ok=True)
+for p in src.glob("*.parquet"):
+    shutil.copy(p, out / p.name)
+
+docs = [
+    (0, "", "en", "edge", 0),                                    # empty
+    (1, "   ", "en", "edge", 3),                                 # whitespace only
+    (2, "single", "en", "edge", 6),                              # 1 token
+    (3, "two tokens", "en", "edge", 10),                         # 2 tokens
+    (4, "the the the the the the the the the the", "en", "edge", 40),  # degenerate repeat
+    (5, "café naïve résumé 中文文档 über straße", "de", "edge", 30),  # unicode
+    (6, "a" * 500, "en", "edge", 500),                           # one huge token
+    (7, "tab\tseparated\nnewline  double  space", "en", "edge", 37),  # mixed whitespace
+    (8, "the quick brown fox jumps over the lazy dog and runs far away "
+        "home tonight with joy and speed to rest", "en", "edge", 101),
+    (9, "el la de que y el la de que y el la de que y el la de que y",
+        "es", "edge", 60),                                       # es stopwords
+    (10, "punctuation, only! and? some; weird: stuff...", "und", "edge", 46),
+    (11, "controlchars here ok", "en", "edge", 22),
+] + [(i, f"filler doc {i} with some shared tokens the and of plus unique "
+         f"w{i} x{i} y{i} z{i} tail tokens to pass gates maybe twenty "
+         "total now", "en", "edge", 120) for i in range(12, 30)]
+
+con = duckdb.connect()
+con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, n_chars BIGINT)")
+con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", docs)
+con.execute(f"COPY d TO '{out / 'documents.parquet'}' (FORMAT PARQUET)")
+print(f"wrote {len(docs)} edge docs into {out}")

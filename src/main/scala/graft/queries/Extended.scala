@@ -291,14 +291,20 @@ object Extended {
   //     (array_sort/array_distinct/slice/array_join vs DuckDB list ops).
   private val q67_array_funcs = Q(
     run = (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        array_join(
-          slice(array_sort(array_distinct(
-            filter(split(col("text"), " "), t => t =!= ""))), 1, 5),
-          "|").as("first5"),
-        size(array_distinct(
-          filter(split(col("text"), " "), t => t =!= ""))).as("n_distinct")),
+      // distinct-sorted tokens materialized once; first5 is NULL (not "")
+      // for token-less docs — DuckDB's array_to_string of an EMPTY list is
+      // NULL while Spark's array_join is "", a divergence only empty /
+      // whitespace-only documents expose
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            filter(split(col("text"), " "), t => t =!= ""))).as("toks"))
+        .select(
+          col("doc_id"),
+          when(size(col("toks")) > 0,
+            array_join(slice(col("toks"), 1, 5), "|"))
+            .otherwise(lit(null).cast("string")).as("first5"),
+          size(col("toks")).as("n_distinct")),
     oracle = Some("""
       SELECT doc_id,
              array_to_string(
