@@ -46,4 +46,28 @@ con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
             "source VARCHAR, n_chars BIGINT)")
 con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", docs)
 con.execute(f"COPY d TO '{out / 'documents.parquet'}' (FORMAT PARQUET)")
-print(f"wrote {len(docs)} edge docs into {out}")
+
+# hostile embeddings (64 dims, schema-matched): zero vector (NaN cosine),
+# exact duplicate, negation (cos -1), tiny/huge magnitudes, then a
+# deterministic spread so centroid cells are non-trivial
+DIMS = 64
+def vec(f):
+    return [float(f(i)) for i in range(DIMS)]
+
+import math
+vecs = [
+    (0, vec(lambda i: math.sin(i * 0.3) + 1.0), 0),    # the query vector
+    (1, vec(lambda i: math.sin(i * 0.3) + 1.0), 0),    # duplicate of 0
+    (2, vec(lambda i: 0.0), 1),                        # ZERO vector -> NaN cos
+    (3, vec(lambda i: -(math.sin(i * 0.3) + 1.0)), 2), # negation, cos -1
+    (4, vec(lambda i: 1e-30 * (i + 1)), 3),            # tiny magnitude
+    (5, vec(lambda i: 1e30 if i == 0 else 1.0), 4),    # huge single spike
+    (6, vec(lambda i: 1.0 if i % 2 == 0 else -1.0), 5),
+    (7, vec(lambda i: float(i)), 6),
+] + [(i, vec(lambda d, i=i: math.sin(d * 0.1 + i) + 0.2 * (i % 7)), i % 10)
+     for i in range(8, 40)]
+
+con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+con.executemany("INSERT INTO e VALUES (?,?,?)", vecs)
+con.execute(f"COPY e TO '{out / 'embeddings.parquet'}' (FORMAT PARQUET)")
+print(f"wrote {len(docs)} edge docs + {len(vecs)} edge embeddings into {out}")

@@ -24,8 +24,16 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity; a ZERO-NORM input yields NULL (undefined), via
+    * try_divide — under ANSI mode a plain division would throw
+    * DIVIDE_BY_ZERO and one degenerate embedding would kill a whole
+    * 100 TB job. NULL then drops out of every `cos >= t` pair filter and
+    * sorts last in every desc ranking, so degenerate vectors are inert
+    * rather than fatal. (DuckDB's list_cosine_similarity returns -1.0
+    * here; the oracle SQL spells out the NULL contract explicitly.)
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
   /** Exact brute-force top-k cosine neighbors of one query vector.
     * The query side is a 1-row broadcast; the corpus scan is a narrow map
@@ -100,8 +108,8 @@ object Similarity {
       .join(vecs.select(col("vec_id").as("vec_b"),
         col("embedding").as("emb_b"), col("norm").as("norm_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("emb_a"), col("emb_b")) /
-          (col("norm_a") * col("norm_b"))).as("cos"))
+        try_divide(dot(col("emb_a"), col("emb_b")),
+          col("norm_a") * col("norm_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -119,8 +127,8 @@ object Similarity {
     sig.repartition(np).as("a").join(broadcast(sig.as("b")),
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.norm") * col("b.norm")), 4).as("cos"))
+        round(try_divide(dot(col("a.embedding"), col("b.embedding")),
+          col("a.norm") * col("b.norm")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

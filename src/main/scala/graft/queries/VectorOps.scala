@@ -25,8 +25,11 @@ object VectorOps {
     oracle = Some("""
       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
       SELECT vec_id,
-        round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                     CAST(qv AS DOUBLE[])), 4) AS cos
+        CASE WHEN list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) = 0
+               OR list_sum(list_transform(CAST(qv AS DOUBLE[]), x -> x * x)) = 0
+             THEN NULL
+             ELSE round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                               CAST(qv AS DOUBLE[])), 4) END AS cos
       FROM embeddings, q WHERE vec_id <> 0
       ORDER BY cos DESC, vec_id LIMIT 10"""),
     doc = "brute-force cosine top-k for one query vector")
@@ -93,8 +96,11 @@ object VectorOps {
                  FROM embeddings WHERE vec_id < 8),
       scored AS (
         SELECT e.vec_id, c.centroid_id,
-               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                            CAST(c.cv AS DOUBLE[])), 4) AS cos
+               CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) = 0
+                      OR list_sum(list_transform(CAST(c.cv AS DOUBLE[]), x -> x * x)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(c.cv AS DOUBLE[])), 4) END AS cos
         FROM embeddings e, c)
       SELECT vec_id, centroid_id, cos AS centroid_cos
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -130,8 +136,11 @@ object VectorOps {
                  FROM embeddings WHERE vec_id < 8),
       scored AS (
         SELECT e.vec_id, c.centroid_id,
-               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                            CAST(c.cv AS DOUBLE[])), 4) AS cos
+               CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) = 0
+                      OR list_sum(list_transform(CAST(c.cv AS DOUBLE[]), x -> x * x)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(c.cv AS DOUBLE[])), 4) END AS cos
         FROM embeddings e, c),
       assigned AS (
         SELECT vec_id, centroid_id
@@ -170,8 +179,11 @@ object VectorOps {
       q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
       scored AS (
         SELECT e.vec_id, c.centroid_id,
-               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                            CAST(c.cv AS DOUBLE[])), 4) AS ccos
+               CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) = 0
+                      OR list_sum(list_transform(CAST(c.cv AS DOUBLE[]), x -> x * x)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(c.cv AS DOUBLE[])), 4) END AS ccos
         FROM embeddings e, c WHERE e.vec_id <> 0),
       assigned AS (
         SELECT vec_id, centroid_id
@@ -181,13 +193,19 @@ object VectorOps {
         WHERE rn = 1),
       probed AS (
         SELECT centroid_id FROM c, q
-        ORDER BY round(list_cosine_similarity(CAST(cv AS DOUBLE[]),
-                                              CAST(qv AS DOUBLE[])), 4) DESC,
+        ORDER BY CASE WHEN list_sum(list_transform(CAST(cv AS DOUBLE[]), x -> x * x)) = 0
+                        OR list_sum(list_transform(CAST(qv AS DOUBLE[]), x -> x * x)) = 0
+                      THEN NULL
+                      ELSE round(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                                        CAST(qv AS DOUBLE[])), 4) END DESC,
                  centroid_id
         LIMIT 3)
       SELECT e.vec_id, a.centroid_id,
-             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                          CAST(q.qv AS DOUBLE[])), 4) AS cos
+             CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) = 0
+                    OR list_sum(list_transform(CAST(q.qv AS DOUBLE[]), x -> x * x)) = 0
+                  THEN NULL
+                  ELSE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(q.qv AS DOUBLE[])), 4) END AS cos
       FROM embeddings e
       JOIN assigned a USING (vec_id)
       JOIN probed p ON a.centroid_id = p.centroid_id, q

@@ -18,6 +18,31 @@ class SimilaritySpec extends SparkSpec {
     assert(same == 1.0 && orth == 0.0)
   }
 
+  test("zero-norm vectors are inert, not fatal: cosine is NULL (never a " +
+      "DIVIDE_BY_ZERO crash), pairs exclude them, argmax never picks them") {
+    val df = Seq(
+      (0L, Seq(1f, 2f, 3f)), (1L, Seq(0f, 0f, 0f)), (2L, Seq(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val cos01 = df.filter(col("vec_id") === 0)
+      .crossJoin(df.filter(col("vec_id") === 1)
+        .select(col("embedding").as("zv")))
+      .select(Similarity.cosine(col("embedding"), col("zv")))
+      .collect().head
+    assert(cos01.isNullAt(0)) // undefined, NOT an ANSI crash
+    val pairs = Similarity.exactCosinePairs(df, 0.1)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((0L, 2L))) // the zero vector pairs with nothing
+    val cents = df.select(col("vec_id").as("centroid_id"),
+      col("embedding").as("cv"))
+    val assigned = Similarity.ivfAssign(df, cents, roundDp = 4)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    // real vectors choose a real centroid (0, the lowest-id of the tied
+    // identical pair), never the zero one; the zero vector falls back to
+    // the lowest centroid id with NULL cos
+    assert(assigned == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("brute-force topK returns k rows ordered by cosine desc") {
     val emb = Tables.embeddings(spark, sf())
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
