@@ -70,4 +70,57 @@ vecs = [
 con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
 con.executemany("INSERT INTO e VALUES (?,?,?)", vecs)
 con.execute(f"COPY e TO '{out / 'embeddings.parquet'}' (FORMAT PARQUET)")
-print(f"wrote {len(docs)} edge docs + {len(vecs)} edge embeddings into {out}")
+
+# hostile events (TIMESTAMP_NS parquet, schema-matched via pyarrow):
+# exact session-gap boundaries, identical timestamps, as-of orphans,
+# NULL value/type/ts, out-of-order event ids
+import pyarrow as pa
+import pyarrow.parquet as papq
+from datetime import datetime
+
+BASE = datetime(2024, 1, 1, 0, 0, 0)
+def at(sec):
+    return datetime.fromtimestamp(BASE.timestamp() + sec)
+
+evs = []  # (event_id, ts, user_id, event_type, value, props)
+# u1: the 1800 s session-gap BOUNDARY: +1800 continues, +1801 breaks
+evs += [(100, at(0), 1, "click", 1.0, '{"k": 1}'),
+        (101, at(1800), 1, "click", 2.0, '{"k": 2}'),
+        (102, at(1800 + 3601), 1, "purchase", 3.0, '{"k": 3}')]
+# u2: five events at ONE timestamp (ordering must fall back to ids)
+evs += [(110 + i, at(100), 2, "view", float(i), '{"k": 0}')
+        for i in range(5)]
+# u3: a single event
+evs += [(120, at(50), 3, "click", 7.5, '{"k": 9}')]
+# u4: as-of orphans - click with no later purchase, purchase before click
+evs += [(130, at(1000), 4, "purchase", 10.0, "{}"),
+        (131, at(2000), 4, "click", 0.0, "{}")]
+# u5: value edges incl. NULLs and a NULL event_type / NULL ts row
+evs += [(140, at(10), 5, "click", 0.0, "{}"),
+        (141, at(20), 5, "click", -5.5, "{}"),
+        (142, at(30), 5, "purchase", 99999.99, "{}"),
+        (143, at(40), 5, "view", None, "{}"),
+        (144, at(60), 5, None, 1.0, None),
+        (145, None, 5, "view", 2.0, "{}")]
+# u6: event ids out of order vs time
+evs += [(159, at(5), 6, "click", 1.0, "{}"),
+        (150, at(3600), 6, "purchase", 2.0, "{}")]
+# u7: rows exactly on tumbling-window edges (the hour boundary)
+evs += [(160, at(3600), 7, "view", 1.0, "{}"),
+        (161, at(7200), 7, "view", 1.0, "{}")]
+# filler traffic so aggregates/sketches have mass
+evs += [(200 + i, at(90 + 37 * i), 8 + i % 5,
+         ["click", "view", "purchase", "signup", "error"][i % 5],
+         round(1.0 + 0.5 * i, 2), '{"k": %d}' % i) for i in range(40)]
+
+tbl = pa.table({
+    "event_id": pa.array([e[0] for e in evs], pa.int64()),
+    "ts": pa.array([e[1] for e in evs], pa.timestamp("ns")),
+    "user_id": pa.array([e[2] for e in evs], pa.int64()),
+    "event_type": pa.array([e[3] for e in evs], pa.string()),
+    "value": pa.array([e[4] for e in evs], pa.float64()),
+    "props": pa.array([e[5] for e in evs], pa.string()),
+})
+papq.write_table(tbl, out / "events.parquet")
+print(f"wrote {len(docs)} edge docs + {len(vecs)} edge embeddings + "
+      f"{len(evs)} edge events into {out}")

@@ -186,13 +186,15 @@ object Extended {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("long").as("bucket_s"),
           col("event_type"), col("n")),
+    // untimed rows excluded — same event-time contract as q30's oracle
     oracle = Some("""
       SELECT bucket_s, event_type, count(*) AS n
       FROM (
         SELECT event_type,
                (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - 900 * g.i
                  AS bucket_s
-        FROM events, (SELECT unnest(generate_series(0, 3)) AS i) g)
+        FROM events, (SELECT unnest(generate_series(0, 3)) AS i) g
+        WHERE ts IS NOT NULL)
       GROUP BY bucket_s, event_type"""),
     doc = "sliding event-time windows (overlapping buckets, batch view)")
 

@@ -623,11 +623,14 @@ object Relational {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast("double").as("total_value")),
+    // contract: event-time windowing EXCLUDES untimed rows (Spark's
+    // window() drops null timestamps; a null event time can't be
+    // watermarked either) — the oracle states it with WHERE ts IS NOT NULL
     oracle = Some("""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-      FROM events GROUP BY 1, 2"""),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"""),
     doc = "tumbling event-time window aggregate (streaming semantics, batch view)")
 
   val all: Seq[(String, Q)] = Seq(
