@@ -122,5 +122,27 @@ tbl = pa.table({
     "props": pa.array([e[5] for e in evs], pa.string()),
 })
 papq.write_table(tbl, out / "events.parquet")
+
+# hostile relational rows APPENDED to the real sf tables (cardinality and
+# join behavior of the base data preserved): NULL segments/dates/prices,
+# names without the '#' delimiter, orphan foreign keys
+con.execute(f"""CREATE TABLE cust AS
+    SELECT * FROM '{out / 'customer.parquet'}'""")
+con.execute("""INSERT INTO cust VALUES
+    (900001, 'NoDelimiterName', 0, 0.0, NULL),
+    (900002, '', 1, -999.99, 'MACHINERY'),
+    (900003, 'Customer#900003', 2, NULL, 'machinery'),
+    (900004, NULL, 3, 1.0, 'HOUSEHOLD')""")
+con.execute(f"COPY cust TO '{out / 'customer.parquet'}' (FORMAT PARQUET)")
+
+con.execute(f"""CREATE TABLE ords AS
+    SELECT * FROM '{out / 'orders.parquet'}'""")
+con.execute("""INSERT INTO ords VALUES
+    (910001, 900001, 'F', NULL, TIMESTAMP '1995-06-15', '1-URGENT'),
+    (910002, 777777, 'O', 123.45, NULL, '5-LOW'),
+    (910003, 900002, NULL, 0.0, TIMESTAMP '1992-01-01', NULL),
+    (910004, 900001, 'P', 200000.01, TIMESTAMP '1998-12-31', '2-HIGH')""")
+con.execute(f"COPY ords TO '{out / 'orders.parquet'}' (FORMAT PARQUET)")
+
 print(f"wrote {len(docs)} edge docs + {len(vecs)} edge embeddings + "
-      f"{len(evs)} edge events into {out}")
+      f"{len(evs)} edge events + 4+4 hostile customer/order rows into {out}")

@@ -49,8 +49,11 @@ object Advanced {
   //     windows (30-minute inactivity gap), via lag + conditional cumsum.
   private val q43_sessionize = Q(
     run = (s, d) => {
+      // ts is NULLABLE: pin nulls LAST explicitly (Spark asc default is
+      // nulls first, DuckDB's is nulls last — untimed rows would
+      // otherwise shift every session number in their partition)
       val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("ts").asc_nulls_last, col("event_id"))
       Tables.events(s, d)
         .withColumn("gap",
           when(col("ts").cast("long") -
@@ -71,10 +74,11 @@ object Advanced {
                     CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) > 1800
                THEN 1 ELSE 0 END AS gap
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)),
       sessions AS (
         SELECT user_id, ts,
-          CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          CAST(sum(gap) OVER (PARTITION BY user_id
+            ORDER BY ts NULLS LAST, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         FROM gaps)
       SELECT user_id, session_no, count(*) AS n_events,

@@ -46,8 +46,11 @@ object Extended {
   //     ntile / dense_rank / percent_rank / cume_dist over a total order.
   private val q55_window_rank = Q(
     run = (s, d) => {
+      // explicit NULLS LAST: Spark's ascending default is nulls FIRST,
+      // DuckDB's is nulls LAST — a NULL balance silently shifts every
+      // rank in its partition otherwise (caught by the edge corpus)
       val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
+        .orderBy(col("c_acctbal").asc_nulls_last, col("c_custkey"))
       // percent_rank/cume_dist are rationals k/n whose 6-dp rounding can
       // land exactly on a .5 midpoint — Spark rounds half-up, DuckDB
       // half-even. floor(x*1e6) sidesteps the midpoint rule (the doubles
@@ -66,7 +69,8 @@ object Extended {
              CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_u,
              CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_u
       FROM customer
-      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"""),
+      WINDOW w AS (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal NULLS LAST, c_custkey)"""),
     doc = "ntile/dense_rank/percent_rank/cume_dist ranking windows")
 
   // --- F20 via the pivot relational operator (the one-hot q28 keeps the
