@@ -144,5 +144,18 @@ con.execute("""INSERT INTO ords VALUES
     (910004, 900001, 'P', 200000.01, TIMESTAMP '1998-12-31', '2-HIGH')""")
 con.execute(f"COPY ords TO '{out / 'orders.parquet'}' (FORMAT PARQUET)")
 
+con.execute(f"""CREATE TABLE li AS
+    SELECT * FROM '{out / 'lineitem.parquet'}'""")
+con.execute("""INSERT INTO li VALUES
+    (920001, 1, 1, 1, NULL, 100.0, 0.05, 0.02, 'N', 'O',
+       TIMESTAMP '1996-03-01'),
+    (920002, 2, 2, 1, 10.0, NULL, NULL, NULL, 'A', 'F', NULL),
+    (920003, 3, 3, 1, 0.0, 0.0, 0.0, 0.0, 'R', 'F',
+       TIMESTAMP '1992-01-01'),
+    (920004, 4, 4, 1, 9999999999.99, 9999999999.99, 0.99, 0.99, NULL, NULL,
+       TIMESTAMP '1999-12-31')""")
+con.execute(f"COPY li TO '{out / 'lineitem.parquet'}' (FORMAT PARQUET)")
+
 print(f"wrote {len(docs)} edge docs + {len(vecs)} edge embeddings + "
-      f"{len(evs)} edge events + 4+4 hostile customer/order rows into {out}")
+      f"{len(evs)} edge events + 4+4+4 hostile customer/order/lineitem "
+      f"rows into {out}")

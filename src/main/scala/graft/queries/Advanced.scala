@@ -22,10 +22,14 @@ object Advanced {
   private val q42_lag_delta = Q(
     run = (s, d) => {
       // value tiebreakers: duplicate (orderkey, linenumber) keys exist in
-      // the data — the order must be total for cross-engine determinism
+      // the data — the order must be total for cross-engine determinism,
+      // and every key pins NULLS LAST (see q16)
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_shipdate").asc_nulls_last,
+          col("l_orderkey").asc_nulls_last,
+          col("l_linenumber").asc_nulls_last,
+          col("l_quantity").asc_nulls_last,
+          col("l_extendedprice").asc_nulls_last)
       Tables.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         (dec(col("l_extendedprice")) -
@@ -41,8 +45,9 @@ object Advanced {
         lead(l_orderkey, 1) OVER w AS next_order
       FROM lineitem
       WINDOW w AS (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
-                            l_quantity, l_extendedprice)"""),
+                   ORDER BY l_shipdate NULLS LAST, l_orderkey NULLS LAST,
+                            l_linenumber NULLS LAST, l_quantity NULLS LAST,
+                            l_extendedprice NULLS LAST)"""),
     doc = "analytic lag/lead with deterministic ordering")
 
   // --- gap-based sessionization: the batch equivalent of streaming session

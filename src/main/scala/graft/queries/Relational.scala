@@ -318,10 +318,16 @@ object Relational {
   private val q16_running = Q(
     run = (s, d) => {
       // quantity/price tiebreakers: the synthetic data carries duplicate
-      // (orderkey, linenumber) keys, so the order must be total over values
+      // (orderkey, linenumber) keys, so the order must be total over
+      // values. Every key pins NULLS LAST: Spark's ascending default is
+      // nulls FIRST vs DuckDB's nulls LAST, and one NULL shipdate would
+      // shift the running sum of every later row in its partition.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_shipdate").asc_nulls_last,
+          col("l_orderkey").asc_nulls_last,
+          col("l_linenumber").asc_nulls_last,
+          col("l_quantity").asc_nulls_last,
+          col("l_extendedprice").asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -331,7 +337,9 @@ object Relational {
       SELECT l_suppkey, l_orderkey, l_linenumber,
         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
           PARTITION BY l_suppkey
-          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          ORDER BY l_shipdate NULLS LAST, l_orderkey NULLS LAST,
+                   l_linenumber NULLS LAST, l_quantity NULLS LAST,
+                   l_extendedprice NULLS LAST
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
           AS running_qty
       FROM lineitem"""),
