@@ -22,24 +22,26 @@ out.mkdir(parents=True, exist_ok=True)
 for p in src.glob("*.parquet"):
     shutil.copy(p, out / p.name)
 
-docs = [
-    (0, "", "en", "edge", 0),                                    # empty
-    (1, "   ", "en", "edge", 3),                                 # whitespace only
-    (2, "single", "en", "edge", 6),                              # 1 token
-    (3, "two tokens", "en", "edge", 10),                         # 2 tokens
-    (4, "the the the the the the the the the the", "en", "edge", 40),  # degenerate repeat
-    (5, "café naïve résumé 中文文档 über straße", "de", "edge", 30),  # unicode
-    (6, "a" * 500, "en", "edge", 500),                           # one huge token
-    (7, "tab\tseparated\nnewline  double  space", "en", "edge", 37),  # mixed whitespace
+raw_docs = [
+    (0, "", "en"),                                       # empty
+    (1, "   ", "en"),                                    # whitespace only
+    (2, "single", "en"),                                 # 1 token
+    (3, "two tokens", "en"),                             # 2 tokens
+    (4, "the the the the the the the the the the", "en"),  # degenerate repeat
+    (5, "café naïve résumé 中文文档 über straße", "de"),  # unicode
+    (6, "a" * 500, "en"),                                # one huge token
+    (7, "tab\tseparated\nnewline  double  space", "en"),  # mixed whitespace
     (8, "the quick brown fox jumps over the lazy dog and runs far away "
-        "home tonight with joy and speed to rest", "en", "edge", 101),
+        "home tonight with joy and speed to rest", "en"),
     (9, "el la de que y el la de que y el la de que y el la de que y",
-        "es", "edge", 60),                                       # es stopwords
-    (10, "punctuation, only! and? some; weird: stuff...", "und", "edge", 46),
-    (11, "controlchars here ok", "en", "edge", 22),
+        "es"),                                           # es stopwords
+    (10, "punctuation, only! and? some; weird: stuff...", "und"),
+    (11, None, "en"),                                    # NULL text
 ] + [(i, f"filler doc {i} with some shared tokens the and of plus unique "
          f"w{i} x{i} y{i} z{i} tail tokens to pass gates maybe twenty "
-         "total now", "en", "edge", 120) for i in range(12, 30)]
+         "total now", "en") for i in range(12, 30)]
+docs = [(i, t, lang, "edge", len(t) if t is not None else None)
+        for (i, t, lang) in raw_docs]
 
 con = duckdb.connect()
 con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "

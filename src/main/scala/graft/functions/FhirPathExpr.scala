@@ -112,19 +112,25 @@ object FhirPathExpr {
     * one parse + (k-1) string compares. Keyed by the immutable String copy
     * — NOT the incoming UTF8String, which is a view into a reused row
     * buffer and cannot be held across rows. A failed parse memoizes null
-    * so malformed docs aren't re-parsed k times either.
+    * so malformed docs aren't re-parsed k times either. The slot is a
+    * SoftReference: executor task threads are long-lived, and a hard
+    * reference would pin the last multi-MB document + parsed tree per
+    * thread for the executor's lifetime even with no FHIRPath query
+    * running.
     */
-  private val lastDoc = new ThreadLocal[(String, JsonNode)]()
+  private val lastDoc =
+    new ThreadLocal[java.lang.ref.SoftReference[(String, JsonNode)]]()
 
   private[functions] def parseMemo(mapper: ObjectMapper,
       json: String): JsonNode = {
-    val memo = lastDoc.get()
+    val ref = lastDoc.get()
+    val memo = if (ref == null) null else ref.get()
     if (memo != null && memo._1 == json) memo._2
     else {
       val tree =
         try mapper.readTree(json)
         catch { case _: Exception => null }
-      lastDoc.set((json, tree))
+      lastDoc.set(new java.lang.ref.SoftReference((json, tree)))
       tree
     }
   }

@@ -44,9 +44,13 @@ object TextAnalysis {
     */
   def ngrams(tokens: Column, n: Int): Column = {
     require(n >= 1, s"ngrams: n must be >= 1, got $n")
-    when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", (0 until n).map(j => get(tokens, i + lit(j))): _*)))
+    // null-preserving: NULL tokens (no text) -> NULL n-grams, distinct
+    // from <n tokens -> EMPTY n-grams (matching SQL null propagation —
+    // the oracle's generate_series(1, NULL) chain yields NULL, not [])
+    when(tokens.isNull, lit(null).cast("array<string>"))
+      .when(size(tokens) >= n,
+        transform(sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(tokens, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -32,12 +32,16 @@ object CorpusStream {
 
   /** Stateless enrichment + quality gate: token count, language ID, and
     * the normalized (token-bag) fingerprint — one narrow projection, no
-    * shuffle, identical in batch and streaming.
+    * shuffle, identical in batch and streaming. Untimed rows (null
+    * ingest_ts) are EXCLUDED, the same event-time contract the batch
+    * window queries pin: a null event time cannot be watermarked, and it
+    * would NPE the budget gate's in-batch ordering.
     */
   def enrich(docs: DataFrame, minTokens: Long = 20): Dataset[CuratedDoc] = {
     implicit val enc: Encoder[CuratedDoc] = Encoders.product[CuratedDoc]
     val scores = TextAnalysis.langScores(col("text"))
-    docs.select(
+    docs.filter(col("ingest_ts").isNotNull)
+      .select(
         col("doc_id"),
         col("ingest_ts"),
         TextAnalysis.langPredict(scores).as("lang_pred"),
@@ -64,8 +68,11 @@ object CorpusStream {
     * emitted with the language's running total at its admission point and
     * an `admitted` verdict (docs arriving after the budget filled are
     * flagged, not dropped — the caller chooses to divert or discard).
-    * Within a micro-batch, documents are ordered by (ingest_ts, doc_id) so
-    * the cutoff is deterministic under any partitioning/arrival order.
+    * A rejected document does NOT advance the total, and its row carries
+    * the unchanged running total — `cum_tokens` is always the tokens
+    * actually consumed so far, monotone within a language. Within a
+    * micro-batch, documents are ordered by (ingest_ts, doc_id) so the
+    * cutoff is deterministic under any partitioning/arrival order.
     */
   def budgetGate(docs: Dataset[CuratedDoc],
       budgetPerLang: Long): Dataset[Admission] = {
@@ -82,8 +89,7 @@ object CorpusStream {
             .map { d =>
               val admitted = total < budgetPerLang
               if (admitted) total += d.n_tokens
-              Admission(d.doc_id, lang, d.n_tokens,
-                if (admitted) total else total + d.n_tokens, admitted)
+              Admission(d.doc_id, lang, d.n_tokens, total, admitted)
             }
           state.update(BudgetState(total))
           out.iterator

@@ -33,6 +33,15 @@ class CorpusStreamSpec extends SparkSpec {
     assert(got(0).n_tokens == 25L)
   }
 
+  test("untimed rows (null ingest_ts) are excluded by the quality gate — " +
+      "the event-time contract, and they must never NPE the budget gate") {
+    val docs = Seq(
+      (1L, Some(ts("2024-01-01 00:00:01")), text("the")),
+      (2L, None: Option[Timestamp], text("the", flip = true)))
+      .toDF("doc_id", "ingest_ts", "text")
+    assert(CorpusStream.enrich(docs).collect().map(_.doc_id).toSeq == Seq(1L))
+  }
+
   test("streaming dedup keeps the first arrival of a fingerprint " +
       "within the watermark") {
     implicit val sqlCtx = spark.sqlContext
@@ -79,9 +88,10 @@ class CorpusStreamSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("corpus_budget")
         .as[Admission].collect().sortBy(_.doc_id)
+      // a rejected doc carries the UNCHANGED consumed total (monotone)
       assert(got.map(a => (a.doc_id, a.cum_tokens, a.admitted)).toSeq ==
         Seq((1L, 26L, true), (2L, 52L, true), (3L, 78L, true),
-          (4L, 104L, false)))
+          (4L, 78L, false)))
     } finally q.stop()
   }
 }
