@@ -146,6 +146,17 @@ con.execute("""INSERT INTO ords VALUES
     (910004, 900001, 'P', 200000.01, TIMESTAMP '1998-12-31', '2-HIGH')""")
 con.execute(f"COPY ords TO '{out / 'orders.parquet'}' (FORMAT PARQUET)")
 
+# hostile nation names: JSON-special characters probe the document
+# builders' escaping (to_json vs raw concat)
+con.execute(f"""CREATE TABLE nat AS
+    SELECT * FROM '{out / 'nation.parquet'}'""")
+con.execute("""INSERT INTO nat VALUES
+    (930001, 'QUOTE"INSIDE', 0),
+    (930002, 'BACK\\SLASH', 1),
+    (930003, 'UNI中文ÇODE', 2),
+    (930004, '', 3)""")
+con.execute(f"COPY nat TO '{out / 'nation.parquet'}' (FORMAT PARQUET)")
+
 con.execute(f"""CREATE TABLE li AS
     SELECT * FROM '{out / 'lineitem.parquet'}'""")
 con.execute("""INSERT INTO li VALUES

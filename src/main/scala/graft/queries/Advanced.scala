@@ -115,8 +115,8 @@ object Advanced {
         '{"resourceType":"Organization","identifier":[{"system":"https://fhir.nhs.uk/Id/ods-organization-code","value":"N'
         || n_nationkey || '"}],"active":' ||
         CASE WHEN n_nationkey = 7 THEN 'false' ELSE 'true' END ||
-        ',"type":[{"coding":[{"system":"https://fhir.nhs.uk/CodeSystem/organisation-role","code":"76","display":"GP PRACTICE"}]}],"name":"'
-        || n_name || '"' ||
+        ',"type":[{"coding":[{"system":"https://fhir.nhs.uk/CodeSystem/organisation-role","code":"76","display":"GP PRACTICE"}]}],"name":'
+        || to_json(n_name) ||
         CASE WHEN n_nationkey % 3 = 0 THEN
           ',"partOf":{"identifier":{"system":"https://fhir.nhs.uk/Id/ods-organization-code","value":"Y99"}}'
         ELSE '' END ||
