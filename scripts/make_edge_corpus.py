@@ -24,6 +24,8 @@ for p in src.glob("*.parquet"):
 
 raw_docs = [
     (0, "", "en"),                                       # empty
+    (31, "doc with a NULL language tag and enough filler tokens the and "
+         "of to pass every quality gate in the pipeline today", None),
     (1, "   ", "en"),                                    # whitespace only
     (2, "single", "en"),                                 # 1 token
     (3, "two tokens", "en"),                             # 2 tokens
@@ -156,6 +158,20 @@ con.execute("""INSERT INTO nat VALUES
     (930003, 'UNI中文ÇODE', 2),
     (930004, '', 3)""")
 con.execute(f"COPY nat TO '{out / 'nation.parquet'}' (FORMAT PARQUET)")
+
+con.execute(f"""CREATE TABLE pt AS
+    SELECT * FROM '{out / 'part.parquet'}'""")
+con.execute("""INSERT INTO pt VALUES
+    (940001, NULL, 'Brand#0', NULL, NULL, NULL),
+    (940002, 'odd part', '', 'TYPE A', -1, 0.0)""")
+con.execute(f"COPY pt TO '{out / 'part.parquet'}' (FORMAT PARQUET)")
+
+con.execute(f"""CREATE TABLE sup AS
+    SELECT * FROM '{out / 'supplier.parquet'}'""")
+con.execute("""INSERT INTO sup VALUES
+    (950001, NULL, NULL, NULL),
+    (950002, 'Supplier#950002', 999, -0.0)""")
+con.execute(f"COPY sup TO '{out / 'supplier.parquet'}' (FORMAT PARQUET)")
 
 con.execute(f"""CREATE TABLE li AS
     SELECT * FROM '{out / 'lineitem.parquet'}'""")

@@ -59,8 +59,11 @@ object compat {
     get_json_object(json, "$." + prop)
 
   /** Surname part of "SURNAME I N" style names: first whitespace token. */
+  /** Null-preserving (SQL norm): a NULL name yields a NULL token, not ""
+    * — the reference's given() only ever ran on present names.
+    */
   def firstToken(c: Column): Column =
-    coalesce(get(split(trim(c), "\\s+", -1), lit(0)), lit(""))
+    get(split(trim(c), "\\s+", -1), lit(0))
 
   /** Initials part: all tokens after the first, re-joined with spaces.
     * (Slice length is a sane bound, not Int.MaxValue — start+length must not

@@ -549,8 +549,8 @@ object Relational {
     oracle = Some("""
       SELECT p_partkey,
         CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_r1,
-        CAST(CASE WHEN (CASE WHEN p_size = 24 THEN -1 ELSE p_size END) = -1
-             THEN 0 ELSE p_size END AS INTEGER) AS size_fixed,
+        CAST(coalesce(CASE WHEN (CASE WHEN p_size = 24 THEN -1 ELSE p_size END) = -1
+             THEN 0 ELSE p_size END, 0) AS INTEGER) AS size_fixed,
         CAST(p_partkey AS VARCHAR) AS key_str,
         coalesce(CAST(p_brand AS VARCHAR), '') AS brand_str
       FROM part"""),
