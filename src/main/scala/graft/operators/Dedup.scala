@@ -48,6 +48,20 @@ object Dedup {
         explode(TextAnalysis.charShingles(text, len, stride)).as("sh"))
       .distinct()
 
+  /** The (doc_id, shingle-hash) relation, deduped AFTER hashing: the
+    * distinct shuffles 16-byte (long, long) rows instead of strings —
+    * half the bytes and a primitive compare. Within-doc hash collisions
+    * merge two distinct shingles (~shingles²/2⁶⁴ per doc — negligible,
+    * same concession the hash-keyed joins already make). Shared subplan
+    * for Jaccard df-capping, pair intersection, and MinHash signatures.
+    */
+  def hashedShingles(docs: DataFrame, id: Column, text: Column,
+      len: Int = 16, stride: Int = 4): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(TextAnalysis.charShingles(text, len, stride)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .distinct()
+
   /** Exact n-gram Jaccard pairs above a threshold, over shingles with
     * document frequency <= `maxDf`. The df cap drops corpus-common shingles
     * before the self-join — the standard guard that keeps the pair blowup
@@ -66,8 +80,7 @@ object Dedup {
     // The join/df-cap key is the 64-bit shingle hash, not the 16-char
     // string: half the shuffle bytes and a long-vs-long compare; two
     // distinct shingles of one doc pair colliding (~n²/2⁶⁴) is negligible.
-    val allSh = shingles(docs, id, text, len, stride)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh")).cache()
+    val allSh = hashedShingles(docs, id, text, len, stride).cache()
     val rare = allSh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("shh"))
     val sh = allSh.join(rare, "shh")
@@ -112,8 +125,7 @@ object Dedup {
       k: Int = 16, shingleLen: Int = 16, stride: Int = 4): DataFrame = {
     // same subplan as the cached hashed-shingle relation in
     // jaccardPairs/minhashDedup — the cache manager substitutes it here
-    val sh = shingles(docs, id, text, shingleLen, stride)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+    val sh = hashedShingles(docs, id, text, shingleLen, stride)
       .withColumn("x", pmod(col("shh"), lit(P)))
     val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * lit(a) + lit(b), lit(P))).as(s"sig_$i")
@@ -153,8 +165,7 @@ object Dedup {
       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val cand = minhashCandidates(docs, id, text, k, bands)
     // shared plan with jaccardPairs' cached hashed-shingle relation
-    val sh = shingles(docs, id, text)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh")).cache()
+    val sh = hashedShingles(docs, id, text).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // intersection via join on hashed shingle within candidate pairs
     val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
