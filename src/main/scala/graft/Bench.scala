@@ -97,7 +97,13 @@ object Bench {
             spark.sparkContext.setJobGroup(s"bench-$name", name,
               interruptOnCancel = true)
             try runOne(name, byName(name))
-            finally spark.sparkContext.clearJobGroup()
+            finally {
+              spark.sparkContext.clearJobGroup()
+              // a timed-out task is cancel(true)'d: clear the interrupt
+              // flag before this pool thread is reused, or the NEXT
+              // query's first interruptible call throws spuriously
+              Thread.interrupted()
+            }
           }
         }))
       }
@@ -109,11 +115,16 @@ object Bench {
             val st = startedAt.get()
             if (st != 0L &&
                 (System.nanoTime() - st) / 1e9 > perQueryTimeoutSec) {
-              System.err.println(
-                s"[bench] $name TIMED OUT (${perQueryTimeoutSec}s)")
-              spark.sparkContext.cancelJobGroup(s"bench-$name")
-              f.cancel(true)
-              res = Some((perQueryTimeoutSec.toDouble, false))
+              // close the poll→cancel race: a result that completed since
+              // the last 1 s poll must win over the timeout verdict
+              try res = Some(f.get(0, TimeUnit.NANOSECONDS))
+              catch { case _: Exception =>
+                System.err.println(
+                  s"[bench] $name TIMED OUT (${perQueryTimeoutSec}s)")
+                spark.sparkContext.cancelJobGroup(s"bench-$name")
+                f.cancel(true)
+                res = Some((perQueryTimeoutSec.toDouble, false))
+              }
             }
           }
         }
@@ -176,16 +187,19 @@ object Bench {
         line(bySlow.take(n).sortBy(_._1), bySlow.length - n)
       }
     // full-detail record alongside (not size-capped): per-query times at
-    // native precision for offline analysis
-    val fullQs = best.times.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    try {
-      val w = new java.io.PrintWriter("bench_full.json")
-      w.println(s"""{"metric":"total","value":${best.wall},"unit":"sec",""" +
-        s""""queries":$fullQs,"sum":$sum,"par":$par,"passes":3,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}""")
-      w.close()
-    } catch { case _: Throwable => () }
+    // native precision for offline analysis. ONLY-filtered smoke runs must
+    // not clobber the committed full-suite baseline.
+    if (only.isEmpty) {
+      val fullQs = best.times.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      try {
+        val w = new java.io.PrintWriter("bench_full.json")
+        w.println(s"""{"metric":"total","value":${best.wall},"unit":"sec",""" +
+          s""""queries":$fullQs,"sum":$sum,"par":$par,"passes":3,""" +
+          s""""failed":$failedJson,"sf":"$sfDir"}""")
+        w.close()
+      } catch { case _: Throwable => () }
+    }
     println(out)
     spark.stop()
   }

@@ -262,20 +262,14 @@ object Dedup {
     */
   def components(pairs: DataFrame, ids: DataFrame,
       maxIter: Int = 25, driverMaxEdges: Long = 2000000L): DataFrame = {
-    val src = pairs.columns(0)
-    val dst = pairs.columns(1)
-    val idc = ids.columns(0)
-    val edgesWide = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
-      .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
-      .distinct().localCheckpoint(true)
-    val edgeCount = edgesWide.count()
     // Integral node ids are the contract (as in GraphX's Long VertexId):
     // the driver fast path collects longs, and the distributed loop's
     // decimal convergence sum is numeric — fail LOUDLY for other key
-    // types instead of silently miscasting. Callers with string/struct
-    // keys should densify first (zipWithIndex / monotonically_increasing
-    // per-partition offsets), which is also what keeps 100 TB shuffle
-    // keys narrow.
+    // types instead of silently miscasting, and BEFORE materializing the
+    // edge relation (the schema check is free; the union+distinct is a
+    // full shuffle at scale). Callers with string/struct keys should
+    // densify first (zipWithIndex), which is also what keeps 100 TB
+    // shuffle keys narrow.
     val integralIds = pairs.schema.head.dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -287,6 +281,13 @@ object Dedup {
       s"components() requires integral node ids, got " +
         s"${pairs.schema.head.dataType.catalogString} — map keys to longs " +
         "(zipWithIndex) before clustering")
+    val src = pairs.columns(0)
+    val dst = pairs.columns(1)
+    val idc = ids.columns(0)
+    val edgesWide = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
+      .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
+      .distinct().localCheckpoint(true)
+    val edgeCount = edgesWide.count()
     // no edges: every node is its own component (neither loop below can
     // improve on that, and the distributed convergence sum is undefined
     // over an empty label relation)

@@ -144,12 +144,13 @@ object Similarity {
     val pairs =
       if (exact) exactCosinePairs(emb, threshold)
       else annPairs(emb, threshold)
-    // near-dup ids are a small fraction of the corpus by construction —
-    // broadcast the mark set instead of sort-merge-joining the corpus
+    // the dup-id mark set is usually small but corpus-dependent and
+    // UNBOUNDED (web-scale corpora run 10-30% near-dup) — no broadcast
+    // hint; AQE sizes the join at runtime and broadcasts only when the
+    // set actually fits
     val dupIds = pairs.select(col("vec_b").as("vec_id")).distinct()
     emb.select(col("vec_id"))
-      .join(broadcast(dupIds.withColumn("__dup", lit(true))),
-        Seq("vec_id"), "left")
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }

@@ -46,11 +46,15 @@ object TextAnalysis {
     require(n >= 1, s"ngrams: n must be >= 1, got $n")
     // null-preserving: NULL tokens (no text) -> NULL n-grams, distinct
     // from <n tokens -> EMPTY n-grams (matching SQL null propagation —
-    // the oracle's generate_series(1, NULL) chain yields NULL, not [])
+    // the oracle's generate_series(1, NULL) chain yields NULL, not []).
+    // Grams join with concat (null-propagating: a null TOKEN nulls its
+    // gram, as `tk[i] || ' ' || tk[i+1]` does) — concat_ws would silently
+    // drop null elements instead.
     when(tokens.isNull, lit(null).cast("array<string>"))
       .when(size(tokens) >= n,
         transform(sequence(lit(0), size(tokens) - n),
-          i => concat_ws(" ", (0 until n).map(j => get(tokens, i + lit(j))): _*)))
+          i => concat((0 until n).flatMap(j =>
+            (if (j > 0) Seq(lit(" ")) else Nil) :+ get(tokens, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -447,9 +447,13 @@ object TextOps {
         .withColumn("target_tokens",
           (coalesce(try_element_at(weight, col("lang_pred")), lit(0.0)) *
             lit(budget.toDouble)).cast("double"))
+        // try_divide: a zero-token stratum (all-empty docs in a language)
+        // would ANSI-throw on plain division; NULL drops out of least()
+        // on both engines (DuckDB's inf/NaN likewise lose to 1.0)
         .withColumn("sample_rate",
           round(least(lit(1.0),
-            col("target_tokens") / col("lang_tokens").cast("double")), 6))
+            try_divide(col("target_tokens"),
+              col("lang_tokens").cast("double"))), 6))
     },
     oracle = Some("""
       WITH toks AS (
