@@ -76,4 +76,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q85_tfidf: the corpus is tokenized exactly once (df via window, " +
+      "not a second explode+aggregate)") {
+    val p = plan("q85_tfidf")
+    val generates = p.linesIterator.count(_.contains("Generate"))
+    assert(generates == 1, s"expected one explode of the corpus:\n$p")
+  }
+
+  test("q84_ivf_search: probed cells prune via a semi join and the " +
+      "rerank ends in a fused top-k") {
+    val p = plan("q84_ivf_search")
+    assert(p.contains("LeftSemi"), s"expected probed-cell semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k fusion:\n$p")
+    assert(!p.contains("Window"), s"assignment must stay window-free:\n$p")
+  }
 }
