@@ -533,6 +533,41 @@ object TextOps {
       FROM c"""),
     doc = "greedy token-budget sequence packing (per-lang running offset)")
 
+  // --- count-based LM scoring: the perplexity-filter shape — score each
+  //     document by how common its trigrams are corpus-wide (avg ln of
+  //     the corpus count). One explode feeds BOTH the count table and the
+  //     per-doc relation (window over the same rows, not a self-join /
+  //     re-scan — q85's lesson), so the corpus is tokenized once.
+  private val q90_lm_score = Q(
+    run = (s, d) => {
+      val docTri = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.ngrams(col("tk"), 3)).as("ngram"))
+      val withCount = docTri.withColumn("n_corpus",
+        count(lit(1)).over(Window.partitionBy(col("ngram"))))
+      withCount.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_trigrams"),
+          round(avg(log(col("n_corpus").cast("double"))), 6)
+            .as("avg_ln_count"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+      tri AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                 i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS ngram
+        FROM toks),
+      counted AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY ngram) AS n_corpus
+        FROM tri)
+      SELECT doc_id, count(*) AS n_trigrams,
+             round(avg(ln(CAST(n_corpus AS DOUBLE))), 6) AS avg_ln_count
+      FROM counted GROUP BY doc_id"""),
+    doc = "count-based LM score per doc (perplexity-filter shape)")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -550,5 +585,6 @@ object TextOps {
     "q86_ngram_counts" -> q86_ngram_counts,
     "q87_priority_sample" -> q87_priority_sample,
     "q88_mixture_plan" -> q88_mixture_plan,
-    "q89_pack_bins" -> q89_pack_bins)
+    "q89_pack_bins" -> q89_pack_bins,
+    "q90_lm_score" -> q90_lm_score)
 }
