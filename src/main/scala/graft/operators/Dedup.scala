@@ -41,26 +41,50 @@ object Dedup {
       .withColumn("is_kept", row_number().over(w) === 1)
   }
 
-  /** The (doc_id, shingle) relation: distinct character shingles per doc. */
+  /** The (doc_id, shingle) relation: distinct character shingles per doc.
+    * Dedup happens PER DOCUMENT via `array_distinct` on the shingle array
+    * BEFORE the explode — a map-side operation, where a post-explode
+    * `distinct()` would shuffle the whole exploded relation just to remove
+    * within-doc repeats (shingles are already doc-scoped, so the global
+    * and per-doc distinct produce the same rows).
+    */
   def shingles(docs: DataFrame, id: Column, text: Column,
       len: Int = 16, stride: Int = 4): DataFrame =
     docs.select(id.as("doc_id"),
-        explode(TextAnalysis.charShingles(text, len, stride)).as("sh"))
-      .distinct()
+        TextAnalysis.charShingles(text, len, stride).as("shs"))
+      .select(col("doc_id"), explode(array_distinct(col("shs"))).as("sh"))
 
-  /** The (doc_id, shingle-hash) relation, deduped AFTER hashing: the
-    * distinct shuffles 16-byte (long, long) rows instead of strings —
-    * half the bytes and a primitive compare. Within-doc hash collisions
+  /** The (doc_id, shingle-hash) relation, deduped per doc AFTER hashing:
+    * `array_distinct` compares 8-byte longs instead of 16-char strings,
+    * and runs map-side on each doc's own array — no shuffle at all (the
+    * previous global `distinct()` was the single most expensive exchange
+    * in the shingle family; per-doc dedup produces the identical relation
+    * because shingle rows are doc-scoped). Within-doc hash collisions
     * merge two distinct shingles (~shingles²/2⁶⁴ per doc — negligible,
     * same concession the hash-keyed joins already make). Shared subplan
     * for Jaccard df-capping, pair intersection, and MinHash signatures.
+    *
+    * `portable = true` swaps xxhash64 for the [[portableHash64]] md5 fold
+    * so the same hashes are reproducible in the DuckDB oracle.
     */
   def hashedShingles(docs: DataFrame, id: Column, text: Column,
-      len: Int = 16, stride: Int = 4): DataFrame =
+      len: Int = 16, stride: Int = 4, portable: Boolean = false): DataFrame = {
+    val hash: Column => Column = if (portable) portableHash64 else xxhash64(_)
     docs.select(id.as("doc_id"),
-        explode(TextAnalysis.charShingles(text, len, stride)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      .distinct()
+        TextAnalysis.charShingles(text, len, stride).as("shs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("shs"), s => hash(s)))).as("shh"))
+  }
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5, parsed base-16.
+    * Both engines spell it exactly — Spark `conv(substr(md5(x),1,15),16,10)`,
+    * DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` — so hash-keyed
+    * pipelines (MinHash signatures, SimHash bit votes) are oracle-checkable
+    * end to end. 15 hex chars = 60 bits keeps the value positive in a
+    * signed long with headroom for modular arithmetic.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Exact n-gram Jaccard pairs above a threshold, over shingles with
     * document frequency <= `maxDf`. The df cap drops corpus-common shingles
@@ -109,8 +133,8 @@ object Dedup {
     * arithmetic. Deterministic literals (no RNG at plan time) so signatures
     * are reproducible across runs and cluster layouts.
     */
-  private val P = 2147483647L // 2^31 - 1
-  private def hashParams(k: Int): Seq[(Long, Long)] =
+  val P = 2147483647L // 2^31 - 1
+  private[graft] def hashParams(k: Int): Seq[(Long, Long)] =
     (1 to k).map { i =>
       // distinct multipliers/offsets from a fixed LCG, folded into [1, P)
       val a = 6364136223846793005L * i + 1442695040888963407L
@@ -119,13 +143,14 @@ object Dedup {
     }
 
   /** Per-doc MinHash signature as `sig_0..sig_{k-1}` columns: one scan,
-    * one shuffle on doc_id with map-side partial min.
+    * one shuffle on doc_id with map-side partial min. Built on the
+    * [[portableHash64]] shingle hash, so the whole signature pipeline is
+    * reproducible in plain SQL on any engine with md5 (the q36 oracle).
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
       k: Int = 16, shingleLen: Int = 16, stride: Int = 4): DataFrame = {
-    // same subplan as the cached hashed-shingle relation in
-    // jaccardPairs/minhashDedup — the cache manager substitutes it here
-    val sh = hashedShingles(docs, id, text, shingleLen, stride)
+    val sh = hashedShingles(docs, id, text, shingleLen, stride,
+        portable = true)
       .withColumn("x", pmod(col("shh"), lit(P)))
     val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * lit(a) + lit(b), lit(P))).as(s"sig_$i")
@@ -134,8 +159,11 @@ object Dedup {
   }
 
   /** LSH banding: split the k-wide signature into `bands` bands and bucket
-    * on (band index, band hash). Shuffle key = the band bucket, so candidate
-    * generation is linear in bucket sizes, never O(n²).
+    * on (band index, band signature slice). Shuffle key = the band tuple,
+    * so candidate generation is linear in bucket sizes, never O(n²). The
+    * bucket is the raw signature slice (an int array), not an opaque
+    * rehash: exact band equality (no bucket collisions) and portable to
+    * the SQL oracle.
     */
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
       k: Int = 16, bands: Int = 4): DataFrame = {
@@ -143,7 +171,7 @@ object Dedup {
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        array((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
           .map(i => col(s"sig_$i")): _*).as("bucket"))
     }
     val banded = sig.select(col("doc_id"),
@@ -164,8 +192,9 @@ object Dedup {
   def minhashDedup(docs: DataFrame, id: Column, text: Column,
       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val cand = minhashCandidates(docs, id, text, k, bands)
-    // shared plan with jaccardPairs' cached hashed-shingle relation
-    val sh = hashedShingles(docs, id, text).cache()
+    // portable hash: the verification intersection must count the same
+    // shingle-hash universe the signatures were built from
+    val sh = hashedShingles(docs, id, text, portable = true).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // intersection via join on hashed shingle within candidate pairs
     val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -186,19 +215,27 @@ object Dedup {
 
   // --- SimHash ------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes, computed as 64 codegen'd conditional sums in one aggregation.
+  /** SimHash bit width: 60 usable bits from the [[portableHash64]] token
+    * hash (bits 60-63 of every token hash are 0, so their majority vote is
+    * always negative — computing them would only pad the aggregation).
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes, computed as 60 codegen'd conditional sums in one aggregation.
+    * Token hash = [[portableHash64]], so the full bit-vote pipeline is
+    * reproducible in the DuckDB oracle (q37).
     */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tok = docs.select(id.as("doc_id"),
         explode(TextAnalysis.tokens(text)).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", portableHash64(col("t")))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1)
         .otherwise(-1)).as(s"bit_$b")
     }
     val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { b =>
+    val sim = (0 until SimhashBits).map { b =>
       when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("doc_id"), sim.as("simhash"))
@@ -270,17 +307,25 @@ object Dedup {
     // full shuffle at scale). Callers with string/struct keys should
     // densify first (zipWithIndex), which is also what keeps 100 TB
     // shuffle keys narrow.
-    val integralIds = pairs.schema.head.dataType match {
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
-    require(integralIds,
+    // ALL THREE id columns must be integral — a (long, string) pair frame
+    // or a string-keyed `ids` relation would otherwise pass a first-column
+    // check and then either throw an opaque ANSI cast error in the driver
+    // fast path or silently label every node isolated (long labels never
+    // join back to string ids)
+    val badCols =
+      (pairs.schema.take(2) ++ ids.schema.take(1)).filterNot(f => integral(f.dataType))
+    require(badCols.isEmpty,
       s"components() requires integral node ids, got " +
-        s"${pairs.schema.head.dataType.catalogString} — map keys to longs " +
-        "(zipWithIndex) before clustering")
+        badCols.map(f => s"${f.name}: ${f.dataType.catalogString}")
+          .mkString(", ") +
+        " — map keys to longs (zipWithIndex) before clustering")
     val src = pairs.columns(0)
     val dst = pairs.columns(1)
     val idc = ids.columns(0)

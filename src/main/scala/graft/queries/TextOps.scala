@@ -117,22 +117,98 @@ object TextOps {
       FROM sh GROUP BY doc_id"""),
     doc = "min-shingle-hash document fingerprint (winnowing-style)")
 
-  // MinHash/SimHash hash families aren't SQL-oracle-expressible — the
-  // driver records rows-only checks; correctness is locked by ScalaTest
-  // against the exact-Jaccard ground truth instead.
+  // The MinHash/SimHash hash families run on Dedup.portableHash64 (a
+  // 60-bit md5 fold both engines can compute), so the FULL signature →
+  // banding → verification pipelines are reproduced in DuckDB SQL below —
+  // hard rows+schema+hash oracles, not rows-only checks. The SQL is
+  // generated from the same hashParams/band constants the Spark plans use,
+  // so the two sides cannot drift.
+
+  // DuckDB spelling of Dedup.portableHash64
+  private def duckHash64(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  private val minhashOracleSql: String = {
+    val k = 16
+    val bands = 4
+    val rowsPerBand = k / bands
+    val sigDefs = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((x * $a + $b) % ${Dedup.P}) AS sig_$i"
+    }.mkString(",\n          ")
+    val bandEq = (0 until bands).map { bnd =>
+      (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => s"a.sig_$i = b.sig_$i").mkString("(", " AND ", ")")
+    }.mkString("\n              OR ")
+    s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id,
+          ${duckHash64("substr(text, CAST(g AS INTEGER), 16)")} AS shh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM documents)),
+      sig AS (
+        SELECT doc_id,
+          $sigDefs
+        FROM (SELECT doc_id, shh % ${Dedup.P} AS x FROM sh)
+        GROUP BY doc_id),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          AND ($bandEq)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT doc_a, doc_b, count(*) AS inter
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b AND sa.shh = sb.shh
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5"""
+  }
+
   private val q36_minhash_pairs = Q(
     run = (s, d) =>
       Dedup.minhashDedup(Tables.documents(s, d), col("doc_id"), col("text"),
         threshold = 0.5),
-    oracle = None,
+    oracle = Some(minhashOracleSql),
     doc = "MinHash+LSH banded near-dup (candidates verified with Jaccard)")
+
+  private val simhashOracleSql: String = {
+    val bitTerms = (0 until Dedup.SimhashBits).map { b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" +\n          ")
+    val bandEq = (0 until 4).map { bnd =>
+      s"((a.simhash >> ${bnd * 16}) & 65535) = ((b.simhash >> ${bnd * 16}) & 65535)"
+    }.mkString("\n              OR ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id, ${duckHash64("t")} AS h
+        FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+              FROM documents)),
+      sim AS (
+        SELECT doc_id,
+          $bitTerms AS simhash
+        FROM tok GROUP BY doc_id)
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          AND ($bandEq))
+      WHERE hamming <= 6"""
+  }
 
   private val q37_simhash = Q(
     run = (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         maxHamming = 6),
-    oracle = None,
-    doc = "64-bit SimHash near-dup pairs, 16-bit band pigeonhole buckets")
+    oracle = Some(simhashOracleSql),
+    doc = "60-bit SimHash near-dup pairs, 16-bit band pigeonhole buckets")
 
   private val q38_multimodal = Q(
     run = (s, d) =>
