@@ -384,22 +384,123 @@ object Relational {
     doc = "A5 per-group histogram binning")
 
   // --- A7 median / percentile (DiabetesSQL.ipynb:2450 imputation median)
+  //
+  // Exact interpolated percentiles WITHOUT Spark's `percentile` aggregate:
+  // that aggregate buffers every group member in executor memory (fine at
+  // sf0.1, an OOM with wide groups at 100×). Because the inputs live on a
+  // finite value grid (integral quantities, 2dp money), the same exact
+  // result comes from a value-grid HISTOGRAM: count per (group, value) —
+  // a map-side-combined shuffle whose state is the number of DISTINCT
+  // values, not rows — then a cumulative window over the grid to locate
+  // the (n-1)p order statistics and interpolate. Memory is bounded by the
+  // grid cardinality per group (and the window sort spills); row count
+  // never enters the bound.
+  /** Exact percentiles of `v` per `key` via the value-grid histogram.
+    * `ps` = (output column, fraction). NULL values are excluded (the
+    * `percentile`-aggregate contract); a key whose `v` is entirely NULL is
+    * simply absent (callers left-join from the key universe).
+    */
+  private def gridPercentiles(df: DataFrame, key: String, v: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val hist = df.filter(col(v).isNotNull)
+      .groupBy(col(key), col(v).as("val")).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col(key)).orderBy(col("val"))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(key))))
+    // rank of the lower/upper order statistic around position (n-1)p —
+    // computed inside the aggregate (n is constant within a group)
+    def rank1(p: Double) =
+      floor((col("n") - 1).cast("double") * lit(p)) + 1
+    val aggs = ps.flatMap { case (name, p) =>
+      Seq(
+        min(when(col("cum") >= rank1(p), col("val")))
+          .cast("double").as(s"${name}__lo"),
+        min(when(col("cum") >= rank1(p) + 1, col("val")))
+          .cast("double").as(s"${name}__hi"))
+    } :+ max(col("n")).as("n")
+    val agg = cum.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val out = ps.foldLeft(agg) { case (acc, (name, p)) =>
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val f = pos - floor(pos).cast("double")
+      // f = 0 must short-circuit: __hi is NULL at the top order statistic
+      // and NULL * 0 would null the whole interpolation
+      acc.withColumn(name, round(
+        when(f === 0.0, col(s"${name}__lo"))
+          .otherwise(col(s"${name}__lo") +
+            f * (col(s"${name}__hi") - col(s"${name}__lo"))), 6))
+    }
+    out.select(col(key) +: ps.map { case (n, _) => col(n) }: _*)
+  }
+
   private val q20_median = Q(
-    run = (s, d) =>
-      // 6dp rounding on both sides: the interpolation a+(b-a)*f can differ
-      // from a*(1-f)+b*f in the last ulp across engines
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(
-          round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25_price"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75_price")),
+    run = (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = gridPercentiles(li, "l_returnflag", "l_quantity",
+        Seq("median_qty" -> 0.5))
+      val price = gridPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq("p25_price" -> 0.25, "p75_price" -> 0.75))
+      // null-SAFE joins (a NULL group key still owns real percentiles);
+      // renamed keys — all three frames descend from the same scan, so
+      // frame("col") references would be ambiguous self-join refs
+      val keys = li.select(col("l_returnflag")).distinct()
+      keys
+        .join(qty.withColumnRenamed("l_returnflag", "__kq"),
+          col("l_returnflag") <=> col("__kq"), "left")
+        .drop("__kq")
+        .join(price.withColumnRenamed("l_returnflag", "__kp"),
+          col("l_returnflag") <=> col("__kp"), "left")
+        .drop("__kp")
+    },
     oracle = Some("""
-      SELECT l_returnflag,
-        round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty,
-        round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25_price,
-        round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS p75_price
-      FROM lineitem GROUP BY l_returnflag"""),
-    doc = "A7 exact interpolated percentiles")
+      WITH qh AS (
+        SELECT l_returnflag AS k, l_quantity AS val, count(*) AS cnt
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+      qc AS (
+        SELECT k, val,
+          sum(cnt) OVER (PARTITION BY k ORDER BY val) AS cum,
+          sum(cnt) OVER (PARTITION BY k) AS n
+        FROM qh),
+      qa AS (
+        SELECT k, CAST(max(n) AS DOUBLE) AS n,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.5)+1 THEN val END) AS DOUBLE) AS lo,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.5)+2 THEN val END) AS DOUBLE) AS hi
+        FROM qc GROUP BY k),
+      qm AS (
+        SELECT k, round(CASE WHEN (n-1)*0.5 = floor((n-1)*0.5) THEN lo
+          ELSE lo + ((n-1)*0.5 - floor((n-1)*0.5)) * (hi - lo) END, 6)
+          AS median_qty
+        FROM qa),
+      ph AS (
+        SELECT l_returnflag AS k, l_extendedprice AS val, count(*) AS cnt
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      pc AS (
+        SELECT k, val,
+          sum(cnt) OVER (PARTITION BY k ORDER BY val) AS cum,
+          sum(cnt) OVER (PARTITION BY k) AS n
+        FROM ph),
+      pa AS (
+        SELECT k, CAST(max(n) AS DOUBLE) AS n,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.25)+1 THEN val END) AS DOUBLE) AS lo25,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.25)+2 THEN val END) AS DOUBLE) AS hi25,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.75)+1 THEN val END) AS DOUBLE) AS lo75,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.75)+2 THEN val END) AS DOUBLE) AS hi75
+        FROM pc GROUP BY k),
+      pm AS (
+        SELECT k,
+          round(CASE WHEN (n-1)*0.25 = floor((n-1)*0.25) THEN lo25
+            ELSE lo25 + ((n-1)*0.25 - floor((n-1)*0.25)) * (hi25 - lo25) END, 6)
+            AS p25_price,
+          round(CASE WHEN (n-1)*0.75 = floor((n-1)*0.75) THEN lo75
+            ELSE lo75 + ((n-1)*0.75 - floor((n-1)*0.75)) * (hi75 - lo75) END, 6)
+            AS p75_price
+        FROM pa),
+      keys AS (SELECT DISTINCT l_returnflag FROM lineitem)
+      SELECT keys.l_returnflag, qm.median_qty, pm.p25_price, pm.p75_price
+      FROM keys
+      LEFT JOIN qm ON keys.l_returnflag IS NOT DISTINCT FROM qm.k
+      LEFT JOIN pm ON keys.l_returnflag IS NOT DISTINCT FROM pm.k"""),
+    doc = "A7 exact interpolated percentiles (value-grid histogram plan)")
 
   // --- SO1 EXCEPT complement (DiabetesSQL.ipynb:3223)
   private val q21_except = Q(
