@@ -116,14 +116,22 @@ object Bench {
             if (st != 0L &&
                 (System.nanoTime() - st) / 1e9 > perQueryTimeoutSec) {
               // close the poll→cancel race: a result that completed since
-              // the last 1 s poll must win over the timeout verdict
+              // the last 1 s poll must win over the timeout verdict. Only
+              // a TIMEOUT here means still-running → cancel; a task that
+              // DIED after the deadline is a failure at its real elapsed
+              // time, not a 'TIMED OUT' at the full timeout duration
               try res = Some(f.get(0, TimeUnit.NANOSECONDS))
-              catch { case _: Exception =>
-                System.err.println(
-                  s"[bench] $name TIMED OUT (${perQueryTimeoutSec}s)")
-                spark.sparkContext.cancelJobGroup(s"bench-$name")
-                f.cancel(true)
-                res = Some((perQueryTimeoutSec.toDouble, false))
+              catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  System.err.println(
+                    s"[bench] $name TIMED OUT (${perQueryTimeoutSec}s)")
+                  spark.sparkContext.cancelJobGroup(s"bench-$name")
+                  f.cancel(true)
+                  res = Some((perQueryTimeoutSec.toDouble, false))
+                case e: Exception =>
+                  System.err.println(s"[bench] $name failed after deadline: " +
+                    s"${Option(e.getCause).getOrElse(e).getMessage}")
+                  res = Some((((System.nanoTime() - st) / 1e9), false))
               }
             }
           }

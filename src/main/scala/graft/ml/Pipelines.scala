@@ -36,11 +36,22 @@ object Pipelines {
     * test set (`groupby.sample(frac=.7)` + index complement,
     * DiabetesSQL.ipynb:3220-3227).
     */
+  /** `maxStrata` bounds the driver-side label collect: `sampleBy` needs
+    * the per-stratum fraction map on the driver, which is fine for the
+    * enum-like labels stratification is FOR, and a silent OOM for an
+    * unbounded-cardinality column (someone stratifying on a raw id) —
+    * fail loudly instead. The limit+1 probe never scans more than the
+    * bound.
+    */
   def stratifiedSplit(df: DataFrame, label: String, frac: Double,
-      seed: Long): (DataFrame, DataFrame) = {
+      seed: Long, maxStrata: Int = 10000): (DataFrame, DataFrame) = {
     val keyed = df.withColumn("__row_id", monotonically_increasing_id())
-    val strata = keyed.select(label).distinct().collect()
-      .map(r => r.get(0) -> frac).toMap
+    val labels = keyed.select(label).distinct().limit(maxStrata + 1).collect()
+    require(labels.length <= maxStrata,
+      s"stratifiedSplit: label '$label' has more than $maxStrata distinct " +
+        "values — stratification keys must be low-cardinality (raise " +
+        "maxStrata only if the driver can hold the fraction map)")
+    val strata = labels.map(r => r.get(0) -> frac).toMap
     val train = keyed.stat.sampleBy(label, strata, seed)
     val test = keyed.join(train.select("__row_id"), Seq("__row_id"), "left_anti")
     (train.drop("__row_id"), test.drop("__row_id"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,6 +30,27 @@ object Multimodal {
       lit("application/octet-stream").as("media_type"),
       encode(col("text"), "UTF-8").as("payload"),
       col("source").as("meta_source"))
+
+  /** The REAL media ingest leg: raw files read through Spark's
+    * `binaryFile` source (each file = one row of path/length/bytes,
+    * scanned partition-parallel — the same path a 100 TB image corpus
+    * takes, with `pathGlobFilter` for format selection). Only the
+    * downstream decode remains a stub; the source, schema, and
+    * partitioning here are production-shaped.
+    *
+    * asset_id = [[Dedup.portableHash64]] of the file path: stable across
+    * runs and cluster layouts (row order is not).
+    */
+  def readBinaryAssets(spark: SparkSession, dir: String,
+      glob: String = "*", mediaType: String = "application/octet-stream"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        Dedup.portableHash64(col("path")).as("asset_id"),
+        lit(mediaType).as("media_type"),
+        col("content").as("payload"),
+        col("path").as("meta_source"))
 
   /** FAKE decode + feature extraction (deterministic stand-in for an image
     * decode): byte length, leading byte, and arithmetic pseudo-dimensions.
@@ -67,10 +88,19 @@ object Multimodal {
     * fan-out a frame sampler produces, with deterministic offsets.
     */
   def sampleFrames(assets: DataFrame, stride: Int = 64): DataFrame =
+    // NULL payload = 0 bytes, PINNED: `greatest(NULL-1, 0)` is 0 on both
+    // engines (greatest skips NULLs), so a NULL asset already emits its
+    // offset-0 row — the length must agree and be 0, not NULL (Spark's
+    // least() would skip the NULL and claim a full stride)
     assets.select(col("asset_id"),
+        coalesce(octet_length(col("payload")), lit(0)).as("__n_bytes"),
         explode(sequence(lit(0),
           greatest(octet_length(col("payload")) - 1, lit(0)),
           lit(stride))).as("frame_offset"))
+      // the tail frame is CLAMPED to the remaining payload (an asset is
+      // rarely an exact multiple of the stride); interior frames are full
       .withColumn("frame_len",
-        least(lit(stride), lit(stride)).cast("int"))
+        least(lit(stride), col("__n_bytes") - col("frame_offset"))
+          .cast("int"))
+      .drop("__n_bytes")
 }

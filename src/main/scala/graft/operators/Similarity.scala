@@ -179,17 +179,26 @@ object Similarity {
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame,
       roundDp: Int = 6, keep: Seq[String] = Nil): DataFrame = {
+    // both norms are STAGED before the lambda: HOF lambdas run
+    // interpreted, outside codegen subexpression elimination, so an
+    // inlined l2norm(embedding) would redo a d-wide dot product k times
+    // per row (the repo's q81 rule). The row norm is a materialized
+    // attribute; each centroid's norm is packed once into the broadcast
+    // struct.
     val packed = centroids.groupBy().agg(
-      collect_list(struct(col("centroid_id"), col("cv"))).as("cents"))
+      collect_list(struct(col("centroid_id"), col("cv"),
+        l2norm(col("cv")).as("cnorm"))).as("cents"))
     // struct comparison is field-order lexicographic: max cos first, then
     // max(-centroid_id) = min centroid_id on ties — same order as the
     // oracle's (cos DESC, centroid_id) ranking
     val best = array_max(transform(col("cents"), c =>
       struct(
-        round(cosine(col("embedding"), c("cv")), roundDp).as("cos"),
+        round(try_divide(dot(col("embedding"), c("cv")),
+          col("__norm") * c("cnorm")), roundDp).as("cos"),
         (-c("centroid_id")).as("neg_cid"),
         c("centroid_id").as("centroid_id"))))
-    emb.crossJoin(broadcast(packed))
+    emb.withColumn("__norm", l2norm(col("embedding")))
+      .crossJoin(broadcast(packed))
       .select(col("vec_id") +: best.as("best") +: keep.map(col): _*)
       // an EMPTY centroid set still aggregates to one (empty-array) row,
       // and array_max over it is null — filter so the result is zero rows,

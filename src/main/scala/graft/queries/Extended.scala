@@ -209,13 +209,19 @@ object Extended {
       Multimodal.sampleFrames(
           Multimodal.ingestAsBinary(Tables.documents(s, d)), stride = 64)
         .groupBy(col("asset_id"))
-        .agg(count(lit(1)).as("n_frames"), max(col("frame_offset")).as("last_off")),
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_offset")).as("last_off"),
+          // frames tile the payload exactly once, so the length sum must
+          // reproduce the byte count — this pins the tail-frame CLAMP
+          // (frame_len = min(stride, remaining)) in the oracle
+          sum(col("frame_len")).as("covered_bytes")),
     oracle = Some("""
       SELECT doc_id AS asset_id,
              CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 64)
                AS BIGINT) + 1 AS n_frames,
              CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 64)
-               AS INT) * 64 AS last_off
+               AS INT) * 64 AS last_off,
+             CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT)
+               AS covered_bytes
       FROM documents"""),
     doc = "multimodal frame-sampling fan-out (deterministic offsets)")
 

@@ -73,6 +73,13 @@ object CorpusStream {
     * actually consumed so far, monotone within a language. Within a
     * micro-batch, documents are ordered by (ingest_ts, doc_id) so the
     * cutoff is deterministic under any partitioning/arrival order.
+    *
+    * Memory bound: persistent STATE is O(1) per language, but the
+    * deterministic in-batch ordering buffers each language's share of ONE
+    * micro-batch in its task's heap (`ds.toSeq.sortBy`). That is the
+    * micro-batch sizing knob (`maxOffsetsPerTrigger` etc.), not a stream-
+    * length bound — a hot language still must fit its per-trigger slice,
+    * so size triggers accordingly.
     */
   def budgetGate(docs: Dataset[CuratedDoc],
       budgetPerLang: Long): Dataset[Admission] = {

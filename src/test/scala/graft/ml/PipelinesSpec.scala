@@ -29,6 +29,15 @@ class PipelinesSpec extends SparkSpec {
     assert(frac > 0.6 && frac < 0.8)
   }
 
+  test("M3 stratified split rejects unbounded-cardinality labels loudly") {
+    val e = intercept[IllegalArgumentException] {
+      // every row its own stratum with a 2-row bound: the guard must fire
+      // before the driver tries to hold the whole fraction map
+      Pipelines.stratifiedSplit(features, "qty", 0.7, 42, maxStrata = 2)
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+  }
+
   test("M1 decision tree trains and scores") {
     val df = Pipelines.assemble(features, Seq("qty", "disc", "tax", "price"))
     val m = Pipelines.decisionTree(df, "label")
