@@ -79,9 +79,28 @@ object InMemoryFhirStore {
     registry.computeIfAbsent(name, _ => new InMemoryFhirStore)
 }
 
-/** A serializable handle that re-resolves the store on executors. */
-case class StoreRef(name: String) extends Serializable {
+/** A serializable handle that re-resolves the store on executors —
+  * the indirection that lets a task deserialize cheap coordinates
+  * (a fixture name, a base URL) and bind the per-JVM resources
+  * (registry instance, pooled HTTP client) lazily on its own side.
+  */
+trait StoreRef extends Serializable { def store: FhirStore }
+
+object StoreRef {
+  /** Fixture store by registry name (the original StoreRef shape). */
+  def apply(name: String): StoreRef = InMemoryStoreRef(name)
+}
+
+case class InMemoryStoreRef(name: String) extends StoreRef {
   def store: FhirStore = InMemoryFhirStore.named(name)
+}
+
+/** Production coordinates: resolves to an [[HttpFhirStore]] sharing the
+  * executor-JVM-wide pooled client for `baseUrl`.
+  */
+case class HttpStoreRef(baseUrl: String, retries: Int = 3,
+    retryDelayMs: Long = 0) extends StoreRef {
+  def store: FhirStore = new HttpFhirStore(baseUrl, retries, retryDelayMs)
 }
 
 object FhirSources {
