@@ -126,7 +126,17 @@ object Advanced {
       FROM nation"""),
     doc = "T1 FHIR Organization build vs byte-identical SQL oracle")
 
-  // --- A6/M3: seeded stratified sampling — engine-specific RNG, rows-only
+  // --- A6/M3: seeded stratified sampling via Spark's own `sampleBy`.
+  //     INTENTIONALLY rows-only: this is the engine-RNG variant kept to
+  //     cover the reference's `groupby.sample(frac=…)` API shape 1:1 —
+  //     its Bernoulli draw is seeded per Spark's partition-RNG contract,
+  //     which no other engine reproduces, so there is nothing for a
+  //     cross-engine oracle to agree on BY DESIGN. The deterministic
+  //     forms of the same operator are fully oracled as q54 (hash-mod
+  //     stratified sample) and q87 (md5-priority bottom-k per stratum);
+  //     production pipelines that need reproducibility-across-engines use
+  //     those. The spec layer (SamplingSpec) pins this variant's per-
+  //     stratum fraction concentration instead.
   private val q45_sample_strat = Q(
     run = (s, d) => {
       val o = Tables.orders(s, d)
@@ -135,11 +145,14 @@ object Advanced {
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_sampled"))
     },
     oracle = None,
-    doc = "A6 seeded stratified sampling (engine RNG: rows-only check)")
+    doc = "A6 seeded stratified sampling (engine RNG BY DESIGN — " +
+      "deterministic siblings q54/q87 carry the oracle)")
 
   // --- M6: median imputation in exact-relational form (the ml.Imputer uses
   //     approximate quantiles — fine for modeling, not for an oracle; the
-  //     plan form broadcasts the exact percentile instead of collecting)
+  //     plan form broadcasts the exact median instead of collecting, and
+  //     the median itself comes from the value-grid histogram
+  //     (Stats.globalPercentiles) so no executor ever buffers the column)
   private val q46_ml_features = Q(
     run = (s, d) => {
       val feats = Tables.lineitem(s, d).select(
@@ -147,8 +160,8 @@ object Advanced {
         col("l_quantity").as("qty"),
         when(col("l_linenumber") === 1, lit(null).cast("double"))
           .otherwise(col("l_discount")).as("disc"))
-      val medDf = feats.filter(col("disc").isNotNull)
-        .agg(round(percentile(col("disc"), lit(0.5)), 6).as("m"))
+      val medDf = graft.operators.Stats.globalPercentiles(feats, "disc",
+        Seq("m" -> 0.5))
       feats.crossJoin(broadcast(medDf))
         .select(col("l_orderkey"), col("qty"),
           coalesce(col("disc"), col("m")).as("disc_imp"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.functions.compat
+import graft.operators.Stats
 
 /** Relational operator coverage (SURVEY.md §2.2–§2.6, §2.7 scalar surface,
   * §2.9 upsert planning) expressed as idiomatic DataFrame plans over the
@@ -385,60 +386,16 @@ object Relational {
 
   // --- A7 median / percentile (DiabetesSQL.ipynb:2450 imputation median)
   //
-  // Exact interpolated percentiles WITHOUT Spark's `percentile` aggregate:
-  // that aggregate buffers every group member in executor memory (fine at
-  // sf0.1, an OOM with wide groups at 100×). Because the inputs live on a
-  // finite value grid (integral quantities, 2dp money), the same exact
-  // result comes from a value-grid HISTOGRAM: count per (group, value) —
-  // a map-side-combined shuffle whose state is the number of DISTINCT
-  // values, not rows — then a cumulative window over the grid to locate
-  // the (n-1)p order statistics and interpolate. Memory is bounded by the
-  // grid cardinality per group (and the window sort spills); row count
-  // never enters the bound.
-  /** Exact percentiles of `v` per `key` via the value-grid histogram.
-    * `ps` = (output column, fraction). NULL values are excluded (the
-    * `percentile`-aggregate contract); a key whose `v` is entirely NULL is
-    * simply absent (callers left-join from the key universe).
-    */
-  private def gridPercentiles(df: DataFrame, key: String, v: String,
-      ps: Seq[(String, Double)]): DataFrame = {
-    val hist = df.filter(col(v).isNotNull)
-      .groupBy(col(key), col(v).as("val")).agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col(key)).orderBy(col("val"))))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(key))))
-    // rank of the lower/upper order statistic around position (n-1)p —
-    // computed inside the aggregate (n is constant within a group)
-    def rank1(p: Double) =
-      floor((col("n") - 1).cast("double") * lit(p)) + 1
-    val aggs = ps.flatMap { case (name, p) =>
-      Seq(
-        min(when(col("cum") >= rank1(p), col("val")))
-          .cast("double").as(s"${name}__lo"),
-        min(when(col("cum") >= rank1(p) + 1, col("val")))
-          .cast("double").as(s"${name}__hi"))
-    } :+ max(col("n")).as("n")
-    val agg = cum.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
-    val out = ps.foldLeft(agg) { case (acc, (name, p)) =>
-      val pos = (col("n") - 1).cast("double") * lit(p)
-      val f = pos - floor(pos).cast("double")
-      // f = 0 must short-circuit: __hi is NULL at the top order statistic
-      // and NULL * 0 would null the whole interpolation
-      acc.withColumn(name, round(
-        when(f === 0.0, col(s"${name}__lo"))
-          .otherwise(col(s"${name}__lo") +
-            f * (col(s"${name}__hi") - col(s"${name}__lo"))), 6))
-    }
-    out.select(col(key) +: ps.map { case (n, _) => col(n) }: _*)
-  }
-
+  // Exact interpolated percentiles WITHOUT Spark's `percentile` aggregate
+  // (which buffers every group member in executor memory — an OOM with
+  // wide groups at 100×): [[graft.operators.Stats.gridPercentiles]] runs
+  // the value-grid histogram plan, bounded by grid cardinality per group.
   private val q20_median = Q(
     run = (s, d) => {
       val li = Tables.lineitem(s, d)
-      val qty = gridPercentiles(li, "l_returnflag", "l_quantity",
+      val qty = Stats.gridPercentiles(li, "l_returnflag", "l_quantity",
         Seq("median_qty" -> 0.5))
-      val price = gridPercentiles(li, "l_returnflag", "l_extendedprice",
+      val price = Stats.gridPercentiles(li, "l_returnflag", "l_extendedprice",
         Seq("p25_price" -> 0.25, "p75_price" -> 0.75))
       // null-SAFE joins (a NULL group key still owns real percentiles);
       // renamed keys — all three frames descend from the same scan, so

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grid percentiles: interpolation, duplicates, nulls, single value") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)),
+      ("b", Some(10.0)), ("b", Some(20.0)), ("b", Some(30.0)),
+      ("c", Some(7.0)), ("c", None),
+      ("d", None))
+      .toDF("k", "v")
+    val rows = Stats.gridPercentiles(df, "k", "v", Seq("p50" -> 0.5))
+      .as[(String, Option[Double])].collect().toMap
+    assert(rows("a").contains(2.5)) // even n: midpoint interpolation
+    assert(rows("b").contains(20.0)) // odd n: exact middle
+    assert(rows("c").contains(7.0)) // nulls excluded, single survivor
+    assert(!rows.contains("d")) // all-null group absent by contract
+    // duplicated grid values collapse into histogram counts, same result
+    val dup = Seq.fill(500)(("a", 1.0)) ++ Seq.fill(500)(("a", 3.0))
+    val med = Stats.gridPercentiles(dup.toDF("k", "v"), "k", "v",
+      Seq("p50" -> 0.5)).as[(String, Double)].head()
+    assert(med == (("a", 2.0)))
+  }
+
+  test("global percentiles emit one ungrouped row") {
+    val df = (1 to 101).map(i => i.toDouble).toDF("v")
+    val out = Stats.globalPercentiles(df, "v",
+      Seq("p25" -> 0.25, "p75" -> 0.75))
+    assert(out.columns.toSeq == Seq("p25", "p75"))
+    assert(out.as[(Double, Double)].head() == ((26.0, 76.0)))
+  }
+}
