@@ -126,6 +126,43 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** MDM-style blocked fuzzy match: exact equality on a blocking key keeps
+    * the edit-distance comparison off the O(n²) cliff, then bounded
+    * levenshtein within each block. Shared by the q64 pair query and the
+    * q75 dedup endgame so per-pair cost fixes cannot drift apart.
+    *
+    * Per-pair cost discipline (the blocked join is still quadratic in the
+    * block size, so the constant is everything):
+    *  - conjuncts are ALL in the join condition, cheapest first — the id
+    *    half-prune and an O(1) length-difference lower bound run before any
+    *    edit-distance work (a select-then-filter form would let Catalyst
+    *    prepend the pushed distance predicate ahead of them);
+    *  - the distance itself is the THRESHOLDED levenshtein (banded
+    *    O(len·maxDist) instead of O(len²), early-exit, −1 above the bound).
+    *
+    * Scale shape: the build side is the blocked (id, block, key)
+    * projection — tiny relative to the corpus — broadcast so probe-side
+    * parallelism stays at the partition count (an equi-join on a
+    * low-cardinality blocking key would otherwise collapse to one task per
+    * block). The blocking key's selectivity is the real 100 TB dial: a
+    * coarse key makes ANY engine quadratic; pick one whose blocks stay
+    * bounded and this plan holds.
+    */
+  def fuzzyBlockPairs(docs: DataFrame, id: Column, block: Column,
+      key: Column, maxDist: Int): DataFrame = {
+    val d = docs.select(id.as("fz_id"), block.as("fz_block"),
+      key.as("fz_key"))
+    val np = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val dist = levenshtein(col("a.fz_key"), col("b.fz_key"), maxDist)
+    d.repartition(np, col("fz_id")).as("a").join(broadcast(d.as("b")),
+        col("a.fz_block") === col("b.fz_block") &&
+          col("a.fz_id") < col("b.fz_id") &&
+          abs(length(col("a.fz_key")) - length(col("b.fz_key"))) <= maxDist &&
+          dist >= 0)
+      .select(col("a.fz_id").as("id_a"), col("b.fz_id").as("id_b"),
+        dist.as("dist"))
+  }
+
   // --- MinHash ------------------------------------------------------------
 
   /** Fixed affine hash family over the 31-bit Mersenne prime — products
@@ -221,18 +258,45 @@ object Dedup {
     */
   val SimhashBits = 60
 
-  /** 60-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes, computed as 60 codegen'd conditional sums in one aggregation.
-    * Token hash = [[portableHash64]], so the full bit-vote pipeline is
-    * reproducible in the DuckDB oracle (q37).
+  /** Per-token vote weight saturation for [[simhash]]: votes = min(tf,
+    * cap) — BM25-style sublinear term frequency. Shared with the q37
+    * oracle generator so the two engines cannot drift.
+    */
+  val SimhashTfCap = 3
+
+  /** 60-bit SimHash over whitespace tokens with SATURATED frequency
+    * weights (vote weight = min(tf, [[SimhashTfCap]])): per-bit weighted
+    * majority vote of token hashes, computed as 60 codegen'd conditional
+    * sums in one aggregation. Token hash = [[portableHash64]], so the full
+    * bit-vote pipeline is reproducible in the DuckDB oracle (q37).
+    *
+    * Why saturated tf, not raw tf or a distinct-token set (all three were
+    * measured): with RAW multiset votes one template token repeated
+    * hundreds of times per page dominates every bit vote, all pages
+    * carrying that boilerplate collapse onto near-identical hashes, and
+    * the band join degenerates into per-template mega-buckets (a
+    * corpus-wide repeated tag made simhash pairs the slowest query in the
+    * suite at 50k docs). With BINARY (set) votes the guard holds but all
+    * frequency signal is lost — on template-generated corpora whose docs
+    * differ mainly in token multiplicities, pair density exploded ~500×.
+    * Saturation keeps both properties: boilerplate is bounded at `cap`
+    * votes, small multiplicity differences still separate hashes. True
+    * byte-identical mega-dup clusters are [[exact]]-deduped BEFORE any
+    * near-dup pass — that pipeline order (q79) bounds bucket sizes at
+    * corpus scale.
     */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // (doc_id, token) weights: one shuffle with map-side partial counts —
+    // the combiner reduces each task's contribution to its distinct-token
+    // volume before anything crosses the wire
     val tok = docs.select(id.as("doc_id"),
         explode(TextAnalysis.tokens(text)).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(least(count(lit(1)), lit(SimhashTfCap.toLong)).as("w"))
       .withColumn("h", portableHash64(col("t")))
     val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1)
-        .otherwise(-1)).as(s"bit_$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"bit_$b")
     }
     val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until SimhashBits).map { b =>
@@ -329,9 +393,23 @@ object Dedup {
     val src = pairs.columns(0)
     val dst = pairs.columns(1)
     val idc = ids.columns(0)
-    val edgesWide = pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
-      .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
-      .distinct().localCheckpoint(true)
+    // Symmetrize in ONE scan of `pairs` (explode both directions per row):
+    // a two-branch union would embed the pair subplan twice and Spark
+    // evaluates each branch independently — for the expensive pair plans
+    // that feed this (a blocked levenshtein join, an all-pairs cosine
+    // join) that doubles the whole query. Falls back to the union form
+    // when the two id columns disagree on type (explode needs identical
+    // struct shapes; union's implicit widening handles the mismatch).
+    val sym =
+      if (pairs.schema(0).dataType == pairs.schema(1).dataType)
+        pairs.select(explode(array(
+          struct(col(src).as("e_src"), col(dst).as("e_dst")),
+          struct(col(dst).as("e_src"), col(src).as("e_dst")))).as("e"))
+          .select(col("e.e_src").as("e_src"), col("e.e_dst").as("e_dst"))
+      else
+        pairs.select(col(src).as("e_src"), col(dst).as("e_dst"))
+          .union(pairs.select(col(dst).as("e_src"), col(src).as("e_dst")))
+    val edgesWide = sym.distinct().localCheckpoint(true)
     val edgeCount = edgesWide.count()
     // no edges: every node is its own component (neither loop below can
     // improve on that, and the distributed convergence sum is undefined

@@ -77,29 +77,71 @@ object Similarity {
     * OR-of-ANDs construction): a pair is a candidate if it agrees on ALL
     * sign bits of ANY band, so recall for moderately-similar pairs is
     * `1-(1-s^r)^b` instead of the single-bucket `s^(r·b)` that only ever
-    * surfaces near-identical vectors. Candidates are deduped as (id, id)
-    * pairs BEFORE re-fetching vectors, so each pair's cosine is verified
-    * exactly once regardless of how many bands it collided in.
+    * surfaces near-identical vectors. Pairs colliding in several bands are
+    * verified once per collision and deduped after the threshold filter —
+    * see the in-body note on why that beats a candidate-level distinct.
     *
     * Scale shape: signatures are a narrow map over the corpus; the band
     * self-join shuffles on (band, sig) — never an O(n²) cross join; the
     * id-pair dedup and the two vector re-fetch joins shuffle only the
     * candidate set. All plane weights are fixed literals → reproducible
     * across cluster layouts.
+    *
+    * `maxBucketSize` is the hot-bucket fuse: a clustered corpus drives
+    * many vectors into one (band, sig) bucket, whose candidate count grows
+    * as B²/2 — one 20k-member bucket is 200M verifies and the LSH
+    * degenerates to brute force. Buckets above the cap are DROPPED (the
+    * standard industrial cap: an over-full bucket means that band carries
+    * ~no information for those vectors, and its pairs either co-occur in a
+    * discriminating band or are low-similarity). This bounds the join
+    * output at cap·B rows total. Recall-sensitive callers can raise it;
+    * the sizing window shuffles on exactly the join key, so AQE reuses the
+    * exchange and the cap costs a sort, not an extra shuffle.
     */
   def annPairs(emb: DataFrame, threshold: Double,
-      planesPerBand: Int = 6, bands: Int = 4, dims: Int = 64): DataFrame = {
-    val banded = emb.select(col("vec_id"), explode(array(
+      planesPerBand: Int = 6, bands: Int = 4, dims: Int = 64,
+      maxBucketSize: Int = 2000, center: Boolean = false): DataFrame = {
+    // `center = true` hashes MEAN-CENTERED vectors (verification below is
+    // always exact cosine on the originals, so this changes only which
+    // candidates surface, never their scores). Real text-embedding spaces
+    // are anisotropic — most vectors share a dominant direction, so raw
+    // sign bits agree corpus-wide and every vector lands in one of two
+    // complementary mega-buckets per band. Subtracting the corpus mean
+    // spreads the cone across the signature space; the mean is a 1-row
+    // broadcast, computed lazily inside the plan.
+    val hashSrc =
+      if (!center) emb.select(col("vec_id"), col("embedding").as("hvec"))
+      else {
+        val mu = emb.groupBy().agg(array((1 to dims).map(i =>
+          avg(element_at(col("embedding"), i))): _*).as("mu"))
+        emb.crossJoin(broadcast(mu))
+          .select(col("vec_id"),
+            zip_with(col("embedding"), col("mu"), (a, b) => a - b).as("hvec"))
+      }
+    val raw = hashSrc.select(col("vec_id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
-          bandSignature(col("embedding"), b, planesPerBand, dims).as("sig"))
+          bandSignature(col("hvec"), b, planesPerBand, dims).as("sig"))
       }: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = raw
+      .withColumn("__bsz", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    // Candidates keep their per-band MULTIPLICITY: a pair colliding in k
+    // bands is verified k times and deduped AFTER the threshold filter.
+    // Deduping candidates first looks thriftier but a candidate `distinct`
+    // is a full shuffle + hash-agg of the tens-of-millions-row collision
+    // relation, while a redundant verify is one codegen'd d-wide dot on a
+    // row that is already flowing map-side — measured 3-4× faster at 20k
+    // clustered vectors (the distinct alone was 32 s of a 33 s query).
+    // The survivor set (pairs actually >= threshold) is orders of
+    // magnitude smaller, so ITS distinct is cheap.
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
     candidates
@@ -111,6 +153,7 @@ object Similarity {
         try_divide(dot(col("emb_a"), col("emb_b")),
           col("norm_a") * col("norm_b")).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** Exact all-pairs cosine similarity join above `threshold` (4-dp
@@ -124,12 +167,18 @@ object Similarity {
     val sig = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
     val np = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val cos = round(try_divide(dot(col("a.embedding"), col("b.embedding")),
+      col("a.norm") * col("b.norm")), 4)
+    // Conjunct order is load-bearing: the nested-loop condition evaluates
+    // left-to-right with And short-circuit, so the O(1) id comparison must
+    // run BEFORE the d-wide dot product. Written as a select-then-filter,
+    // Catalyst PREPENDS the pushed threshold predicate to the join
+    // condition and every ordered pair (2× the kept half) pays the dot
+    // product first.
     sig.repartition(np).as("a").join(broadcast(sig.as("b")),
-        col("a.vec_id") < col("b.vec_id"))
+        col("a.vec_id") < col("b.vec_id") && cos >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(try_divide(dot(col("a.embedding"), col("b.embedding")),
-          col("a.norm") * col("b.norm")), 4).as("cos"))
-      .filter(col("cos") >= threshold)
+        cos.as("cos"))
   }
 
   /** Embedding-cosine near-dup dedup marking: a vector is a duplicate when

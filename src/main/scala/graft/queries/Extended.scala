@@ -230,21 +230,12 @@ object Extended {
   //     distance on the document head — the reference's ODS merge is
   //     exactly this shape with exact keys (dags/ODSImport.py:140-155).
   private val q64_fuzzy_block = Q(
-    run = (s, d) => {
-      val doc = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          substring(col("text"), 1, 32).as("head"))
-      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // spread the probe side: the broadcast join's parallelism equals its
-      // partition count, and the cached table arrives in one partition —
-      // without this every levenshtein runs in a single task
-      doc.repartition(np, col("doc_id")).as("a").join(broadcast(doc.as("b")),
-          col("a.lang") === col("b.lang") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.head"), col("b.head")).as("dist"))
-        .filter(col("dist") <= 5)
-    },
+    run = (s, d) =>
+      graft.operators.Dedup.fuzzyBlockPairs(Tables.documents(s, d),
+          id = col("doc_id"), block = col("lang"),
+          key = substring(col("text"), 1, 32), maxDist = 5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("dist")),
     oracle = Some("""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(levenshtein(a.head, b.head) AS INT) AS dist
@@ -481,15 +472,10 @@ object Extended {
   private val q75_keep_best = Q(
     run = (s, d) => {
       val docs = Tables.documents(s, d)
-      val doc = docs.select(col("doc_id"), col("lang"),
-        substring(col("text"), 1, 32).as("head"))
-      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val pairs = doc.repartition(np, col("doc_id")).as("a")
-        .join(broadcast(doc.as("b")),
-          col("a.lang") === col("b.lang") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            levenshtein(col("a.head"), col("b.head")) <= 5)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val pairs = graft.operators.Dedup.fuzzyBlockPairs(docs,
+          id = col("doc_id"), block = col("lang"),
+          key = substring(col("text"), 1, 32), maxDist = 5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       val comp = graft.operators.Dedup.components(
         pairs, docs.select(col("doc_id")))
       graft.operators.Dedup.survivors(comp,

@@ -179,7 +179,7 @@ object TextOps {
 
   private val simhashOracleSql: String = {
     val bitTerms = (0 until Dedup.SimhashBits).map { b =>
-      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN w ELSE -w END) > 0" +
         s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" +\n          ")
     val bandEq = (0 until 4).map { bnd =>
@@ -187,10 +187,14 @@ object TextOps {
     }.mkString("\n              OR ")
     s"""
       WITH tok AS (
-        SELECT doc_id, ${duckHash64("t")} AS h
+        -- saturated tf votes: w = least(tf, cap), mirroring
+        -- Dedup.simhash's groupBy(doc_id, t) + least(count, cap)
+        SELECT doc_id, ${duckHash64("t")} AS h,
+               least(count(*), ${Dedup.SimhashTfCap}) AS w
         FROM (SELECT doc_id,
                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
-              FROM documents)),
+              FROM documents)
+        GROUP BY doc_id, t),
       sim AS (
         SELECT doc_id,
           $bitTerms AS simhash

@@ -84,6 +84,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(generates == 1, s"expected one explode of the corpus:\n$p")
   }
 
+  test("q53_sim_join: the O(1) id half-prune precedes the d-wide dot " +
+      "product in the nested-loop condition (And short-circuit order)") {
+    val p = plan("q53_sim_join")
+    val joinLine = p.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin")).getOrElse("")
+    val idCmp = joinLine.indexOf(" < ")
+    val dot = joinLine.indexOf("dot_product")
+    assert(idCmp >= 0 && dot >= 0 && idCmp < dot,
+      s"id comparison must run before the dot product:\n$joinLine\n$p")
+  }
+
+  test("q64_fuzzy_block: blocked equi-join broadcasts; edit distance is " +
+      "the thresholded (banded) levenshtein, ordered after the cheap " +
+      "conjuncts") {
+    val p = plan("q64_fuzzy_block")
+    assert(p.contains("BroadcastHashJoin"), s"block join must broadcast:\n$p")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("BroadcastHashJoin") && l.contains("levenshtein"))
+      .getOrElse("")
+    assert(joinLine.contains("Some(5)"),
+      s"levenshtein must carry its early-exit threshold:\n$joinLine\n$p")
+    val idCmp = joinLine.indexOf(" < ")
+    val lev = joinLine.indexOf("levenshtein")
+    assert(idCmp >= 0 && idCmp < lev,
+      s"id half-prune must run before levenshtein:\n$joinLine\n$p")
+  }
+
+  test("q41_ann_lsh: candidates flow to the verify joins WITHOUT a " +
+      "candidate-level distinct (only the survivor dedup aggregates)") {
+    val p = plan("q41_ann_lsh")
+    // one distinct = one partial+final HashAggregate pair; a reintroduced
+    // candidate-level distinct doubles it and re-adds the dominant shuffle
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs <= 2, s"expected only the survivor distinct, got $aggs " +
+      s"HashAggregates:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"verify joins must broadcast:\n$p")
+  }
+
   test("q84_ivf_search: probed cells prune via a semi join and the " +
       "rerank ends in a fused top-k") {
     val p = plan("q84_ivf_search")
