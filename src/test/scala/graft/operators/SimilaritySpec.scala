@@ -137,5 +137,23 @@ class SimilaritySpec extends SparkSpec {
     assert(lshSet.subsetOf(exact.map(p => (p._1, p._2)).toSet))
     val recall = lshSet.size.toDouble / exact.length
     assert(recall >= 0.1, s"LSH recall $recall over ${exact.length} pairs")
+
+    // the anisotropy knob changes only WHICH candidates surface, never
+    // their scores: still exact-verified, deduped, nonempty
+    val centered = Similarity
+      .annPairs(emb, threshold = 0.4, center = true)
+      .as[(Long, Long, Double)].collect()
+    assert(centered.nonEmpty, "centered LSH must still surface pairs")
+    assert(centered.forall(_._3 >= 0.4))
+    val cSet = centered.map(p => (p._1, p._2)).toSet
+    assert(cSet.size == centered.length)
+    assert(cSet.subsetOf(exact.map(p => (p._1, p._2)).toSet))
+
+    // the hot-bucket fuse drops oversized buckets, so its output is a
+    // subset of the uncapped run and empties out as the cap goes to zero-ish
+    val tiny = Similarity
+      .annPairs(emb, threshold = 0.4, maxBucketSize = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(tiny.map(p => (p._1, p._2)).toSet.subsetOf(lshSet))
   }
 }
