@@ -101,12 +101,26 @@ object TextOps {
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5"""),
     doc = "exact char-shingle Jaccard near-dup pairs")
 
+  // Shuffle-free form: the fingerprint is a PER-DOC reduction, so it never
+  // needs the exploded (doc, shingle) relation — `array_min(transform(...))`
+  // folds each doc's own shingle array map-side (min over the distinct set
+  // equals min over the multiset, so the dedup only feeds the count). The
+  // explode+groupBy form shuffled a 200-rows-per-doc relation just to fold
+  // it right back to one row per doc — 4× slower at 50k docs. The distinct
+  // array is STAGED as an attribute before the lambdas reference it
+  // (HOF lambdas re-evaluate inlined subtrees per element).
   private val q35_fingerprint = Q(
     run = (s, d) =>
-      Dedup.shingles(Tables.documents(s, d), col("doc_id"), col("text"))
-        .groupBy(col("doc_id"))
-        .agg(TextAnalysis.fingerprint(col("sh")).as("fingerprint"),
-          count(lit(1)).as("n_shingles")),
+      Tables.documents(s, d)
+        // NULL text: both engines see greatest(NULL, 1) = 1, so the doc
+        // keeps ONE [NULL] shingle → a (NULL fingerprint, n_shingles=1)
+        // row — pinned by the edge corpus; do not filter NULL text here
+        .select(col("doc_id"),
+          array_distinct(graft.operators.TextAnalysis.charShingles(
+            col("text"))).as("dsh"))
+        .select(col("doc_id"),
+          array_min(transform(col("dsh"), s0 => md5(s0))).as("fingerprint"),
+          size(col("dsh")).cast("long").as("n_shingles")),
     oracle = Some("""
       WITH sh AS (
         SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 16) AS sh

@@ -84,6 +84,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(generates == 1, s"expected one explode of the corpus:\n$p")
   }
 
+  test("q35_fingerprint: per-doc array fold — zero exchanges (no explode " +
+      "+ re-aggregate round trip)") {
+    val p = plan("q35_fingerprint")
+    assert(!p.contains("Exchange"), s"fingerprint must not shuffle:\n$p")
+  }
+
   test("q53_sim_join: the O(1) id half-prune precedes the d-wide dot " +
       "product in the nested-loop condition (And short-circuit order)") {
     val p = plan("q53_sim_join")
