@@ -58,18 +58,31 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Stopword hits against a fixed lexicon (codegen'd HOF filter). */
-  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+  /** Stopword hits against a fixed lexicon. `toks` MUST be a materialized
+    * token-array attribute (stage [[tokens]] in a projection first): the
+    * `filter` HOF runs interpreted, outside codegen subexpression
+    * elimination, so an inlined `tokens(text)` re-runs the regex split on
+    * every score expression that mentions it — and [[langPredict]]
+    * mentions each score up to three times.
+    */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column = {
     val lex = array(stopwords.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(lex, t))).cast("long")
+    size(filter(toks, t => array_contains(lex, t))).cast("long")
   }
+
+  /** Token count off a staged token array (empty text → 0, not 1: the
+    * regex split of "" yields [""]).
+    */
+  def tokenCountFrom(text: Column, toks: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
 
   /** Quality-score features: length, token stats, stopword ratio.
     * Mirrors the heuristic quality scoring a pretraining pipeline applies
-    * per document before filtering.
+    * per document before filtering. `toks` = staged [[tokens]] attribute
+    * (see [[stopwordHits]]).
     */
-  def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  def qualityFeatures(text: Column, toks: Column): Seq[(String, Column)] = {
     val nTok = size(toks).cast("long")
     Seq(
       "n_chars_m" -> length(text).cast("long"),
@@ -78,7 +91,7 @@ object TextAnalysis {
       "avg_token_len" ->
         (length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
           nTok.cast("double")),
-      "stopword_hits" -> stopwordHits(text,
+      "stopword_hits" -> stopwordHits(toks,
         Seq("the", "a", "of", "and", "is")))
   }
 
@@ -91,11 +104,19 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "une", "est"),
     "de" -> Seq("der", "die", "und", "das", "ist"))
 
-  def langScores(text: Column): Seq[(String, Column)] =
+  /** Per-language stopword scores off a staged token array (see
+    * [[stopwordHits]] for why the array must be an attribute).
+    */
+  def langScores(toks: Column): Seq[(String, Column)] =
     langLexicons.map { case (lang, lex) =>
-      s"score_$lang" -> stopwordHits(text, lex)
+      s"score_$lang" -> stopwordHits(toks, lex)
     }
 
+  /** Deterministic argmax over score columns. Pass STAGED score
+    * attributes, not the score expressions: each score appears here up to
+    * three times (in the greatest, its own when, and the output), and an
+    * interpreted filter HOF would re-run per mention.
+    */
   def langPredict(scores: Seq[(String, Column)]): Column = {
     // strict argmax in declaration order: first language with score equal to
     // the overall max wins — same CASE chain the oracle runs.
@@ -129,5 +150,11 @@ object TextAnalysis {
     * duplicates that byte-equality misses.
     */
   def normalizedHash(text: Column): Column =
-    md5(array_join(array_sort(tokens(text)), " "))
+    normalizedHashFrom(tokens(text))
+
+  /** [[normalizedHash]] off a staged token array — for projections that
+    * already materialized [[tokens]] for other features.
+    */
+  def normalizedHashFrom(toks: Column): Column =
+    md5(array_join(array_sort(toks), " "))
 }

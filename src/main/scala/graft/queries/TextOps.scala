@@ -17,8 +17,14 @@ object TextOps {
   private val q31_text_stats = Q(
     run = (s, d) => {
       val docs = Tables.documents(s, d)
-      val feats = TextAnalysis.qualityFeatures(col("text"))
-      docs.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      // tokens staged as an attribute: the feature columns reference the
+      // array 3+ times and the stopword filter runs interpreted —
+      // CollapseProject keeps the layer because the alias is non-cheap
+      // and multiply-used
+      val feats = TextAnalysis.qualityFeatures(col("text"), col("__tk"))
+      docs
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
     },
     oracle = Some("""
       SELECT doc_id,
@@ -35,10 +41,18 @@ object TextOps {
   private val q32_langid = Q(
     run = (s, d) => {
       val docs = Tables.documents(s, d)
-      val scores = TextAnalysis.langScores(col("text"))
-      docs.select(
-        (col("doc_id") +: scores.map { case (n, c) => c.as(n) } :+
-          TextAnalysis.langPredict(scores).as("lang_pred")): _*)
+      // two staged layers: tokens (referenced by 4 interpreted filter
+      // HOFs), then the score attributes (each referenced up to 3 more
+      // times by the argmax CASE chain). Inlining both re-tokenized every
+      // row ~11 times — 3× slower at 50k docs.
+      val scores = TextAnalysis.langScores(col("__tk"))
+      val scoreAttrs = scores.map { case (n, _) => n -> col(n) }
+      docs
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id") +: scores.map { case (n, c) => c.as(n) }: _*)
+        .select(
+          (col("doc_id") +: scoreAttrs.map { case (n, c) => c } :+
+            TextAnalysis.langPredict(scoreAttrs).as("lang_pred")): _*)
     },
     oracle = Some("""
       WITH toks AS (
@@ -251,11 +265,15 @@ object TextOps {
   private val q79_corpus_pipeline = Q(
     run = (s, d) => {
       val docs = Tables.documents(s, d)
-      val feats = TextAnalysis.qualityFeatures(col("text")).toMap
-      val scores = TextAnalysis.langScores(col("text"))
-      val enriched = docs.select(col("doc_id"),
-        feats("n_tokens").as("n_tokens"),
-        TextAnalysis.langPredict(scores).as("lang_pred"))
+      // staged: tokens → scores → predict (see q32 for the layering)
+      val scores = TextAnalysis.langScores(col("__tk"))
+      val scoreAttrs = scores.map { case (n, _) => n -> col(n) }
+      val enriched = docs
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id") +: size(col("__tk")).cast("long")
+          .as("n_tokens") +: scores.map { case (n, c) => c.as(n) }: _*)
+        .select(col("doc_id"), col("n_tokens"),
+          TextAnalysis.langPredict(scoreAttrs).as("lang_pred"))
       val kept = Dedup.normalized(docs, col("doc_id"), col("text"))
         .filter(col("is_kept")).select(col("doc_id"))
       enriched.join(kept, Seq("doc_id"), "left_semi")
@@ -526,13 +544,19 @@ object TextOps {
   private val q88_mixture_plan = Q(
     run = (s, d) => {
       val docs = Tables.documents(s, d)
-      val scores = TextAnalysis.langScores(col("text"))
+      // staged: tokens → scores → predict (see q32 for the layering)
+      val scores = TextAnalysis.langScores(col("__tk"))
+      val scoreAttrs = scores.map { case (n, _) => n -> col(n) }
       val budget = 50000L
       val weight = typedLit(Map(
         "en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "de" -> 0.1))
-      val perLang = docs.select(
-          TextAnalysis.langPredict(scores).as("lang_pred"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val perLang = docs
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(TextAnalysis.tokenCountFrom(col("text"), col("__tk"))
+          .as("n_tokens") +: scores.map { case (n, c) => c.as(n) }: _*)
+        .select(
+          TextAnalysis.langPredict(scoreAttrs).as("lang_pred"),
+          col("n_tokens"))
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
       perLang

@@ -39,14 +39,25 @@ object CorpusStream {
     */
   def enrich(docs: DataFrame, minTokens: Long = 20): Dataset[CuratedDoc] = {
     implicit val enc: Encoder[CuratedDoc] = Encoders.product[CuratedDoc]
-    val scores = TextAnalysis.langScores(col("text"))
+    // staged: tokens → scores → predict (the interpreted stopword filters
+    // and the argmax CASE chain would otherwise re-tokenize per mention —
+    // see TextAnalysis.stopwordHits)
+    val scores = TextAnalysis.langScores(col("__tk"))
+    val scoreAttrs = scores.map { case (n, _) => n -> col(n) }
     docs.filter(col("ingest_ts").isNotNull)
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .select(Seq(
+        col("doc_id"),
+        col("ingest_ts"),
+        TextAnalysis.tokenCountFrom(col("text"), col("__tk")).as("n_tokens"),
+        TextAnalysis.normalizedHashFrom(col("__tk")).as("fp")) ++
+        scores.map { case (n, c) => c.as(n) }: _*)
       .select(
         col("doc_id"),
         col("ingest_ts"),
-        TextAnalysis.langPredict(scores).as("lang_pred"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.normalizedHash(col("text")).as("fp"))
+        TextAnalysis.langPredict(scoreAttrs).as("lang_pred"),
+        col("n_tokens"),
+        col("fp"))
       .filter(col("n_tokens") >= minTokens)
       .as[CuratedDoc]
   }
