@@ -47,16 +47,39 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim i weight =
-    * sin(p·12289 + i·1627) — computed once at plan-build time and embedded
-    * as a foldable array literal (never per row; HOF lambdas don't
-    * constant-fold).
+  /** Deterministic ±1 (Rademacher) hyperplane weight for plane `p`, dim
+    * `i`: the SIGN of sin(p·12289 + i·1627). The sign is computed in Scala
+    * at plan-build time and inlined as a literal into BOTH the Spark plan
+    * and the generated DuckDB oracle SQL (`VectorOps.q41`), so no runtime
+    * libm call can diverge between engines. Sign-random-projection LSH
+    * with ±1 instead of Gaussian planes is a standard construction
+    * (Achlioptas-style sparse projections); the banded collision analysis
+    * `1-(1-s^r)^b` is unchanged.
     */
-  private def planeWeights(p: Int, dims: Int): Column =
-    array((0 until dims).map(i =>
-      lit(math.sin(p * 12289.0 + i * 1627.0))): _*)
+  def radWeight(p: Int, i: Int): Double =
+    if (math.sin(p * 12289.0 + i * 1627.0) >= 0) 1.0 else -1.0
 
-  /** Random-hyperplane LSH signature: `planes` sign bits packed to a long. */
+  private def planeWeights(p: Int, dims: Int): Column =
+    array((0 until dims).map(i => lit(radWeight(p, i))): _*)
+
+  /** Exact-portable quantization for LSH hashing: floor(x·10⁶), kept as
+    * DOUBLE. Each element becomes an integer-valued double, so the
+    * ±1-weighted signature dots below are sums of integers far under 2^53
+    * — every partial sum is exact, making the sign independent of
+    * summation order, partitioning, and engine. (floor rounds toward −∞
+    * identically in Spark and DuckDB; round()'s half-mode quirks never
+    * enter.) Hashing the quantized vector perturbs each component by
+    * <1e-6 — noise far below the hyperplane-margin scale that drives LSH
+    * collision probabilities — and the verify step always scores the
+    * ORIGINAL vectors, so this changes only which candidates surface,
+    * never an emitted cosine. This is what lets q41 carry a full DuckDB
+    * oracle instead of a rows-only check.
+    */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x * lit(1e6)).cast("double"))
+
+  /** Random-hyperplane LSH signature over a [[quantize]]d vector:
+    * `planes` sign bits packed to a long. */
   def rhpSignature(vec: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
       when(dot(vec, planeWeights(p, dims)) >= 0, shiftleft(lit(1L), p))
@@ -118,10 +141,17 @@ object Similarity {
           .select(col("vec_id"),
             zip_with(col("embedding"), col("mu"), (a, b) => a - b).as("hvec"))
       }
-    val raw = hashSrc.select(col("vec_id"), explode(array(
+    // The quantized vector is STAGED as its own attribute: transform()
+    // runs interpreted, and every per-band dot below references it —
+    // materializing it once per row keeps the quantization out of the
+    // per-plane hot path (the repo's HOF-staging rule), and quantizing
+    // is also what makes the signature bits engine-exact (see quantize).
+    val quantized = hashSrc.select(col("vec_id"),
+      quantize(col("hvec")).as("qvec"))
+    val raw = quantized.select(col("vec_id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
-          bandSignature(col("hvec"), b, planesPerBand, dims).as("sig"))
+          bandSignature(col("qvec"), b, planesPerBand, dims).as("sig"))
       }: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val banded = raw
@@ -149,9 +179,12 @@ object Similarity {
         col("embedding").as("emb_a"), col("norm").as("norm_a")), Seq("vec_a"))
       .join(vecs.select(col("vec_id").as("vec_b"),
         col("embedding").as("emb_b"), col("norm").as("norm_b")), Seq("vec_b"))
+      // 4dp-rounded BEFORE the threshold filter (the repo-wide cosine
+      // contract, same as exactCosinePairs) so a knife-edge pair can't
+      // pass in one engine and fail in the other.
       .select(col("vec_a"), col("vec_b"),
-        try_divide(dot(col("emb_a"), col("emb_b")),
-          col("norm_a") * col("norm_b")).as("cos"))
+        round(try_divide(dot(col("emb_a"), col("emb_b")),
+          col("norm_a") * col("norm_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }

@@ -54,16 +54,60 @@ object VectorOps {
       FROM norms GROUP BY label"""),
     doc = "embedding L2 norms aggregated per label")
 
-  // RHP-LSH bucketing: hash family not SQL-expressible → rows-only check;
-  // recall vs the exact q53 baseline is asserted in ScalaTest. Threshold
-  // 0.4 ≈ the top decile-of-similarity on the synthetic embeddings (max
-  // pairwise cosine ≈ 0.5-0.6 across SFs) so the query yields real rows
-  // at every scale factor.
+  // The LSH hash family IS oracle-able: signatures are sign bits of
+  // ±1-weighted dots over floor(x·10⁶)-quantized vectors — exact integer
+  // arithmetic in IEEE double on both engines (Similarity.quantize), with
+  // the ±1 weights inlined as literals into both plans from the same
+  // Scala constants (Similarity.radWeight). The SQL below reproduces the
+  // full pipeline: quantize → band signatures → hot-bucket cap →
+  // candidate join → exact-cosine verify (4dp before filter, the q53
+  // contract). Threshold 0.4 ≈ the top decile-of-similarity on the
+  // synthetic embeddings so the query yields real rows at every SF.
+  private def annOracle(threshold: Double, planesPerBand: Int, bands: Int,
+      dims: Int, maxBucketSize: Int): String = {
+    def plane(p: Int): String = (0 until dims)
+      .map(i => if (Similarity.radWeight(p, i) > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { i =>
+        s"(CASE WHEN list_dot_product(qv, ${plane(b * planesPerBand + i)})" +
+          s" >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bits AS sig FROM q"
+    }.mkString("\nUNION ALL\n")
+    s"""
+      WITH q AS (
+        SELECT vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> floor(x * 1000000.0)) AS qv
+        FROM embeddings),
+      sigs AS ($bandSelects),
+      banded AS (
+        SELECT vec_id, band, sig FROM (
+          SELECT vec_id, band, sig,
+                 count(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs)
+        WHERE bsz <= $maxBucketSize),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+      SELECT c.vec_a, c.vec_b,
+        round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 4)
+            >= $threshold"""
+  }
+
   private val q41_ann_lsh = Q(
     run = (s, d) =>
       Similarity.annPairs(Tables.embeddings(s, d), threshold = 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos")),
-    oracle = None,
+        .select(col("vec_a"), col("vec_b"), col("cos")),
+    oracle = Some(annOracle(threshold = 0.4, planesPerBand = 6, bands = 4,
+      dims = 64, maxBucketSize = 2000)),
     doc = "banded random-hyperplane LSH near-dup pairs (scale path)")
 
   // Exact all-pairs similarity join — the oracle-checked baseline the LSH

@@ -156,4 +156,23 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(tiny.map(p => (p._1, p._2)).toSet.subsetOf(lshSet))
   }
+
+  test("ANN signatures are engine-exact: quantized dots are integer-valued " +
+      "and the pair set is invariant to input partitioning") {
+    val emb = Tables.embeddings(spark, sf())
+    // quantize emits integer-valued doubles (floor(x·1e6)) — the property
+    // that keeps every ±1-weighted partial sum exact in IEEE double, so
+    // the sign bits (and thus the q41 oracle compare) cannot depend on
+    // summation order, partitioning, or engine
+    val nonIntegral = emb
+      .select(explode(Similarity.quantize(col("embedding"))).as("qx"))
+      .filter(col("qx") =!= floor(col("qx")))
+    assert(nonIntegral.count() == 0)
+    val base = Similarity.annPairs(emb, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val reshuffled = Similarity
+      .annPairs(emb.repartition(7, col("label")), threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(base == reshuffled, "pair set must not depend on partitioning")
+  }
 }
