@@ -130,14 +130,17 @@ object TextAnalysis {
   /** Character shingles: fixed-length windows at a fixed stride — the
     * selective n-gram unit for Jaccard near-dup detection. Returns an array
     * column; explode + distinct to get the (doc, shingle) relation.
+    *
+    * Runs through the codegen'd [[graft.functions.CharShinglesExpr]] — the
+    * declarative `transform(sequence(...), substr)` form evaluates
+    * interpreted per element and dominated the whole shingle family's cost
+    * at scale (~90% of q35's sf1 wall time). Same output, including the
+    * NULL-text → `[NULL]` and empty-text → `[""]` contracts.
     */
   def charShingles(text: Column, len: Int = 16, stride: Int = 4): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (len - 1), lit(1)), lit(stride)),
-      i => substring_index_safe(text, i, len))
-
-  private def substring_index_safe(text: Column, pos: Column, len: Int): Column =
-    text.substr(pos, lit(len))
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      graft.functions.CharShinglesExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expr(text), len, stride))
 
   /** Min-shingle-hash document fingerprint (winnowing-style): the minimum
     * md5 over the document's shingles — stable under reordering of
