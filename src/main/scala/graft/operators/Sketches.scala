@@ -81,6 +81,115 @@ object Sketches {
                           greatest(hv, 1)) AS BIGINT) END AS est_nd
     FROM r WHERE rn = least($k, nd)"""
 
+  /** Portable HyperLogLog: the classic Flajolet estimator computed over
+    * [[Dedup.portableHash64]] (a 60-bit md5 fold both engines spell the
+    * same way), so — unlike `approx_count_distinct`, whose HLL++ register
+    * layout is engine-private — the WHOLE sketch pipeline (bucket, rho,
+    * register max, harmonic mean, linear-counting fallback) is
+    * reproducible in ANSI SQL and the DuckDB oracle re-derives the
+    * bit-identical estimate ([[hllPortableSql]] is generated from the
+    * same constants).
+    *
+    * Layout: top `p` hash bits pick one of m=2^p registers; rho = position
+    * of the first set bit among the remaining 60-p bits (all-zero tail =
+    * 60-p+1). The register relation is ONE shuffle of at most m rows per
+    * group (map-side partial max), and the per-group state the final
+    * aggregate moves is m longs — the mergeability that makes HLL the
+    * 100 TB cardinality primitive. The harmonic sum is kept EXACT by
+    * scaling 2^-rho to the integer 2^(60-p+1-rho) (sum < 2^62, no
+    * overflow, no float accumulation order to disagree on); the only
+    * floating-point steps are one division plus the documented
+    * linear-counting `ln`, and the result is rounded to an integer so a
+    * last-ulp libm difference cannot surface.
+    *
+    * NULL values are excluded (a NULL contributes no element — the same
+    * contract as COUNT(DISTINCT)). `value` is hashed through its string
+    * form so both engines agree on the bytes.
+    */
+  def hllPortable(df: DataFrame, group: Column, value: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"hllPortable: p must be in [4,14], got $p")
+    val m = 1 << p
+    val remBits = 60 - p
+    val scale = 1L << (remBits + 1)
+    // numerator alpha_m * m^2 * 2^(remBits+1) as ONE Scala double so the
+    // SQL twin embeds the identical literal (round-trip toString)
+    val numer = hllNumerator(p)
+    // stage the hash as an attribute: bucket and rho both read it, and an
+    // inlined md5+conv would otherwise be evaluated twice per row
+    val regs = df.filter(value.isNotNull)
+      .select(group.as("grp"),
+        Dedup.portableHash64(value.cast("string")).as("h"))
+      .select(col("grp"), shiftright(col("h"), remBits).as("bucket"),
+        col("h").bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col("grp"), col("bucket"),
+        when(col("rem") === 0, lit(remBits + 1))
+          .otherwise(lit(remBits + 1) - length(bin(col("rem")))).as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val perGroup = regs.groupBy(col("grp")).agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${remBits + 1} - mj)"))
+        .as("s_present"),
+      count(lit(1)).as("nb"))
+    val v = lit(m.toLong) - col("nb")
+    val sTot = col("s_present") + v * lit(scale)
+    val estRaw = lit(numer) / sTot.cast("double")
+    val est = when(estRaw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(estRaw)
+    perGroup.select(col("grp"),
+      floor(est + lit(0.5)).cast("long").as("nd_est"))
+  }
+
+  /** ANSI-SQL text of [[hllPortable]] for the DuckDB oracle — generated
+    * from the same p/m/alpha constants so the two engines cannot drift.
+    */
+  def hllPortableSql(table: String, group: String, value: String,
+      p: Int = 8): String = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val scale = 1L << (remBits + 1)
+    val numer = hllNumerator(p)
+    s"""
+    WITH h AS (
+      SELECT $group AS grp,
+             CAST('0x' || substr(md5(CAST($value AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM $table WHERE $value IS NOT NULL),
+    rho AS (
+      SELECT grp, h >> $remBits AS bucket,
+             CASE WHEN (h & ${(1L << remBits) - 1}) = 0 THEN ${remBits + 1}
+                  ELSE ${remBits + 1} -
+                       length(bin(h & ${(1L << remBits) - 1})) END AS rho
+      FROM h),
+    regs AS (
+      SELECT grp, bucket, max(rho) AS mj FROM rho GROUP BY grp, bucket),
+    agg AS (
+      SELECT grp,
+             sum(CAST(1 AS BIGINT) << (${remBits + 1} - mj)) AS s_present,
+             count(*) AS nb
+      FROM regs GROUP BY grp)
+    SELECT grp,
+           CAST(floor(
+             CASE WHEN ($numer /
+                        CAST(s_present + ($m - nb) * $scale AS DOUBLE))
+                         <= ${2.5 * m}
+                       AND ($m - nb) > 0
+                  THEN $m.0 * ln($m.0 / CAST($m - nb AS DOUBLE))
+                  ELSE $numer /
+                       CAST(s_present + ($m - nb) * $scale AS DOUBLE)
+             END + 0.5) AS BIGINT) AS nd_est
+    FROM agg"""
+  }
+
+  /** alpha_m * m^2 * 2^(60-p+1): the shared double constant of
+    * [[hllPortable]]/[[hllPortableSql]].
+    */
+  private def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    (0.7213 / (1 + 1.079 / m)) * m * m * (1L << (60 - p + 1)).toDouble
+  }
+
   /** Heavy hitters: groups holding at least `minShare` of all rows — the
     * skew-detection primitive feeding [[Salt]]'s salted joins. Fully lazy,
     * ONE scan of the input: the row total is the sum of the per-key counts

@@ -379,6 +379,17 @@ object Extended {
     oracle = None,
     doc = "HLL approximate distinct (mergeable sketch; spec-bounded error)")
 
+  // --- portable HLL: the same sketch re-built over the md5-fold hash so
+  //     (unlike q70's engine-private HLL++) every register and the final
+  //     estimate are bit-identical across engines — fully hash-oracled
+  private val q91_hll_portable = Q(
+    run = (s, d) =>
+      Sketches.hllPortable(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_orderkey")),
+    oracle = Some(
+      Sketches.hllPortableSql("lineitem", "l_returnflag", "l_orderkey")),
+    doc = "portable HyperLogLog distinct estimate, bit-identical to oracle")
+
   // --- forward as-of join: for each click, the NEXT purchase at-or-after
   //     (time-to-conversion shape) — vs DuckDB's native forward ASOF.
   private val q72_asof_forward = Q(
@@ -580,5 +591,6 @@ object Extended {
     "q75_keep_best" -> q75_keep_best,
     "q76_kmv_distinct" -> q76_kmv_distinct,
     "q77_grouping_sets" -> q77_grouping_sets,
-    "q78_salted_agg" -> q78_salted_agg)
+    "q78_salted_agg" -> q78_salted_agg,
+    "q91_hll_portable" -> q91_hll_portable)
 }

@@ -56,6 +56,43 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("portable HLL lands within the standard error envelope of exact") {
+    // p=8 → 256 registers → standard error 1.04/sqrt(256) ≈ 6.5%; allow 3σ
+    val li = Tables.lineitem(spark, sf())
+    val est = Sketches.hllPortable(li, col("l_returnflag"),
+      col("l_orderkey")).as[(String, Long)].collect().toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val rel = math.abs(est(k) - n).toDouble / n
+      assert(rel <= 0.20, s"$k: portable HLL ${est(k)} vs exact $n ($rel)")
+    }
+  }
+
+  test("portable HLL small cardinalities hit the linear-counting branch") {
+    // 5 distinct values in 256 registers → V≈251 → 256·ln(256/V) ≈ 5
+    val df = (1L to 5L).flatMap(v => Seq(("g", v), ("g", v))).toDF("g", "v")
+    val est = Sketches.hllPortable(df, col("g"), col("v"))
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(est("g") - 5L) <= 1, s"got ${est("g")}")
+  }
+
+  test("portable HLL excludes NULL values and is duplication-invariant") {
+    val df = ((1L to 300L).map(v => ("g", Some(v))) ++
+      Seq(("g", None), ("onlynull", None)))
+      .toDF("g", "v")
+    val dup = df.union(df).repartition(7)
+    val a = Sketches.hllPortable(df, col("g"), col("v"))
+      .as[(String, Long)].collect().toMap
+    val b = Sketches.hllPortable(dup, col("g"), col("v"))
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+    assert(!a.contains("onlynull"), "all-NULL group must vanish")
+    val rel = math.abs(a("g") - 300L).toDouble / 300.0
+    assert(rel <= 0.20, s"portable HLL ${a("g")} vs 300 ($rel)")
+  }
+
   test("heavy hitters finds the dominant keys with shares") {
     val df = (Seq.fill(80)("hot") ++ (1 to 20).map(i => s"cold$i")).toDF("k")
     val hh = Sketches.heavyHitters(df, col("k"), minShare = 0.5)
