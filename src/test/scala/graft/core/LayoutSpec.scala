@@ -22,6 +22,26 @@ class LayoutSpec extends SparkSpec {
     assert(scan.select("v").as[Int].collect().toSeq == Seq(1))
   }
 
+  test("co-bucketed join runs with ZERO exchanges (shuffle-free at scale)") {
+    val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i"))
+      .toDF("key", "payload")
+    val dims = (0 to 49).map(i => (i.toLong, s"d$i")).toDF("key", "tag")
+    Layout.writeBucketed(facts, "bk_facts", buckets = 8, Seq("key"))
+    Layout.writeBucketed(dims, "bk_dims", buckets = 8, Seq("key"))
+    // disable broadcast so the test proves co-location, not broadcast
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("bk_facts")
+        .join(spark.table("bk_dims"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == 1000)
+    }
+    spark.sql("DROP TABLE IF EXISTS bk_facts")
+    spark.sql("DROP TABLE IF EXISTS bk_dims")
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val left = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
       .union(Seq(("cold", 0)).toDF("k", "v"))
