@@ -388,15 +388,19 @@ object Relational {
   //
   // Exact interpolated percentiles WITHOUT Spark's `percentile` aggregate
   // (which buffers every group member in executor memory — an OOM with
-  // wide groups at 100×): [[graft.operators.Stats.gridPercentiles]] runs
-  // the value-grid histogram plan, bounded by grid cardinality per group.
+  // wide groups at 100×). Quantity lives on a ~50-value grid →
+  // [[graft.operators.Stats.gridPercentiles]] (histogram bounded by grid
+  // cardinality). Price is 2dp money over a wide range — a grid as big as
+  // the data — so it takes [[graft.operators.Stats.selectionPercentiles]]:
+  // two-pass bucket selection, no per-group single-partition sort.
   private val q20_median = Q(
     run = (s, d) => {
       val li = Tables.lineitem(s, d)
       val qty = Stats.gridPercentiles(li, "l_returnflag", "l_quantity",
         Seq("median_qty" -> 0.5))
-      val price = Stats.gridPercentiles(li, "l_returnflag", "l_extendedprice",
-        Seq("p25_price" -> 0.25, "p75_price" -> 0.75))
+      val price = Stats.selectionPercentiles(li, "l_returnflag",
+        "l_extendedprice", Seq("p25_price" -> 0.25, "p75_price" -> 0.75),
+        bucketWidth = 64.0)
       // null-SAFE joins (a NULL group key still owns real percentiles);
       // renamed keys — all three frames descend from the same scan, so
       // frame("col") references would be ambiguous self-join refs

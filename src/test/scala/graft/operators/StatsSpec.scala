@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class StatsSpec extends SparkSpec {
@@ -23,6 +25,39 @@ class StatsSpec extends SparkSpec {
     val med = Stats.gridPercentiles(dup.toDF("k", "v"), "k", "v",
       Seq("p50" -> 0.5)).as[(String, Double)].head()
     assert(med == (("a", 2.0)))
+  }
+
+  test("selection percentiles match gridPercentiles on every edge shape") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)),
+      ("b", Some(10.0)), ("b", Some(20.0)), ("b", Some(30.0)),
+      ("c", Some(7.0)), ("c", None),
+      ("d", None))
+      .toDF("k", "v")
+    for (w <- Seq(0.5, 1.0, 5.0, 1000.0)) { // incl. one-bucket degenerate
+      val sel = Stats.selectionPercentiles(df, "k", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9), w)
+        .as[(String, Option[Double], Option[Double])].collect().toSet
+      val grid = Stats.gridPercentiles(df, "k", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+        .as[(String, Option[Double], Option[Double])].collect().toSet
+      assert(sel == grid, s"width $w")
+    }
+  }
+
+  test("selection percentiles agree with Spark's exact percentile " +
+      "on spread-out and negative values") {
+    val vals = (1 to 997).map(i => ("g", (i * i * 7919 % 100003) - 50000.0))
+    val df = vals.toDF("k", "v")
+    val sel = Stats.selectionPercentiles(df, "k", "v",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99), bucketWidth = 1024.0)
+      .as[(String, Double, Double, Double)].head()
+    val exact = df.groupBy("k")
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.99))"))
+      .as[(String, Seq[Double])].head()._2
+    assert(math.abs(sel._2 - exact(0)) < 1e-6)
+    assert(math.abs(sel._3 - exact(1)) < 1e-6)
+    assert(math.abs(sel._4 - exact(2)) < 1e-6)
   }
 
   test("global percentiles emit one ungrouped row") {
