@@ -53,11 +53,15 @@ object Stats {
   /** Closed-form linear interpolation between the bracketing order
     * statistics `name__lo`/`name__hi` at fraction p of (n-1) — the
     * `percentile` contract — rounded to 6dp for cross-engine parity.
+    * `nFor` names the row-count column backing each output (multi-column
+    * variants carry one count per measured column; NULLs were excluded
+    * per column, so the counts differ).
     */
   private def interpolate(agg: DataFrame, key: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)],
+      nFor: String => Column = _ => col("n")): DataFrame = {
     val out = ps.foldLeft(agg) { case (acc, (name, p)) =>
-      val pos = (col("n") - 1).cast("double") * lit(p)
+      val pos = (nFor(name) - 1).cast("double") * lit(p)
       val f = pos - floor(pos).cast("double")
       // f = 0 must short-circuit: __hi is NULL at the top order statistic
       // and NULL * 0 would null the whole interpolation
@@ -95,37 +99,74 @@ object Stats {
     * gridPercentiles amount of work.
     */
   def selectionPercentiles(df: DataFrame, key: String, v: String,
-      ps: Seq[(String, Double)], bucketWidth: Double): DataFrame = {
-    require(ps.nonEmpty, "selectionPercentiles: no percentiles requested")
-    require(bucketWidth > 0, "selectionPercentiles: bucketWidth must be > 0")
-    val rows = df.filter(col(v).isNotNull)
-      .select(col(key), col(v).cast("double").as("val"))
-    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth))
-    // pass A: bucket histogram + per-group cumulative bucket counts
-    val buck = rows.groupBy(col(key), bucketOf(col("val")).as("b"))
+      ps: Seq[(String, Double)], bucketWidth: Double): DataFrame =
+    selectionPercentilesMulti(df, key, Seq((v, bucketWidth, ps)))
+
+  /** [[selectionPercentiles]] over SEVERAL measured columns in ONE pair of
+    * scans: the columns are unpivoted to (key, cid, bucket, val) rows
+    * before pass A, so every column's bucket histogram rides the same
+    * shuffle and every column's candidate buckets ride the same pass-B
+    * re-scan — k columns × m percentiles cost two scans total, not 2k.
+    * `specs` = (value column, bucketWidth, (output name, fraction)*);
+    * output names must be globally unique. A group whose values for ONE
+    * column are all NULL gets NULL for that column's outputs (it stays a
+    * row if any other column has data — per-column row counts are carried
+    * separately for exactly this reason).
+    */
+  def selectionPercentilesMulti(df: DataFrame, key: String,
+      specs: Seq[(String, Double, Seq[(String, Double)])]): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._3.nonEmpty),
+      "selectionPercentilesMulti: empty spec")
+    require(specs.forall(_._2 > 0),
+      "selectionPercentilesMulti: bucketWidth must be > 0")
+    val names = specs.flatMap(_._3.map(_._1))
+    require(names.distinct.size == names.size,
+      s"selectionPercentilesMulti: duplicate output names in $names")
+    // unpivot: bucket is computed per column BEFORE the explode so each
+    // column keeps its own width without a cid dispatch downstream
+    val colArr = array(specs.zipWithIndex.map { case ((v, w, _), ci) =>
+      val value = col(v).cast("double")
+      struct(lit(ci).as("cid"), floor(value / lit(w)).as("b"),
+        value.as("val"))
+    }: _*)
+    val rows = df.select(col(key), explode(colArr).as("cv"))
+      .filter(col("cv.val").isNotNull)
+      .select(col(key), col("cv.cid").as("cid"), col("cv.b").as("b"),
+        col("cv.val").as("val"))
+    // pass A: bucket histogram + per-(group, column) cumulative counts
+    val buck = rows.groupBy(col(key), col("cid"), col("b"))
       .agg(count(lit(1)).as("bcnt"))
       .withColumn("bcum", sum(col("bcnt")).over(
-        Window.partitionBy(col(key)).orderBy(col("b"))))
-      .withColumn("n", sum(col("bcnt")).over(Window.partitionBy(col(key))))
-    // every target rank in ONE pass (union would re-aggregate per target)
-    val targetArr = array(ps.flatMap { case (name, p) =>
-      def r1: Column = floor((col("n") - 1).cast("double") * lit(p))
-        .cast("long") + 1
-      Seq(struct(lit(s"${name}__lo").as("tag"), r1.as("r")),
-        struct(lit(s"${name}__hi").as("tag"), (r1 + 1).as("r")))
-    }: _*)
+        Window.partitionBy(col(key), col("cid")).orderBy(col("b"))))
+      .withColumn("n", sum(col("bcnt")).over(
+        Window.partitionBy(col(key), col("cid"))))
+    // every target rank of every column in ONE pass — the rank array is
+    // selected by cid (same struct type per branch, so one when-chain)
+    def ranksOf(ps: Seq[(String, Double)]): Column =
+      array(ps.flatMap { case (name, p) =>
+        def r1: Column = floor((col("n") - 1).cast("double") * lit(p))
+          .cast("long") + 1
+        Seq(struct(lit(s"${name}__lo").as("tag"), r1.as("r")),
+          struct(lit(s"${name}__hi").as("tag"), (r1 + 1).as("r")))
+      }: _*)
+    val targetArr = specs.zipWithIndex.tail
+      .foldLeft(when(col("cid") === lit(0), ranksOf(specs.head._3))) {
+        case (acc, ((_, _, ps), ci)) =>
+          acc.when(col("cid") === lit(ci), ranksOf(ps))
+      }
     val targets = buck
-      .select(col(key).as("__tk"), col("b").as("__tb"),
-        (col("bcum") - col("bcnt")).as("prior"), col("bcum"), col("n"),
-        explode(targetArr).as("t"))
+      .select(col(key).as("__tk"), col("cid").as("__tc"),
+        col("b").as("__tb"), (col("bcum") - col("bcnt")).as("prior"),
+        col("bcum"), col("n"), explode(targetArr).as("t"))
       .filter(col("bcum") >= col("t.r") && col("prior") < col("t.r"))
-      .select(col("__tk"), col("__tb"), col("t.tag").as("tag"),
-        col("t.r").as("r"), col("prior"), col("n"))
+      .select(col("__tk"), col("__tc"), col("__tb"),
+        col("t.tag").as("tag"), col("t.r").as("r"), col("prior"), col("n"))
     // pass B: only rows in a target bucket survive the broadcast join;
     // the in-bucket histogram + cumsum is tiny by construction
     val cand = rows
       .join(broadcast(targets),
-        col(key) <=> col("__tk") && bucketOf(col("val")) === col("__tb"))
+        col(key) <=> col("__tk") && col("cid") === col("__tc") &&
+          col("b") === col("__tb"))
       .groupBy(col(key), col("tag"), col("r"), col("prior"), col("n"),
         col("val"))
       .agg(count(lit(1)).as("cnt"))
@@ -135,15 +176,17 @@ object Stats {
       .agg(max(col("n")).as("n"),
         min(when(col("prior") + col("lcum") >= col("r"), col("val")))
           .cast("double").as("tval"))
-    val wide = vals.groupBy(col(key)).agg(
-      max(col("n")).as("n"),
-      ps.flatMap { case (name, _) => Seq(
-        min(when(col("tag") === s"${name}__lo", col("tval")))
-          .as(s"${name}__lo"),
-        min(when(col("tag") === s"${name}__hi", col("tval")))
-          .as(s"${name}__hi"))
-      }: _*)
-    interpolate(wide, key, ps)
+    val wideAggs = names.flatMap { name => Seq(
+      min(when(col("tag") === s"${name}__lo", col("tval")))
+        .as(s"${name}__lo"),
+      min(when(col("tag") === s"${name}__hi", col("tval")))
+        .as(s"${name}__hi"),
+      max(when(col("tag") === s"${name}__lo", col("n")))
+        .as(s"${name}__n"))
+    }
+    val wide = vals.groupBy(col(key)).agg(wideAggs.head, wideAggs.tail: _*)
+    interpolate(wide, key, specs.flatMap(_._3),
+      name => col(s"${name}__n"))
   }
 
   /** Global (ungrouped) exact percentiles of `v`: one constant-key grid —

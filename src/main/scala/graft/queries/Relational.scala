@@ -388,28 +388,26 @@ object Relational {
   //
   // Exact interpolated percentiles WITHOUT Spark's `percentile` aggregate
   // (which buffers every group member in executor memory — an OOM with
-  // wide groups at 100×). Quantity lives on a ~50-value grid →
-  // [[graft.operators.Stats.gridPercentiles]] (histogram bounded by grid
-  // cardinality). Price is 2dp money over a wide range — a grid as big as
-  // the data — so it takes [[graft.operators.Stats.selectionPercentiles]]:
-  // two-pass bucket selection, no per-group single-partition sort.
+  // wide groups at 100×). Both columns go through
+  // [[graft.operators.Stats.selectionPercentilesMulti]]: two-pass bucket
+  // selection — no per-group single-partition sort (price is 2dp money
+  // over a range as wide as the data, so a value-grid window would be one
+  // straggler task per group), and the unpivot means quantity's histogram
+  // rides the same two scans instead of a third and fourth of its own.
   private val q20_median = Q(
     run = (s, d) => {
       val li = Tables.lineitem(s, d)
-      val qty = Stats.gridPercentiles(li, "l_returnflag", "l_quantity",
-        Seq("median_qty" -> 0.5))
-      val price = Stats.selectionPercentiles(li, "l_returnflag",
-        "l_extendedprice", Seq("p25_price" -> 0.25, "p75_price" -> 0.75),
-        bucketWidth = 64.0)
-      // null-SAFE joins (a NULL group key still owns real percentiles);
-      // renamed keys — all three frames descend from the same scan, so
+      // both measured columns ride ONE unpivoted scan-pair: qty's 1-wide
+      // buckets make selection degrade to exactly the grid histogram
+      val pct = Stats.selectionPercentilesMulti(li, "l_returnflag", Seq(
+        ("l_quantity", 1.0, Seq("median_qty" -> 0.5)),
+        ("l_extendedprice", 64.0,
+          Seq("p25_price" -> 0.25, "p75_price" -> 0.75))))
+      // null-SAFE join (a NULL group key still owns real percentiles);
+      // renamed key — both frames descend from the same scan, so
       // frame("col") references would be ambiguous self-join refs
-      val keys = li.select(col("l_returnflag")).distinct()
-      keys
-        .join(qty.withColumnRenamed("l_returnflag", "__kq"),
-          col("l_returnflag") <=> col("__kq"), "left")
-        .drop("__kq")
-        .join(price.withColumnRenamed("l_returnflag", "__kp"),
+      li.select(col("l_returnflag")).distinct()
+        .join(pct.withColumnRenamed("l_returnflag", "__kp"),
           col("l_returnflag") <=> col("__kp"), "left")
         .drop("__kp")
     },

@@ -45,6 +45,27 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("multi-column selection matches per-column runs; per-column " +
+      "all-NULL group keeps its other columns") {
+    val df = Seq(
+      ("a", Some(1.0), Some(100.0)), ("a", Some(2.0), Some(200.0)),
+      ("a", Some(3.0), None),
+      ("b", Some(10.0), None), ("b", Some(20.0), None), // y all NULL
+      ("c", None, Some(7.0))) // x all NULL
+      .toDF("k", "x", "y")
+    val multi = Stats.selectionPercentilesMulti(df, "k", Seq(
+      ("x", 2.0, Seq("px" -> 0.5)), ("y", 64.0, Seq("py" -> 0.75))))
+      .as[(String, Option[Double], Option[Double])].collect().toSet
+    val px = Stats.selectionPercentiles(df, "k", "x", Seq("px" -> 0.5), 2.0)
+      .as[(String, Double)].collect().toMap
+    val py = Stats.selectionPercentiles(df, "k", "y", Seq("py" -> 0.75), 64.0)
+      .as[(String, Double)].collect().toMap
+    val expected = (px.keySet ++ py.keySet)
+      .map(k => (k, px.get(k), py.get(k)))
+    assert(multi == expected)
+    assert(multi.exists { case (k, x, y) => k == "b" && x.nonEmpty && y.isEmpty })
+  }
+
   test("selection percentiles agree with Spark's exact percentile " +
       "on spread-out and negative values") {
     val vals = (1 to 997).map(i => ("g", (i * i * 7919 % 100003) - 50000.0))
