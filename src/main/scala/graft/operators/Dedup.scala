@@ -310,7 +310,14 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3): DataFrame = {
-    val sim = simhash(docs, id, text)
+    // materialize the signatures: the self-join below consumes the frame
+    // twice, and one side broadcasts — whose exchange shape blocks Spark's
+    // ReusedExchange, so WITHOUT truncation the whole tokenize + 60-bit
+    // vote pipeline (the dominant cost) would execute once per side. The
+    // checkpoint is one narrow (id, long) row per doc — doc-count-bounded,
+    // never corpus-bytes (same trade as [[components]]; use reliable
+    // `checkpoint` on a cluster for fault tolerance).
+    val sim = simhash(docs, id, text).localCheckpoint()
     val banded = sim.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
