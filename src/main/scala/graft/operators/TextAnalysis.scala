@@ -35,6 +35,47 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(bpeTokens(text)).cast("long")
 
+  /** Overlapping token-window chunking — the context-length splitter every
+    * training/RAG pipeline needs: each document becomes ⌈(n_tok − overlap)
+    * / stride⌉ windows of `chunkSize` tokens advancing by stride =
+    * chunkSize − overlap. The start grid is `sequence(0, max(n_tok −
+    * overlap − 1, 0), stride)`, which (a) covers every token (the last
+    * start is ≥ n_tok − chunkSize), (b) never emits a tail window fully
+    * contained in its predecessor, and (c) gives short docs exactly one
+    * window. NULL and whitespace-only text produce NO rows (the
+    * [[tokenCount]] = 0 contract, pinned in the q92 oracle).
+    *
+    * Scale shape: one narrow projection stages the token array ONCE (HOF
+    * rule), the explode is linear in output chunks, and there is no
+    * shuffle at all — chunking 100 TB is a pure map, partition-parallel
+    * end to end. Emits (doc_id, chunk_idx, tok_start, chunk_tokens,
+    * chunk_text).
+    */
+  def chunks(docs: DataFrame, id: Column, text: Column,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunks: chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunks: need 0 <= overlap < chunkSize, got $overlap")
+    val stride = (chunkSize - overlap).toLong
+    val tk = docs
+      .select(id.as("doc_id"),
+        when(length(trim(text)) === 0, lit(null).cast("array<string>"))
+          .otherwise(tokens(text)).as("tk"))
+      .filter(col("tk").isNotNull)
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n_tok"))
+    tk.select(col("doc_id"), col("tk"), col("n_tok"),
+        explode(sequence(lit(0L),
+          greatest(col("n_tok") - lit(overlap.toLong) - lit(1L), lit(0L)),
+          lit(stride))).as("tok_start"))
+      .select(col("doc_id"),
+        (col("tok_start") / lit(stride)).cast("long").as("chunk_idx"),
+        col("tok_start"),
+        least(lit(chunkSize.toLong), col("n_tok") - col("tok_start"))
+          .as("chunk_tokens"),
+        array_join(slice(col("tk"), (col("tok_start") + 1).cast("int"),
+          lit(chunkSize)), " ").as("chunk_text"))
+  }
+
   /** Space-joined word n-grams over a token array. Guards the <n-token
     * case: `sequence(0, size - n)` DESCENDS when size < n (yielding null
     * entries) instead of being empty — the bug class q81's oracle

@@ -686,6 +686,38 @@ object TextOps {
       FROM counted GROUP BY doc_id"""),
     doc = "count-based LM score per doc (perplexity-filter shape)")
 
+  // --- token-window chunking: the context-length splitter --------------
+  //
+  // 64-token windows advancing by 48 (16-token overlap). The oracle
+  // rebuilds the same start grid with generate_series and DuckDB's
+  // 1-based inclusive list slice; NULL/whitespace-only docs emit nothing
+  // on both sides (the tokenCount=0 contract).
+  private val q92_chunks = Q(
+    run = (s, d) => TextAnalysis.chunks(Tables.documents(s, d),
+      col("doc_id"), col("text"), chunkSize = 64, overlap = 16),
+    oracle = Some("""
+      WITH tk AS (
+        SELECT doc_id,
+          CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+               ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS tk
+        FROM documents),
+      n AS (
+        SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok
+        FROM tk WHERE tk IS NOT NULL),
+      s AS (
+        SELECT doc_id, tk, n_tok,
+          unnest(generate_series(0, greatest(n_tok - 16 - 1, 0), 48))
+            AS tok_start
+        FROM n)
+      SELECT doc_id,
+        CAST(tok_start // 48 AS BIGINT) AS chunk_idx,
+        CAST(tok_start AS BIGINT) AS tok_start,
+        CAST(least(64, n_tok - tok_start) AS BIGINT) AS chunk_tokens,
+        array_to_string(tk[tok_start + 1 : tok_start + 64], ' ')
+          AS chunk_text
+      FROM s"""),
+    doc = "overlapping token-window chunking (64/16 overlap)")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -704,5 +736,6 @@ object TextOps {
     "q87_priority_sample" -> q87_priority_sample,
     "q88_mixture_plan" -> q88_mixture_plan,
     "q89_pack_bins" -> q89_pack_bins,
-    "q90_lm_score" -> q90_lm_score)
+    "q90_lm_score" -> q90_lm_score,
+    "q92_chunks" -> q92_chunks)
 }
