@@ -51,6 +51,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"per-row query must not shuffle:\n$p")
   }
 
+  test("q92_chunks: chunking is a pure map (explode, no shuffle) — " +
+      "partition-parallel end to end") {
+    val p = plan("q92_chunks")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the chunk explode:\n$p")
+  }
+
   test("q71_ivf_assign: nearest-centroid argmax is a broadcast map — " +
       "no window, no corpus shuffle") {
     val p = plan("q71_ivf_assign")
