@@ -290,6 +290,111 @@ object Similarity {
         col("best.cos").as("centroid_cos") +: keep.map(col): _*)
   }
 
+  // --- Product quantization (PQ) ----------------------------------------
+
+  /** Deterministic PQ codebook from the corpus itself: the first `codes`
+    * rows by id, each sliced into `m` equal subvectors → (sub_id, code_id,
+    * sv) with the centroid's squared norm staged (`c2`), so encode never
+    * recomputes it per row. (A trained codebook — e.g. per-subspace
+    * [[graft.queries.VectorOps q80]]-style k-medians — drops in with the
+    * same schema; taking rows keeps the whole PQ pipeline replayable in
+    * the SQL oracle, the q80/q84 convention.)
+    */
+  def pqCodebook(emb: DataFrame, dims: Int, m: Int,
+      codes: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"pqCodebook: m=$m must divide dims=$dims")
+    val ds = dims / m
+    emb.filter(col("vec_id") < codes)
+      .select(col("vec_id").as("code_id"),
+        col("embedding").cast("array<double>").as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .select(col("sub_id"), col("code_id"),
+        slice(col("v"), col("sub_id") * ds + 1, lit(ds)).as("sv"))
+      .withColumn("c2", dot(col("sv"), col("sv")))
+  }
+
+  /** PQ ENCODE: each vector becomes `m` small codes — the 100 TB memory
+    * path for similarity search (a 64-dim float vector is 256 B; its
+    * 8-sub × 16-code PQ form is 8 B — the index that has to live in RAM
+    * shrinks 32×). Per subvector the nearest codebook entry by squared L2
+    * distance wins; with |x|² constant per subvector the argmin is over
+    * `|c|² − 2·x·c`, rounded to `roundDp` with ties to the smallest
+    * code_id (the [[ivfAssign]] determinism convention, replayed exactly
+    * in the q93 oracle).
+    *
+    * Scale shape: the codebook packs into ONE broadcast row (m·codes
+    * structs); encoding is a pure map over the corpus — zero shuffle,
+    * partition-parallel end to end. The subvector slices are staged as an
+    * attribute BEFORE the scoring lambdas (HOF staging rule — interpreted
+    * lambdas re-evaluate inlined subtrees per element).
+    */
+  def pqEncode(emb: DataFrame, codebook: DataFrame, dims: Int, m: Int,
+      roundDp: Int = 6, keep: Seq[String] = Nil): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"pqEncode: m=$m must divide dims=$dims")
+    val ds = dims / m
+    // cb[j+1].codes = that subspace's entries (sort_array orders the outer
+    // struct array by sub_id, its first field)
+    val packed = codebook
+      .groupBy(col("sub_id"))
+      .agg(collect_list(struct(col("code_id"), col("sv"), col("c2")))
+        .as("codes"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("sub_id"), col("codes"))))
+        .as("cb"))
+    val subs = transform(sequence(lit(0), lit(m - 1)),
+      j => slice(col("__v"), j * ds + 1, lit(ds)))
+    val codesCol = transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = element_at(col("__subs"), j + 1)
+      val entries = element_at(col("cb"), j + 1)("codes")
+      array_min(transform(entries, c =>
+        struct(
+          round(c("c2") - lit(2.0) * dot(sub, c("sv")), roundDp).as("d"),
+          c("code_id").as("code_id"))))("code_id")
+    })
+    emb
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("__subs", subs)
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id") +: codesCol.as("codes") +: keep.map(col): _*)
+  }
+
+  /** PQ ASYMMETRIC-DISTANCE search (ADC): rank the CODES, not the
+    * vectors. The query builds one m×codes lookup table of exact
+    * query-subvector ⋅ centroid dot products; each corpus row's
+    * approximate score is then m table lookups summed — no d-wide math
+    * per row, which is what makes a RAM-resident 100 TB index scannable.
+    * Scores round to `roundDp`, ties to smallest vec_id, top-k via
+    * TakeOrdered (no global sort).
+    */
+  def pqSearch(codes: DataFrame, codebook: DataFrame, query: DataFrame,
+      dims: Int, m: Int, k: Int, roundDp: Int = 4): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"pqSearch: m=$m must divide dims=$dims")
+    val ds = dims / m
+    // LUT rows: (sub_id, code_id, lv = q_sub ⋅ sv) → one broadcast row of
+    // per-sub arrays ordered by code_id so element_at(larr, code+1) is the
+    // table lookup
+    val lut = codebook.crossJoin(broadcast(
+        query.select(col("qv").cast("array<double>").as("qv"))))
+      .select(col("sub_id"), col("code_id"),
+        dot(slice(col("qv"), col("sub_id") * ds + 1, lit(ds)), col("sv"))
+          .as("lv"))
+      .groupBy(col("sub_id"))
+      .agg(transform(sort_array(collect_list(struct(col("code_id"),
+        col("lv")))), e => e("lv")).as("lvs"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("sub_id"), col("lvs"))))
+        .as("lut"))
+    codes.crossJoin(broadcast(lut))
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"),
+            transform(col("lut"), e => e("lvs")),
+            (c, larr) => element_at(larr, c.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x), roundDp).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** The IVF ANN QUERY path on top of [[ivfAssign]]: rank cells by the
     * query↔centroid cosine, probe the top `nprobe` cells, and exactly
     * rerank only their members — the standard recall/cost dial of an IVF

@@ -257,6 +257,87 @@ object VectorOps {
       LIMIT 10"""),
     doc = "IVF ANN query: probe nprobe nearest cells, exact rerank within")
 
+  // --- Product quantization: encode + ADC search ------------------------
+  //
+  // Codebook = subvector slices of the first 16 vectors (deterministic,
+  // so the whole pipeline replays in SQL — the q80/q84 convention). The
+  // argmin is over round(|c|² − 2·x·c, 6) with ties to the smallest
+  // code_id; |x|² is constant per subvector so the ranking equals squared
+  // L2. Exploded to (vec_id, sub_id, code) rows — a relational shape both
+  // engines hash identically.
+  private val q93_pq_encode = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+      Similarity.pqEncode(emb, cb, dims = 64, m = 8)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("int").as("sub_id"),
+          col("col").cast("bigint").as("code"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cb AS (SELECT j AS sub_id, vec_id AS code_id,
+               v[j*8 + 1 : j*8 + 8] AS sv
+             FROM e, js WHERE vec_id < 16),
+      cbn AS (SELECT sub_id, code_id, sv,
+                list_sum(list_transform(sv, x -> x * x)) AS c2 FROM cb),
+      subs AS (SELECT e.vec_id, j AS sub_id, v[j*8 + 1 : j*8 + 8] AS sub
+               FROM e, js),
+      scored AS (SELECT s.vec_id, s.sub_id, c.code_id,
+          round(c.c2 - 2 * list_dot_product(s.sub, c.sv), 6) AS d
+        FROM subs s JOIN cbn c ON s.sub_id = c.sub_id),
+      best AS (SELECT vec_id, sub_id, code_id,
+          row_number() OVER (PARTITION BY vec_id, sub_id
+                             ORDER BY d, code_id) AS rn
+        FROM scored)
+      SELECT vec_id, CAST(sub_id AS INTEGER) AS sub_id,
+             CAST(code_id AS BIGINT) AS code
+      FROM best WHERE rn = 1"""),
+    doc = "PQ encode: per-subvector nearest codebook entry (32x compression)")
+
+  private val q94_pq_search = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+      val codes = Similarity.pqEncode(emb.filter(col("vec_id") =!= 0),
+        cb, dims = 64, m = 8)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      Similarity.pqSearch(codes, cb, query, dims = 64, m = 8, k = 10)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cb AS (SELECT j AS sub_id, vec_id AS code_id,
+               v[j*8 + 1 : j*8 + 8] AS sv
+             FROM e, js WHERE vec_id < 16),
+      cbn AS (SELECT sub_id, code_id, sv,
+                list_sum(list_transform(sv, x -> x * x)) AS c2 FROM cb),
+      subs AS (SELECT e.vec_id, j AS sub_id, v[j*8 + 1 : j*8 + 8] AS sub
+               FROM e, js WHERE e.vec_id <> 0),
+      best AS (SELECT s.vec_id, s.sub_id, c.code_id,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+            round(c.c2 - 2 * list_dot_product(s.sub, c.sv), 6),
+            c.code_id) AS rn
+        FROM subs s JOIN cbn c ON s.sub_id = c.sub_id),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0),
+      lut AS (SELECT c.sub_id, c.code_id,
+                list_dot_product(qv[c.sub_id*8 + 1 : c.sub_id*8 + 8],
+                  c.sv) AS lv
+              FROM cbn c, q)
+      SELECT b.vec_id,
+             round(sum(l.lv), 4) AS score
+      FROM best b JOIN lut l
+        ON b.sub_id = l.sub_id AND b.code_id = l.code_id
+      WHERE b.rn = 1
+      GROUP BY b.vec_id
+      ORDER BY score DESC, b.vec_id LIMIT 10"""),
+    doc = "PQ asymmetric-distance top-k: m table lookups per row, no d-wide math")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -264,5 +345,7 @@ object VectorOps {
     "q53_sim_join" -> q53_sim_join,
     "q71_ivf_assign" -> q71_ivf_assign,
     "q80_kmedians_step" -> q80_kmedians_step,
-    "q84_ivf_search" -> q84_ivf_search)
+    "q84_ivf_search" -> q84_ivf_search,
+    "q93_pq_encode" -> q93_pq_encode,
+    "q94_pq_search" -> q94_pq_search)
 }

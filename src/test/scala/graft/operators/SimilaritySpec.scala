@@ -157,6 +157,58 @@ class SimilaritySpec extends SparkSpec {
     assert(tiny.map(p => (p._1, p._2)).toSet.subsetOf(lshSet))
   }
 
+  test("PQ encode: codebook vectors are their own nearest code in every " +
+      "subspace; codes stay in range and don't depend on partitioning") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+    val enc = Similarity.pqEncode(emb, cb, dims = 64, m = 8)
+      .as[(Long, Seq[Long])].collect()
+    assert(enc.length == emb.count())
+    enc.foreach { case (_, codes) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    }
+    // a codebook vector's subvector is AT its own centroid: squared L2
+    // distance 0 is the unique minimum on continuous random data
+    enc.filter(_._1 < 16).foreach { case (id, codes) =>
+      assert(codes.forall(_ == id), s"vector $id must self-encode: $codes")
+    }
+    val reshuffled = Similarity
+      .pqEncode(emb.repartition(7, col("label")), cb, dims = 64, m = 8)
+      .as[(Long, Seq[Long])].collect()
+    assert(enc.toMap == reshuffled.toMap,
+      "codes must not depend on partitioning")
+  }
+
+  test("PQ ADC search: scores equal an independent LUT-sum recompute of " +
+      "each row's codes; ranking is descending") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16).cache()
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val codes = Similarity.pqEncode(corpus, cb, dims = 64, m = 8)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val top = Similarity.pqSearch(codes, cb, query, dims = 64, m = 8, k = 10)
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    // independent recompute: explode codes relationally, join the codebook,
+    // take exact query-subvector dot products, sum per vector
+    val qd = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val recomputed = codes
+      .select(col("vec_id"), posexplode(col("codes")))
+      .join(cb, col("pos") === cb("sub_id") && col("col") === cb("code_id"))
+      .crossJoin(broadcast(qd))
+      .select(col("vec_id"), Similarity.dot(
+        slice(col("qv"), col("sub_id") * 8 + 1, lit(8)), col("sv")).as("lv"))
+      .groupBy(col("vec_id")).agg(round(sum(col("lv")), 4).as("score"))
+      .as[(Long, Double)].collect().toMap
+    top.foreach { case (id, s) =>
+      assert(math.abs(recomputed(id) - s) < 1e-9,
+        s"ADC score for $id: search=$s recompute=${recomputed(id)}")
+    }
+  }
+
   test("ANN signatures are engine-exact: quantized dots are integer-valued " +
       "and the pair set is invariant to input partitioning") {
     val emb = Tables.embeddings(spark, sf())

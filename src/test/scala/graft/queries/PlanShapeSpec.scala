@@ -142,4 +142,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k fusion:\n$p")
     assert(!p.contains("Window"), s"assignment must stay window-free:\n$p")
   }
+
+  test("q93_pq_encode: the codebook packs into one broadcast row; the " +
+      "corpus side is a pure map — its only exchanges build the codebook") {
+    val p = plan("q93_pq_encode")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"codebook must broadcast:\n$p")
+    assert(!p.contains("Window"), s"encode must not use a window:\n$p")
+    // codebook packing = two tiny aggregations (per-sub, then single-row);
+    // anything beyond that means the CORPUS started shuffling
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 2,
+      s"corpus must not shuffle for encoding ($nonBroadcast exchanges):\n$p")
+  }
+
+  test("q94_pq_search: the LUT broadcasts and ADC top-k fuses " +
+      "(no global sort of the scored corpus)") {
+    val p = plan("q94_pq_search")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k fusion:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"LUT must broadcast:\n$p")
+  }
 }
