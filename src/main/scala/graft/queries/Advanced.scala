@@ -232,10 +232,12 @@ object Advanced {
   //     beyond the reference's surface, standard analytics completeness)
   private val q48_rollup = Q(
     run = (s, d) =>
-      Tables.orders(s, d)
-        .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      graft.operators.MultiLevelAgg.rollup(Tables.orders(s, d),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(graft.operators.MultiLevelAgg.countAll("n"),
+          graft.operators.MultiLevelAgg.sumOf(dec(col("o_totalprice")), "total_d")),
+        groupingId = Some("gid"))
+        .withColumn("total", col("total_d").cast("double")).drop("total_d")
         .select(
           coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
           coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),

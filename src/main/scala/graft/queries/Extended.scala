@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.operators.{Multimodal, Salt, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{MultiLevelAgg, Multimodal, Salt, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Round-2 surface widening: deterministic sampling, ranking-window family,
   * pivot, explode/unnest, embedding dedup, cube/grouping sets, intersect,
@@ -136,10 +136,13 @@ object Extended {
   //     of (status, priority) in one pass.
   private val q59_cube = Q(
     run = (s, d) =>
-      Tables.orders(s, d)
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast("double").as("sum_price")),
+      MultiLevelAgg.cube(Tables.orders(s, d),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(MultiLevelAgg.countAll("n"),
+          MultiLevelAgg.sumOf(dec(col("o_totalprice")), "sum_price_d")),
+        groupingId = Some("gid"))
+        .withColumn("sum_price", col("sum_price_d").cast("double"))
+        .drop("sum_price_d"),
     oracle = Some("""
       SELECT o_orderstatus, o_orderpriority,
              CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
@@ -533,13 +536,14 @@ object Extended {
   //     arbitrary set of grouping combinations
   private val q77_grouping_sets = Q(
     run = (s, d) =>
-      Tables.lineitem(s, d)
-        .groupingSets(
-          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
-            Seq(col("l_returnflag")), Seq.empty),
-          col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      MultiLevelAgg.groupingSets(Tables.lineitem(s, d),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
+          Seq.empty),
+        Seq(MultiLevelAgg.countAll("n"),
+          MultiLevelAgg.sumOf(dec(col("l_quantity")), "qty_d")),
+        groupingId = None)
+        .withColumn("qty", col("qty_d").cast("double")).drop("qty_d")
         .select(
           coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
           coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
