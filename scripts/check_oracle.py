@@ -33,8 +33,15 @@ def main(sf_dir, out_dir):
               "lineitem","events","documents","embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        errors = json.load(open(f"{out_dir}/errors.json"))
+    except Exception:
+        errors = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in errors:
+            print(f"FAIL {name}: spark query threw: {errors[name][:200]}")
+            n_fail += 1; continue
         try:
             o_raw = con.sql(sql).df()
         except Exception as e:
@@ -74,6 +81,9 @@ def main(sf_dir, out_dir):
             print("  oracle:", o[neq].head(2).to_dict("records"))
             print("  spark: ", s[neq].head(2).to_dict("records"))
             n_fail += 1
+    for name in sorted(set(errors) - set(oracle)):
+        print(f"FAIL {name}: spark query threw (no oracle): {errors[name][:200]}")
+        n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -15,11 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD in the artifact, not just stderr: a thrown
+    // query gets (a) a row in <out>/errors.json and (b) an _ERROR.txt
+    // marker inside its (parquet-less) out dir, so any downstream compare
+    // that iterates result dirs sees an explicit error instead of the
+    // query silently vanishing from the correctness report.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
+        val dir = new java.io.File(s"$outDir/$name")
+        // scrub any partial parquet output so the marker is unambiguous
+        if (dir.isDirectory) dir.listFiles().foreach(_.delete())
+        dir.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +50,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -35,7 +35,8 @@ object Graft {
     * (the driver's Verify/Bench sessions). Idempotent.
     */
   def init(spark: SparkSession): SparkSession = {
-    // events.ts is parquet TIMESTAMP(NANOS); see Tables.events
+    // events.ts may be parquet TIMESTAMP(NANOS) depending on harness
+    // generation; harmless no-op for MICROS data. See Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.compat.registerAll(spark)
     spark
@@ -58,17 +59,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read nanos as long (legacy conf) and rebuild a micros
-    * timestamp with exact integer division (no double round-trip — nanos
-    * since epoch exceed 2^53).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some harness
+    * generations and TIMESTAMP(MICROS, NTZ) in others, so the loader is
+    * SCHEMA-ADAPTIVE: with `nanosAsLong` set, NANOS data surfaces as
+    * BIGINT (rebuild a micros timestamp with exact integer division — no
+    * double round-trip, nanos since epoch exceed 2^53), while MICROS data
+    * surfaces as TIMESTAMP_NTZ (cast to the session timestamp type; the
+    * session TZ is pinned UTC so wall-clock == instant, matching what the
+    * nanos rebuild produced). Either way callers see a TimestampType `ts`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
