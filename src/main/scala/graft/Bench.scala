@@ -191,6 +191,9 @@ object Bench {
       s"""{"metric":"total","value":${fmt(best.wall)},"unit":"sec",""" +
         s""""queries":$qs,"sum":${fmt(sum)},"par":$par,"passes":4,""" +
         (if (cut > 0) s""""cut":$cut,""" else "") +
+        // failed queries abort in ms, deflating the wall — a total
+        // measured with failures is NOT comparable across rounds
+        (if (failed.nonEmpty) s""""headline_valid":false,""" else "") +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     }
     val budget = 1900
@@ -215,6 +218,7 @@ object Bench {
         val w = new java.io.PrintWriter("bench_full.json")
         w.println(s"""{"metric":"total","value":${best.wall},"unit":"sec",""" +
           s""""queries":$fullQs,"sum":$sum,"par":$par,"passes":4,""" +
+          (if (failed.nonEmpty) s""""headline_valid":false,""" else "") +
           s""""failed":$failedJson,"sf":"$sfDir"}""")
         w.close()
       } catch { case _: Throwable => () }

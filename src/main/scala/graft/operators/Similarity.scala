@@ -48,16 +48,31 @@ object Similarity {
   }
 
   /** Deterministic ±1 (Rademacher) hyperplane weight for plane `p`, dim
-    * `i`: the SIGN of sin(p·12289 + i·1627). The sign is computed in Scala
-    * at plan-build time and inlined as a literal into BOTH the Spark plan
-    * and the generated DuckDB oracle SQL (`VectorOps.q41`), so no runtime
-    * libm call can diverge between engines. Sign-random-projection LSH
-    * with ±1 instead of Gaussian planes is a standard construction
-    * (Achlioptas-style sparse projections); the banded collision analysis
-    * `1-(1-s^r)^b` is unchanged.
+    * `i`: one avalanched bit of a splitmix64-style integer mix of (p, i).
+    * The sign is computed in Scala at plan-build time and inlined as a
+    * literal into BOTH the Spark plan and the generated DuckDB oracle SQL
+    * (`VectorOps.q41`), so no runtime call can diverge between engines.
+    * Sign-random-projection LSH with ±1 instead of Gaussian planes is a
+    * standard construction (Achlioptas-style sparse projections); the
+    * banded collision analysis `1-(1-s^r)^b` is unchanged.
+    *
+    * The mix MUST avalanche: a previous sin-based pattern
+    * (sign(sin(p·12289+i·1627))) was a short Weyl sequence in `i`, making
+    * plane pairs up to PERFECTLY correlated (median |corr| 0.5 across the
+    * family, measured) — the signature then carries far fewer than r
+    * effective bits, every band degenerates into a few giant buckets of
+    * DISSIMILAR vectors, and candidate verification grows quadratically
+    * (the observed 20×-for-10×-rows sf1 curve). With avalanched bits the
+    * planes are pairwise near-orthogonal and bucket sizes sit at the
+    * n/2^r mean.
     */
-  def radWeight(p: Int, i: Int): Double =
-    if (math.sin(p * 12289.0 + i * 1627.0) >= 0) 1.0 else -1.0
+  def radWeight(p: Int, i: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
 
   private def planeWeights(p: Int, dims: Int): Column =
     array((0 until dims).map(i => lit(radWeight(p, i))): _*)
@@ -86,13 +101,36 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Fixed stride between bands' plane slices: plane index =
+    * band·PlaneStride + i for bit i, REGARDLESS of how many bits a band
+    * actually uses. Decoupling the numbering from the (data-adaptive)
+    * bits-per-band keeps every plane's ±1 weights a static literal that
+    * the DuckDB oracle can inline — band 2's 3rd plane is the same
+    * hyperplane whether the corpus needed 6 bits or 14.
+    */
+  val PlaneStride = 24
+
+  /** Bits per band sized to the corpus (the standard r ~ log₂(n) LSH
+    * tuning): smallest r in [6, PlaneStride] with 2^r · targetBucket ≥ n,
+    * i.e. signature space big enough that the MEAN bucket stays ~
+    * `targetBucket`. A fixed r is quadratic: bucket population grows
+    * linearly with n, candidate pairs as n²/2^r — measured 20× time for
+    * 10× rows at r=6 — and past the hot-bucket cap EVERY bucket drops and
+    * recall collapses to zero. Pure integer arithmetic so the DuckDB
+    * oracle derives the identical r from count(*) with no float parity
+    * hazard.
+    */
+  def autoPlanesPerBand(n: Long, targetBucket: Int = 32): Int =
+    (6 to PlaneStride).find(r => (1L << r) * targetBucket >= n)
+      .getOrElse(PlaneStride)
+
   /** One band's signature: `planesPerBand` sign bits from the band's own
-    * disjoint plane slice (plane index = band·planesPerBand + i).
+    * disjoint plane slice (plane index = band·PlaneStride + i).
     */
   def bandSignature(vec: Column, band: Int, planesPerBand: Int,
       dims: Int): Column =
     (0 until planesPerBand).map { i =>
-      when(dot(vec, planeWeights(band * planesPerBand + i, dims)) >= 0,
+      when(dot(vec, planeWeights(band * PlaneStride + i, dims)) >= 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -122,8 +160,15 @@ object Similarity {
     * exchange and the cap costs a sort, not an extra shuffle.
     */
   def annPairs(emb: DataFrame, threshold: Double,
-      planesPerBand: Int = 6, bands: Int = 4, dims: Int = 64,
+      planesPerBand: Int = 0, bands: Int = 4, dims: Int = 64,
       maxBucketSize: Int = 2000, center: Boolean = false): DataFrame = {
+    // planesPerBand ≤ 0 → size to the corpus (see autoPlanesPerBand).
+    // The count() is one metadata-cheap job at plan-build; at cluster
+    // scale it reads parquet footers, not data.
+    val ppb =
+      if (planesPerBand > 0) planesPerBand
+      else autoPlanesPerBand(emb.count())
+    require(ppb <= PlaneStride, s"planesPerBand $ppb > stride $PlaneStride")
     // `center = true` hashes MEAN-CENTERED vectors (verification below is
     // always exact cosine on the originals, so this changes only which
     // candidates surface, never their scores). Real text-embedding spaces
@@ -151,7 +196,7 @@ object Similarity {
     val raw = quantized.select(col("vec_id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
-          bandSignature(col("qvec"), b, planesPerBand, dims).as("sig"))
+          bandSignature(col("qvec"), b, ppb, dims).as("sig"))
       }: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val banded = raw

@@ -63,20 +63,33 @@ object VectorOps {
   // candidate join → exact-cosine verify (4dp before filter, the q53
   // contract). Threshold 0.4 ≈ the top decile-of-similarity on the
   // synthetic embeddings so the query yields real rows at every SF.
-  private def annOracle(threshold: Double, planesPerBand: Int, bands: Int,
+  private def annOracle(threshold: Double, bands: Int,
       dims: Int, maxBucketSize: Int): String = {
     def plane(p: Int): String = (0 until dims)
       .map(i => if (Similarity.radWeight(p, i) > 0) "1.0" else "-1.0")
       .mkString("[", ",", "]")
+    // Bits-per-band is DATA-ADAPTIVE (Similarity.autoPlanesPerBand): the
+    // params CTE derives the same r from count(*) with the same pure-
+    // integer comparison the Scala side uses, and each of the PlaneStride
+    // candidate bits is gated `i < r` — plane numbering is band·stride+i
+    // on both engines so every weight array stays a static literal.
+    val stride = Similarity.PlaneStride
+    val rs = (6 to stride).map(r => s"($r)").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map { i =>
-        s"(CASE WHEN list_dot_product(qv, ${plane(b * planesPerBand + i)})" +
+      val bits = (0 until stride).map { i =>
+        s"(CASE WHEN $i < p.r AND " +
+          s"list_dot_product(qv, ${plane(b * stride + i)})" +
           s" >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, $bits AS sig FROM q"
+      s"SELECT vec_id, $b AS band, $bits AS sig FROM q, params p"
     }.mkString("\nUNION ALL\n")
     s"""
-      WITH q AS (
+      WITH params AS (
+        SELECT coalesce(min(t.r), $stride) AS r
+        FROM (VALUES $rs) t(r),
+             (SELECT count(*) AS n FROM embeddings) c
+        WHERE (CAST(1 AS BIGINT) << t.r) * 32 >= c.n),
+      q AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
                          x -> floor(x * 1000000.0)) AS qv
@@ -106,7 +119,7 @@ object VectorOps {
     run = (s, d) =>
       Similarity.annPairs(Tables.embeddings(s, d), threshold = 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos")),
-    oracle = Some(annOracle(threshold = 0.4, planesPerBand = 6, bands = 4,
+    oracle = Some(annOracle(threshold = 0.4, bands = 4,
       dims = 64, maxBucketSize = 2000)),
     doc = "banded random-hyperplane LSH near-dup pairs (scale path)")
 

@@ -157,6 +157,46 @@ class SimilaritySpec extends SparkSpec {
     assert(tiny.map(p => (p._1, p._2)).toSet.subsetOf(lshSet))
   }
 
+  // Regression gates for the round-6 postmortem: a sin-based weight family
+  // had plane pairs up to PERFECTLY correlated (median |corr| 0.5), which
+  // collapsed signature entropy, produced buckets 43× the n/2^r mean full
+  // of DISSIMILAR vectors, and made candidate verification quadratic
+  // (q41's 20×-for-10×-rows sf1 curve). These two tests fail on any such
+  // family long before a scale probe would.
+  test("LSH plane family: pairwise near-orthogonal (avalanche gate)") {
+    val dims = 64
+    val planes = (0 until 4 * Similarity.PlaneStride)
+      .map(p => (0 until dims).map(i => Similarity.radWeight(p, i)))
+    val worst = (for {
+      a <- planes.indices; b <- planes.indices if a < b
+    } yield math.abs((0 until dims)
+      .map(i => planes(a)(i) * planes(b)(i)).sum / dims)).max
+    // E|corr| for random ±1 is ~1/sqrt(dims)=0.125; the broken family hit
+    // 1.0. Bound generous enough for the family's true tail (~0.44).
+    assert(worst <= 0.6, f"max plane |corr| $worst%.3f — correlated family")
+  }
+
+  test("LSH bucket sizes stay near the n/2^r mean (skew gate)") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val n = emb.count()
+    val r = Similarity.autoPlanesPerBand(n)
+    val sigs = emb
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          Similarity.bandSignature(col("q"), b, r, 64).as("sig"))): _*))
+        .as("bs"))
+      .groupBy(col("bs.band"), col("bs.sig")).count()
+      .as[(Int, Long, Long)].collect()
+    val mean = n.toDouble / (1L << r)
+    val top = sigs.map(_._3).max
+    // binomial max over 2^r buckets sits within a few σ of the mean; the
+    // correlated family produced 43× (949 vs a 19.5 mean at sf1)
+    assert(top <= math.max(8 * mean, mean + 6 * math.sqrt(mean) + 4),
+      s"top bucket $top vs mean $mean — skewed signature distribution")
+  }
+
   test("PQ encode: codebook vectors are their own nearest code in every " +
       "subspace; codes stay in range and don't depend on partitioning") {
     val emb = Tables.embeddings(spark, sf()).cache()
