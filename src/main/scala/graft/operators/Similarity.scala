@@ -358,6 +358,53 @@ object Similarity {
       .withColumn("c2", dot(col("sv"), col("sv")))
   }
 
+  /** TRAINED PQ codebook: per-subspace k-medians refinement of the
+    * deterministic first-rows seed ([[pqCodebook]]). Each iteration
+    * (1) assigns every subvector to its nearest current code — the exact
+    * [[pqEncode]] argmin, so train and encode can never disagree on the
+    * metric — and (2) moves each code to the PER-DIMENSION MEDIAN of its
+    * members (the q80 k-medians convention: an exact interpolated median
+    * touches two sorted elements, so the result is independent of row
+    * order/partitioning, where a float mean's summation order is not).
+    * Codes that attract no members keep their previous position. Output
+    * schema is identical to [[pqCodebook]] — it drops into
+    * [[pqEncode]]/[[pqSearch]] unchanged.
+    *
+    * Scale shape: each iteration is one broadcast-encode map plus one
+    * (sub_id, code_id, dim)-grouped aggregation over m·dims-wide exploded
+    * rows — at 100 TB you train on a SAMPLE (codebooks need ~100·codes
+    * vectors, not the corpus) and broadcast the result to the full-corpus
+    * encode, which stays a pure map.
+    */
+  def pqTrainCodebook(emb: DataFrame, dims: Int, m: Int, codes: Int,
+      iters: Int = 2, roundDp: Int = 6): DataFrame = {
+    require(iters >= 0, s"pqTrainCodebook: iters must be >= 0, got $iters")
+    val ds = dims / m
+    var cb = pqCodebook(emb, dims, m, codes)
+    for (_ <- 1 to iters) {
+      val assigned = pqEncode(emb, cb, dims, m, roundDp,
+          keep = Seq("embedding"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          posexplode(col("codes")))
+        .select(col("pos").as("sub_id"), col("col").as("code_id"),
+          slice(col("v"), col("pos") * ds + 1, lit(ds)).as("sv"))
+      val moved = assigned
+        .select(col("sub_id"), col("code_id"), posexplode(col("sv")))
+        .groupBy(col("sub_id"), col("code_id"), col("pos"))
+        // + 0.0 canonicalizes IEEE negative zero (the q80 rule)
+        .agg((round(percentile(col("col"), lit(0.5)), 4) + lit(0.0))
+          .as("med"))
+        .groupBy(col("sub_id"), col("code_id"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"),
+          col("med")))), e => e("med")).as("sv_new"))
+      cb = cb.join(moved, Seq("sub_id", "code_id"), "left")
+        .select(col("sub_id"), col("code_id"),
+          coalesce(col("sv_new"), col("sv")).as("sv"))
+        .withColumn("c2", dot(col("sv"), col("sv")))
+    }
+    cb
+  }
+
   /** PQ ENCODE: each vector becomes `m` small codes — the 100 TB memory
     * path for similarity search (a 64-dim float vector is 256 B; its
     * 8-sub × 16-code PQ form is 8 B — the index that has to live in RAM

@@ -52,11 +52,23 @@ object TextAnalysis {
     * chunk_text).
     */
   def chunks(docs: DataFrame, id: Column, text: Column,
-      chunkSize: Int, overlap: Int): DataFrame = {
+      chunkSize: Int, overlap: Int,
+      maxChunksPerDoc: Int = 1 << 20): DataFrame = {
     require(chunkSize >= 1, s"chunks: chunkSize must be >= 1, got $chunkSize")
     require(overlap >= 0 && overlap < chunkSize,
       s"chunks: need 0 <= overlap < chunkSize, got $overlap")
+    require(maxChunksPerDoc >= 1,
+      s"chunks: maxChunksPerDoc must be >= 1, got $maxChunksPerDoc")
     val stride = (chunkSize - overlap).toLong
+    // The per-doc fuse (mirrors annPairs' hot-bucket cap): one pathological
+    // document — a concatenated crawl shard, a binary blob that tokenized
+    // into millions of "words" — would otherwise fan out into n_tok/stride
+    // rows inside a single task, and a 1000-executor job dies on one
+    // straggler partition. Docs past the cap keep their FIRST
+    // maxChunksPerDoc windows (prefix-stable, so raising the cap only
+    // appends chunks); the default (~1M chunks ≈ 50M tokens/doc) is far
+    // above any real document.
+    val lastStart = (maxChunksPerDoc - 1).toLong * stride
     val tk = docs
       .select(id.as("doc_id"),
         when(length(trim(text)) === 0, lit(null).cast("array<string>"))
@@ -65,7 +77,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n_tok"))
     tk.select(col("doc_id"), col("tk"), col("n_tok"),
         explode(sequence(lit(0L),
-          greatest(col("n_tok") - lit(overlap.toLong) - lit(1L), lit(0L)),
+          least(
+            greatest(col("n_tok") - lit(overlap.toLong) - lit(1L), lit(0L)),
+            lit(lastStart)),
           lit(stride))).as("tok_start"))
       .select(col("doc_id"),
         (col("tok_start") / lit(stride)).cast("long").as("chunk_idx"),

@@ -73,6 +73,11 @@ object Advanced {
           max(col("ts")).as("session_end"))
     },
     oracle = Some("""
+      -- ts parity: NTZ micros == UTC instants on both engines (q30 note);
+      -- NULL ts rows sort NULLS LAST on BOTH sides (pinned — Spark's asc
+      -- default is nulls FIRST) so untimed rows can't shift session
+      -- numbering; their gap is NULL -> CASE gives 0 -> they extend the
+      -- final session rather than starting phantom ones.
       WITH gaps AS (
         SELECT user_id, event_id, ts,
           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -

@@ -195,6 +195,10 @@ object Extended {
           col("event_type"), col("n")),
     // untimed rows excluded — same event-time contract as q30's oracle
     oracle = Some("""
+      -- ts parity: NTZ micros read as UTC instants on both engines (see
+      -- q30's note); epoch() on the naive DuckDB timestamp == Spark's
+      -- cast-to-long under the UTC session, so bucket_s agrees exactly.
+      -- Untimed rows EXCLUDED — the event-time contract.
       SELECT bucket_s, event_type, count(*) AS n
       FROM (
         SELECT event_type,
@@ -373,14 +377,32 @@ object Extended {
       FROM orders"""),
     doc = "date-part extraction family (aligned day-of-week numbering)")
 
-  // --- HLL/t-digest sketches: engine-specific internals → rows-only for
-  //     the driver; error bounds vs exact are asserted in SketchesSpec.
+  // --- HLL sketch with an ERROR-BOUND ORACLE: the HLL++ registers are
+  //     engine-private, so the raw estimate can't hash-match DuckDB — but
+  //     the estimate IS deterministic for a given dataset (no RNG), so the
+  //     bound check `|approx-exact| <= 15%·exact` (3σ at rsd=0.05) is a
+  //     deterministic column both engines can agree on. The oracle asserts
+  //     TRUE: if the sketch ever drifts out of bounds the row hash-
+  //     mismatches and the gate goes red — the SketchesSpec assertion
+  //     promoted into the driver's correctness artifact.
   private val q70_sketch = Q(
     run = (s, d) =>
-      Sketches.distinctCounts(Tables.lineitem(s, d), col("l_returnflag"),
-        col("l_orderkey")),
-    oracle = None,
-    doc = "HLL approximate distinct (mergeable sketch; spec-bounded error)")
+      // one grouped pass for BOTH aggregates — a join keyed on grp would
+      // silently drop a NULL group (NULL never equi-joins; the edge
+      // corpus caught exactly that), and one pass is the cheaper plan
+      // anyway
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("grp"))
+        .agg(count_distinct(col("l_orderkey")).as("exact_nd"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("approx_nd"))
+        .select(col("grp"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")) <=
+            col("exact_nd") * lit(0.15)).as("within_bounds")),
+    oracle = Some("""
+      SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS exact_nd,
+             TRUE AS within_bounds
+      FROM lineitem GROUP BY l_returnflag"""),
+    doc = "HLL approximate distinct (mergeable sketch; error-bound oracle)")
 
   // --- portable HLL: the same sketch re-built over the md5-fold hash so
   //     (unlike q70's engine-private HLL++) every register and the final

@@ -695,6 +695,11 @@ object Relational {
     // window() drops null timestamps; a null event time can't be
     // watermarked either) — the oracle states it with WHERE ts IS NOT NULL
     oracle = Some("""
+      -- ts parity: events.parquet ships TIMESTAMP(MICROS, NTZ) (or NANOS,
+      -- harness-dependent); Spark reads it through Tables.events under a
+      -- UTC session so wall-clock == instant, DuckDB reads the same file
+      -- naively — identical micros values, so the hour buckets align.
+      -- Event-time contract: untimed rows are EXCLUDED (ts IS NOT NULL).
       SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

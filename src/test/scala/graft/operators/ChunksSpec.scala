@@ -55,6 +55,60 @@ class ChunksSpec extends SparkSpec {
     assert(slices == (0L until 10L)) // each token exactly once, in order
   }
 
+  test("maxChunksPerDoc fuse: pathological doc keeps its first windows, " +
+      "prefix-stable under a raised cap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq(1L -> text).toDF("doc_id", "text")
+    def capped(cap: Int) =
+      TextAnalysis.chunks(docs, col("doc_id"), col("text"), 4, 2,
+          maxChunksPerDoc = cap)
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+        .sortBy(_._2)
+    val full = capped(Int.MaxValue)
+    assert(full.length == 49) // starts 0,2,...,96 (grid end n_tok-2-1=97)
+    val cut = capped(5)
+    assert(cut.length == 5)
+    assert(cut == full.take(5)) // prefix of the uncapped output
+    // every kept window is still a FULL window (the fuse cuts the doc
+    // tail, it never emits a malformed chunk)
+    assert(cut.forall(_._4 == 4L))
+    // cap=1 degenerates to one leading window per doc
+    assert(capped(1) == full.take(1))
+  }
+
+  test("property: capped output is always a prefix of uncapped, and the " +
+      "tail window is never fully contained in its predecessor") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val nTok = 1 + rnd.nextInt(40)
+      val size = 1 + rnd.nextInt(8)
+      val overlap = rnd.nextInt(size)
+      val cap = 1 + rnd.nextInt(6)
+      val text = (1 to nTok).map(i => s"w$i").mkString(" ")
+      val docs = Seq(1L -> text).toDF("doc_id", "text")
+      def go(c: Int) =
+        TextAnalysis.chunks(docs, col("doc_id"), col("text"), size, overlap,
+            maxChunksPerDoc = c)
+          .as[(Long, Long, Long, Long, String)].collect().toSeq
+          .sortBy(_._2)
+      val full = go(Int.MaxValue)
+      val cut = go(cap)
+      assert(cut == full.take(cap),
+        s"n=$nTok size=$size ov=$overlap cap=$cap: not a prefix")
+      // tail-window invariant (uncapped): the last window starts at or
+      // before n_tok-1 and past n_tok-size only when it's the only cover
+      val last = full.last
+      if (full.length > 1) {
+        val prev = full(full.length - 2)
+        assert(last._3 + last._4 > prev._3 + prev._4,
+          s"n=$nTok size=$size ov=$overlap: tail window adds no coverage")
+      }
+      // full coverage when uncapped
+      val covered = full.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0L until nTok.toLong).toSet)
+    }
+  }
+
   test("chunking requires 0 <= overlap < chunkSize") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

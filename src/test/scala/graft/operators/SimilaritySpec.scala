@@ -219,6 +219,47 @@ class SimilaritySpec extends SparkSpec {
       "codes must not depend on partitioning")
   }
 
+  test("PQ trained codebook: k-medians refinement lowers quantization " +
+      "error vs the first-rows seed and drops into the same encode path") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val seed = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+      .cache()
+    val trained = Similarity
+      .pqTrainCodebook(emb, dims = 64, m = 8, codes = 16, iters = 2)
+      .cache()
+    // same shape, every code present, schema-compatible with the seed
+    val tRows = trained.as[(Int, Long, Seq[Double], Double)].collect()
+    assert(tRows.length == 8 * 16)
+    assert(tRows.forall(_._3.length == 8))
+    // quantization error = mean over (vector, subspace) of the winning
+    // squared L2 distance |x|^2 - 2 x.c + |c|^2; deterministic on the
+    // fixture, so the comparison can't flake
+    def qerr(cb: org.apache.spark.sql.DataFrame): Double = {
+      val ds = 8
+      val assigned = Similarity
+        .pqEncode(emb, cb, dims = 64, m = 8, keep = Seq("embedding"))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          posexplode(col("codes")))
+        .select(col("pos").as("sub_id"), col("col").as("code_id"),
+          slice(col("v"), col("pos") * ds + 1, lit(ds)).as("xv"))
+      assigned.join(cb, Seq("sub_id", "code_id"))
+        .select((Similarity.dot(col("xv"), col("xv"))
+          - lit(2.0) * Similarity.dot(col("xv"), col("sv"))
+          + col("c2")).as("d2"))
+        .agg(avg(col("d2"))).as[Double].head()
+    }
+    val eSeed = qerr(seed)
+    val eTrained = qerr(trained)
+    assert(eTrained < eSeed,
+      f"training must reduce quantization error: seed $eSeed%.5f vs " +
+        f"trained $eTrained%.5f")
+    // and the trained book still self-consistently encodes: codes in range
+    val enc = Similarity.pqEncode(emb, trained, dims = 64, m = 8)
+      .as[(Long, Seq[Long])].collect()
+    assert(enc.forall(_._2.forall(c => c >= 0 && c < 16)))
+  }
+
   test("PQ ADC search: scores equal an independent LUT-sum recompute of " +
       "each row's codes; ranking is descending") {
     val emb = Tables.embeddings(spark, sf()).cache()
