@@ -113,17 +113,17 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Stopword hits against a fixed lexicon. `toks` MUST be a materialized
-    * token-array attribute (stage [[tokens]] in a projection first): the
-    * `filter` HOF runs interpreted, outside codegen subexpression
-    * elimination, so an inlined `tokens(text)` re-runs the regex split on
-    * every score expression that mentions it — and [[langPredict]]
-    * mentions each score up to three times.
+  /** Stopword hits against a fixed lexicon — a codegen'd
+    * [[graft.functions.CountInSetExpr]] loop (one HashSet probe per
+    * element, no interpreted lambda, no intermediate filtered array).
+    * `toks` should still be a materialized token-array attribute (stage
+    * [[tokens]] in a projection first) so the tokenizer runs once per row
+    * however many scores reference it.
     */
-  def stopwordHits(toks: Column, stopwords: Seq[String]): Column = {
-    val lex = array(stopwords.map(lit): _*)
-    size(filter(toks, t => array_contains(lex, t))).cast("long")
-  }
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      graft.functions.CountInSetExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expr(toks), stopwords))
 
   /** Token count off a staged token array (empty text → 0, not 1: the
     * regex split of "" yields [""]).
