@@ -203,7 +203,8 @@ object Dedup {
     * the SQL oracle.
     */
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
-      k: Int = 16, bands: Int = 4): DataFrame = {
+      k: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sig = minhashSignatures(docs, id, text, k)
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { bnd =>
@@ -215,10 +216,33 @@ object Dedup {
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    banded.as("a").join(banded.as("b"),
+    // Hot-bucket fuse, STAR variant: a MinHash bucket over-fills when the
+    // corpus has a giant cluster of (near-)identical documents — template
+    // pages, empty docs — and unlike q41's junk buckets its members ARE
+    // true dups, so dropping the bucket (annPairs' fuse) would lose them.
+    // Past the cap the bucket emits only the pairs (bucket-min, other):
+    // linear in bucket size instead of B²/2, while keeping every member
+    // connected to the same component — so transitive-closure dedup
+    // (components / keep-first survivors) is UNCHANGED; only pair-level
+    // enumeration inside the mega-cluster is thinned. Both join sides
+    // share the bucket, so gating the LEFT side on its own (__bsz,
+    // __bmin) is enough.
+    val capped =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        val w = Window.partitionBy(col("band"), col("bucket"))
+        banded
+          .withColumn("__bsz", count(lit(1)).over(w))
+          .withColumn("__bmin", min(col("doc_id")).over(w))
+      }
+    val starGate =
+      if (maxBucketSize == Int.MaxValue) lit(true)
+      else col("a.__bsz") <= maxBucketSize ||
+        col("a.doc_id") === col("a.__bmin")
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && starGate)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -227,8 +251,9 @@ object Dedup {
     * Jaccard — the scale path (verification join touches candidates only).
     */
   def minhashDedup(docs: DataFrame, id: Column, text: Column,
-      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    val cand = minhashCandidates(docs, id, text, k, bands)
+      threshold: Double, k: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val cand = minhashCandidates(docs, id, text, k, bands, maxBucketSize)
     // portable hash: the verification intersection must count the same
     // shingle-hash universe the signatures were built from
     val sh = hashedShingles(docs, id, text, portable = true).cache()

@@ -125,7 +125,11 @@ object Similarity {
       .getOrElse(PlaneStride)
 
   /** One band's signature: `planesPerBand` sign bits from the band's own
-    * disjoint plane slice (plane index = band·PlaneStride + i).
+    * disjoint plane slice (plane index = band·PlaneStride + i). Composed
+    * reference form — [[allBandSignatures]] is the production path (this
+    * composition hits a codegen-size JIT cliff past ~32 dots per
+    * projection; the fused expression is property-tested against this
+    * form in `SimilaritySpec`).
     */
   def bandSignature(vec: Column, band: Int, planesPerBand: Int,
       dims: Int): Column =
@@ -133,6 +137,15 @@ object Similarity {
       when(dot(vec, planeWeights(band * PlaneStride + i, dims)) >= 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** All `bands` signatures in ONE codegen'd loop
+    * ([[graft.functions.RhpSignaturesExpr]]): array(sig_0 … sig_{b-1}),
+    * same bit semantics as [[bandSignature]] per element.
+    */
+  def allBandSignatures(vec: Column, bands: Int, planesPerBand: Int,
+      dims: Int): Column =
+    ExprBridge.column(graft.functions.RhpSignaturesExpr(
+      ExprBridge.expr(vec), bands, planesPerBand, dims, PlaneStride))
 
   /** ANN near-dup pairs via BANDED random-hyperplane LSH (the classic
     * OR-of-ANDs construction): a pair is a candidate if it agrees on ALL
@@ -193,12 +206,10 @@ object Similarity {
     // is also what makes the signature bits engine-exact (see quantize).
     val quantized = hashSrc.select(col("vec_id"),
       quantize(col("hvec")).as("qvec"))
-    val raw = quantized.select(col("vec_id"), explode(array(
-      (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          bandSignature(col("qvec"), b, ppb, dims).as("sig"))
-      }: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val raw = quantized
+      .select(col("vec_id"),
+        posexplode(allBandSignatures(col("qvec"), bands, ppb, dims)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
     val banded = raw
       .withColumn("__bsz", count(lit(1))
         .over(Window.partitionBy(col("band"), col("sig"))))
@@ -416,9 +427,9 @@ object Similarity {
     *
     * Scale shape: the codebook packs into ONE broadcast row (m·codes
     * structs); encoding is a pure map over the corpus — zero shuffle,
-    * partition-parallel end to end. The subvector slices are staged as an
-    * attribute BEFORE the scoring lambdas (HOF staging rule — interpreted
-    * lambdas re-evaluate inlined subtrees per element).
+    * partition-parallel end to end — and the per-row argmin is a single
+    * codegen'd loop ([[graft.functions.PqEncodeExpr]]), not an
+    * interpreted lambda per (sub, code).
     */
   def pqEncode(emb: DataFrame, codebook: DataFrame, dims: Int, m: Int,
       roundDp: Int = 6, keep: Seq[String] = Nil): DataFrame = {
@@ -433,19 +444,14 @@ object Similarity {
       .groupBy()
       .agg(sort_array(collect_list(struct(col("sub_id"), col("codes"))))
         .as("cb"))
-    val subs = transform(sequence(lit(0), lit(m - 1)),
-      j => slice(col("__v"), j * ds + 1, lit(ds)))
-    val codesCol = transform(sequence(lit(0), lit(m - 1)), j => {
-      val sub = element_at(col("__subs"), j + 1)
-      val entries = element_at(col("cb"), j + 1)("codes")
-      array_min(transform(entries, c =>
-        struct(
-          round(c("c2") - lit(2.0) * dot(sub, c("sv")), roundDp).as("d"),
-          c("code_id").as("code_id"))))("code_id")
-    })
+    // one codegen'd argmin loop per row (PqEncodeExpr) — the composed
+    // transform/array_min form ran the m·codes·ds multiply-adds through
+    // the interpreted lambda path with a struct alloc per (row,sub,code);
+    // it is kept as the property-test reference in SimilaritySpec
+    val codesCol = ExprBridge.column(graft.functions.PqEncodeExpr(
+      ExprBridge.expr(col("__v")), ExprBridge.expr(col("cb")), m, roundDp))
     emb
       .withColumn("__v", col("embedding").cast("array<double>"))
-      .withColumn("__subs", subs)
       .crossJoin(broadcast(packed))
       .select(col("vec_id") +: codesCol.as("codes") +: keep.map(col): _*)
   }

@@ -56,6 +56,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash star fuse: mega-cluster candidates go linear, component " +
+      "connectivity (the dedup result) is unchanged") {
+    // 40 identical docs = one LSH bucket per band = 780 pairs uncapped;
+    // the 100 TB shape is this cluster at 10^6 members (10^11 pairs)
+    val cluster = (1L to 40L).map(i =>
+      i -> "template boilerplate page body repeated across the whole crawl")
+    val others = Seq(
+      100L -> "a genuinely unique document about distributed query engines",
+      101L -> "another distinct text with its own shingle profile entirely")
+    val d = (cluster ++ others).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(d, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashCandidates(d, col("doc_id"), col("text"),
+        maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size >= 780, s"uncapped ${uncapped.size}")
+    // star: every capped pair is anchored at the bucket minimum, count is
+    // LINEAR in cluster size
+    assert(capped == (2L to 40L).map(i => (1L, i)).toSet,
+      s"capped ${capped.size}")
+    // connectivity proof: components over star pairs == over all pairs
+    val ids = d.select(col("doc_id"))
+    def comp(pairs: Set[(Long, Long)]) =
+      Dedup.components(pairs.toSeq.toDF("doc_a", "doc_b"), ids)
+        .as[(Long, Long)].collect().toMap
+    assert(comp(capped) == comp(uncapped))
+    // verified dedup output: same pairs survive the jaccard filter on the
+    // star set as the star subset of the uncapped survivors
+    val dedupCapped = Dedup.minhashDedup(d, col("doc_id"), col("text"),
+        threshold = 0.5, maxBucketSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dedupCapped == capped, "identical docs all pass jaccard=1")
+  }
+
   test("bpe-ish tokenizer splits punctuation/digit runs that whitespace " +
       "tokenization merges") {
     val df = Seq(("foo,bar! x2", "")).toDF("t", "e")

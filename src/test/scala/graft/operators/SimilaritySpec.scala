@@ -176,6 +176,28 @@ class SimilaritySpec extends SparkSpec {
     assert(worst <= 0.6, f"max plane |corr| $worst%.3f — correlated family")
   }
 
+  test("fused RhpSignaturesExpr == composed bandSignature on real and " +
+      "hostile vectors (null elements, NULL array, short arrays)") {
+    val emb = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val hostile = Seq(
+      (9001L, Seq[java.lang.Double](1.0, -2.0, null, 3.0)), // null element
+      (9002L, Seq[java.lang.Double]()),                     // empty
+      (9003L, null.asInstanceOf[Seq[java.lang.Double]]),    // NULL array
+      (9004L, Seq[java.lang.Double](0.0))                   // shorter than dims
+    ).toDF("vec_id", "q")
+    val all = emb.unionByName(hostile)
+    val ppb = 10
+    val fused = all.select(col("vec_id"),
+      Similarity.allBandSignatures(col("q"), 4, ppb, 64).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val composed = all.select(col("vec_id") +: (0 until 4).map(b =>
+        Similarity.bandSignature(col("q"), b, ppb, 64).as(s"s$b")): _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    assert(fused == composed)
+  }
+
   test("LSH bucket sizes stay near the n/2^r mean (skew gate)") {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sf()).cache()
@@ -217,6 +239,46 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect()
     assert(enc.toMap == reshuffled.toMap,
       "codes must not depend on partitioning")
+  }
+
+  test("PqEncodeExpr == the composed transform/array_min argmin, " +
+      "including NULL and short vectors") {
+    val emb = Tables.embeddings(spark, sf())
+    val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+    val hostile = Seq(
+      (9001L, null.asInstanceOf[Seq[Float]]),
+      (9002L, Seq(1.0f, -2.0f, 3.0f)), // far shorter than dims
+      (9003L, Seq.fill(64)(0.0f))
+    ).toDF("vec_id", "embedding")
+    val all = emb.select(col("vec_id"), col("embedding")).unionByName(hostile)
+    val fused = Similarity.pqEncode(all, cb, dims = 64, m = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    // composed reference (the pre-round-6 implementation, verbatim)
+    val packed = cb.groupBy(col("sub_id"))
+      .agg(collect_list(struct(col("code_id"), col("sv"), col("c2")))
+        .as("codes"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("sub_id"), col("codes"))))
+        .as("cb"))
+    val ds = 8
+    val subs = transform(sequence(lit(0), lit(7)),
+      j => slice(col("__v"), j * ds + 1, lit(ds)))
+    val codesCol = transform(sequence(lit(0), lit(7)), j => {
+      val sub = element_at(col("__subs"), j + 1)
+      val entries = element_at(col("cb"), j + 1)("codes")
+      array_min(transform(entries, c =>
+        struct(
+          round(c("c2") - lit(2.0) * Similarity.dot(sub, c("sv")), 6)
+            .as("d"),
+          c("code_id").as("code_id"))))("code_id")
+    })
+    val composed = all
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("__subs", subs)
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), codesCol.as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == composed)
   }
 
   test("PQ trained codebook: k-medians refinement lowers quantization " +
