@@ -61,12 +61,20 @@ object Bench {
     // the fixture into `cpus` files measures the engine, not a fixture
     // artifact. Row order changes — every query's determinism contracts
     // already guarantee partitioning-independence (spec-gated).
+    // Partition count scales with ROWS (per-row compute is what the map
+    // family pays for — shingles, PQ argmin, token HOFs — not bytes), and
+    // tiny tables stay at 1 file: blanket cpus-way splitting of 5-row
+    // dimension tables multiplied every stage's task count and the par=5
+    // concurrent wall drowned in scheduling overhead (measured 22 s vs
+    // 12 s at sf0.1).
     val benchDir = {
       val base = java.nio.file.Files
         .createTempDirectory("graft-bench-layout").toString
       graft.core.Tables.all.foreach { t =>
-        graft.core.Tables.load(spark, sfDir, t)
-          .repartition(cpus.toInt)
+        val df = graft.core.Tables.load(spark, sfDir, t)
+        val parts = math.min(cpus.toInt,
+          math.max(1L, df.count() / 2000L)).toInt
+        df.repartition(parts)
           .write.mode("overwrite").parquet(s"$base/$t.parquet")
       }
       base
