@@ -493,6 +493,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric per-vector INT8 quantization — the 4× embedding
+    * compression a RAM-resident 100 TB vector index runs on (finer than
+    * PQ's 32×, but per-element, so dot products stay exact-ish and need
+    * no codebook). scale = max|xᵢ|/127; qᵢ = clamp(round(xᵢ/scale)) in
+    * [-127, 127], round HALF-AWAY-FROM-ZERO on both engines.
+    *
+    * Pinned contracts (replayed in the q95 oracle): NULL vector → NULL
+    * scale and NULL codes; an empty or all-NULL-element vector → scale
+    * 0.0; scale 0 (degenerate zero vector) → all non-NULL elements code
+    * 0; a NULL ELEMENT stays NULL in the code array (and is excluded
+    * from the max). Pure map — zero shuffle at any scale.
+    */
+  def int8Quantize(emb: DataFrame): DataFrame = {
+    // stage the cast + scale as attributes (HOF rule) before the code
+    // lambda references them per element
+    val v = col("__v")
+    val maxabs = array_max(transform(
+      filter(v, x => x.isNotNull), x => abs(x)))
+    emb
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("qscale",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(coalesce(maxabs / lit(127.0), lit(0.0))))
+      .select(col("vec_id"), col("qscale"),
+        when(v.isNull, lit(null).cast("array<int>"))
+          .when(col("qscale") === 0.0,
+            transform(v, x => when(x.isNull, lit(null).cast("int"))
+              .otherwise(lit(0))))
+          .otherwise(transform(v, x =>
+            when(x.isNull, lit(null).cast("int"))
+              .otherwise(greatest(lit(-127), least(lit(127),
+                round(x / col("qscale"), 0))).cast("int"))))
+          .as("qvec"))
+  }
+
   /** The IVF ANN QUERY path on top of [[ivfAssign]]: rank cells by the
     * query↔centroid cosine, probe the top `nprobe` cells, and exactly
     * rerank only their members — the standard recall/cost dial of an IVF

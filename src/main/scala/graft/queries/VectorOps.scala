@@ -351,6 +351,38 @@ object VectorOps {
       ORDER BY score DESC, b.vec_id LIMIT 10"""),
     doc = "PQ asymmetric-distance top-k: m table lookups per row, no d-wide math")
 
+  // --- symmetric int8 embedding quantization: the 4x compression a
+  //     RAM-resident vector index runs on. Output exploded to scalar
+  //     columns (the driver compare stringifies arrays engine-specifically)
+  //     with every null/degenerate contract pinned on both sides: NULL
+  //     vectors emit no rows (both explodes drop them), NULL elements stay
+  //     NULL, a zero vector codes to 0s with scale 0.0.
+  private val q95_int8_quant = Q(
+    run = (s, d) =>
+      Similarity.int8Quantize(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("qscale"), posexplode(col("qvec")))
+        .select(col("vec_id"), col("qscale"), col("pos").cast("int").as("pos"),
+          col("col").as("q")),
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      s AS (SELECT vec_id, v,
+              CASE WHEN v IS NULL THEN NULL
+                   ELSE coalesce(list_max(list_transform(
+                          list_filter(v, x -> x IS NOT NULL),
+                          x -> abs(x))) / 127.0, 0.0) END AS qscale
+            FROM v),
+      e AS (SELECT vec_id, qscale, v,
+              unnest(generate_series(1, len(v))) AS i
+            FROM s)
+      SELECT vec_id, qscale, CAST(i - 1 AS INT) AS pos,
+        CASE WHEN v[i] IS NULL THEN NULL
+             WHEN qscale = 0 THEN 0
+             ELSE CAST(greatest(-127, least(127, round(v[i] / qscale)))
+                       AS INT) END AS q
+      FROM e"""),
+    doc = "symmetric int8 embedding quantization (4x index compression)")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -360,5 +392,6 @@ object VectorOps {
     "q80_kmedians_step" -> q80_kmedians_step,
     "q84_ivf_search" -> q84_ivf_search,
     "q93_pq_encode" -> q93_pq_encode,
-    "q94_pq_search" -> q94_pq_search)
+    "q94_pq_search" -> q94_pq_search,
+    "q95_int8_quant" -> q95_int8_quant)
 }

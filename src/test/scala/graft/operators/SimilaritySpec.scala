@@ -219,6 +219,47 @@ class SimilaritySpec extends SparkSpec {
       s"top bucket $top vs mean $mean — skewed signature distribution")
   }
 
+  test("int8 quantization: codes bounded, round-trip error <= scale/2 " +
+      "per element, int8 cosine tracks exact cosine") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val q = Similarity.int8Quantize(emb).cache()
+    val rows = q.join(emb, "vec_id")
+      .select(col("vec_id"), col("qscale"), col("qvec"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Double, Seq[Int], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, codes, v) =>
+      assert(codes.length == v.length)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id")
+      if (scale > 0) {
+        // |x - q·scale| <= scale/2 + ulp slack: the defining property
+        v.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(x - c * scale) <= scale / 2 + 1e-9,
+            s"vec $id: x=$x c=$c scale=$scale")
+        }
+      } else v.foreach(x => assert(x == 0.0, s"vec $id zero-scale"))
+    }
+    // int8 dot (rescaled) approximates exact cosine: rank the corpus
+    // against vector 0 both ways, top-10 overlap must be high
+    val exact = rows.map { case (id, _, _, v) => id -> v }.toMap
+    val v0 = exact(0L)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val exactTop = exact.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(v0, v) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val qm = rows.map { case (id, s, codes, _) =>
+      id -> (s, codes.map(_.toDouble)) }.toMap
+    val (s0, q0) = qm(0L)
+    val approxTop = qm.toSeq.filter(_._1 != 0L)
+      .map { case (id, (s, qv)) => id -> cos(q0, qv) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    assert(exactTop.intersect(approxTop).size >= 7,
+      s"int8 top-10 overlap ${exactTop.intersect(approxTop).size}")
+  }
+
   test("PQ encode: codebook vectors are their own nearest code in every " +
       "subspace; codes stay in range and don't depend on partitioning") {
     val emb = Tables.embeddings(spark, sf()).cache()

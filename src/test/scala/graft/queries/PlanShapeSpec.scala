@@ -51,6 +51,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"per-row query must not shuffle:\n$p")
   }
 
+  test("q41_ann_lsh: fused one-loop signature expression, no cartesian " +
+      "product, vector re-fetch joins broadcast") {
+    val p = plan("q41_ann_lsh")
+    // the signature stage must be the single fused expression — a
+    // composed per-plane dot_product projection crosses the JIT method-
+    // size ceiling at r≈10 and silently runs interpreted (7× slower,
+    // round-6 postmortem)
+    assert(p.contains("rhp_signatures"),
+      s"expected fused rhp_signatures stage:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay a bucketed equi-join:\n$p")
+    // candidate verification re-fetches vectors through broadcast joins —
+    // the candidate relation must never be shuffle-joined at test SF
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast vector re-fetch:\n$p")
+  }
+
   test("q92_chunks: chunking is a pure map (explode, no shuffle) — " +
       "partition-parallel end to end") {
     val p = plan("q92_chunks")
