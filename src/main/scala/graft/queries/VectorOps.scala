@@ -383,6 +383,62 @@ object VectorOps {
       FROM e"""),
     doc = "symmetric int8 embedding quantization (4x index compression)")
 
+  // --- ONE k-medians training iteration of the PQ codebook, driver-gated
+  //     end to end: assign every subvector with the exact q93 argmin
+  //     (round-6dp distances, ties to smallest code), move each code to
+  //     the per-dimension MEDIAN of its members (the q80 convention —
+  //     exact interpolated median, 4dp + negative-zero canonicalization),
+  //     codes with no members keep their seed position (left join +
+  //     coalesce on both engines). Composes the two proven oracles, so the
+  //     trained path [[Similarity.pqTrainCodebook]] is itself hash-gated,
+  //     not just spec-tested.
+  private val q96_pq_train = Q(
+    run = (s, d) =>
+      Similarity.pqTrainCodebook(Tables.embeddings(s, d),
+          dims = 64, m = 8, codes = 16, iters = 1)
+        .select(col("sub_id"), col("code_id"), posexplode(col("sv")))
+        .select(col("sub_id").cast("int").as("sub_id"), col("code_id"),
+          col("pos").cast("int").as("pos"), col("col").as("w")),
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cb AS (SELECT j AS sub_id, vec_id AS code_id,
+               v[j*8 + 1 : j*8 + 8] AS sv
+             FROM e, js WHERE vec_id < 16),
+      cbn AS (SELECT sub_id, code_id, sv,
+                list_sum(list_transform(sv, x -> x * x)) AS c2 FROM cb),
+      subs AS (SELECT e.vec_id, j AS sub_id, v[j*8 + 1 : j*8 + 8] AS sub
+               FROM e, js),
+      scored AS (SELECT s.vec_id, s.sub_id, c.code_id,
+          round(c.c2 - 2 * list_dot_product(s.sub, c.sv), 6) AS d
+        FROM subs s JOIN cbn c ON s.sub_id = c.sub_id),
+      assigned AS (SELECT vec_id, sub_id, code_id FROM (
+          SELECT vec_id, sub_id, code_id,
+            row_number() OVER (PARTITION BY vec_id, sub_id
+                               ORDER BY d, code_id) AS rn
+          FROM scored) WHERE rn = 1),
+      members AS (
+        SELECT a.sub_id, a.code_id, CAST(g - 1 AS INTEGER) AS pos,
+               s.sub[CAST(g AS INTEGER)] AS x
+        FROM assigned a
+        JOIN subs s ON s.vec_id = a.vec_id AND s.sub_id = a.sub_id,
+        unnest(generate_series(1, len(s.sub))) AS t(g)),
+      moved AS (
+        SELECT sub_id, code_id, pos,
+               round(quantile_cont(x, 0.5), 4) + 0.0 AS med
+        FROM members GROUP BY sub_id, code_id, pos),
+      seed AS (
+        SELECT c.sub_id, c.code_id, CAST(g - 1 AS INTEGER) AS pos,
+               c.sv[CAST(g AS INTEGER)] AS w0
+        FROM cb c, unnest(generate_series(1, len(c.sv))) AS t(g))
+      SELECT CAST(s.sub_id AS INTEGER) AS sub_id, s.code_id,
+             s.pos, coalesce(m.med, s.w0) AS w
+      FROM seed s
+      LEFT JOIN moved m ON m.sub_id = s.sub_id
+        AND m.code_id = s.code_id AND m.pos = s.pos"""),
+    doc = "PQ codebook k-medians training iteration (assign + median move)")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -393,5 +449,6 @@ object VectorOps {
     "q84_ivf_search" -> q84_ivf_search,
     "q93_pq_encode" -> q93_pq_encode,
     "q94_pq_search" -> q94_pq_search,
-    "q95_int8_quant" -> q95_int8_quant)
+    "q95_int8_quant" -> q95_int8_quant,
+    "q96_pq_train" -> q96_pq_train)
 }
