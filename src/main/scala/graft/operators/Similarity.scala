@@ -93,14 +93,6 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x * lit(1e6)).cast("double"))
 
-  /** Random-hyperplane LSH signature over a [[quantize]]d vector:
-    * `planes` sign bits packed to a long. */
-  def rhpSignature(vec: Column, planes: Int, dims: Int): Column =
-    (0 until planes).map { p =>
-      when(dot(vec, planeWeights(p, dims)) >= 0, shiftleft(lit(1L), p))
-        .otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
   /** Fixed stride between bands' plane slices: plane index =
     * band·PlaneStride + i for bit i, REGARDLESS of how many bits a band
     * actually uses. Decoupling the numbering from the (data-adaptive)
