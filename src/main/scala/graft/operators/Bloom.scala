@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join prefilter — the 100 TB pattern for "probe a fact
+  * table against a key set too large to broadcast as a hash relation but
+  * whose *bit signature* fits in memory".
+  *
+  * The build side's keys are folded into an m-bit bloom bitmap with a
+  * distributed explode→`bit_or` aggregation (one narrow shuffle over at
+  * most m/64 words); the bitmap — bounded at [[maxBits]]/64 longs, ~8 MB —
+  * is collected once and embedded as an array literal, so the probe side
+  * evaluates k codegen'd bit tests per row *before* its exchange. Rows that
+  * fail the bloom test can never join; rows that pass are re-checked by the
+  * exact semi-join, so the RESULT is byte-identical to the plain semi-join
+  * (which is exactly what the q97 oracle certifies) while the shuffle
+  * volume of the big side drops by the key set's selectivity.
+  *
+  * This mirrors what Spark's own runtime bloom-filter rewrite
+  * (`spark.sql.optimizer.runtime.bloomFilter.*`) injects, expressed as an
+  * explicit operator: deterministic sizing, no reliance on an optimizer
+  * heuristic firing, and a plan shape a test can gate.
+  *
+  * Reference anchor: the reference's ODS merge probes an import batch
+  * against the national organization table (dags/ODSImport.py:140-155) —
+  * at 100 TB that probe is this operator.
+  */
+object Bloom {
+
+  /** Hard cap on bitmap size: 2^26 bits = 1M longs = 8 MB on the driver
+    * and in the plan literal.
+    */
+  val maxBits: Int = 1 << 26
+
+  private def roundPow2(x: Long): Int = {
+    var m = 1024L
+    while (m < x && m < maxBits.toLong) m <<= 1
+    m.toInt
+  }
+
+  /** Double-hashing position family: pos_i = (h1 + i*h2) mod m with h1/h2
+    * from two xxhash64 seeds. Both operands are pre-reduced mod m, so the
+    * products stay far below Long.MaxValue (ANSI mode: overflow throws).
+    */
+  private def positions(numBits: Int, numHashes: Int,
+      h1: Column, h2: Column): Seq[Column] =
+    (0 until numHashes).map { i =>
+      pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong))
+    }
+
+  private def h1of(key: Column, numBits: Int): Column =
+    pmod(xxhash64(key), lit(numBits.toLong))
+  private def h2of(key: Column, numBits: Int): Column =
+    pmod(xxhash64(key, lit(0x9E3779B97F4A7C15L)), lit(numBits.toLong - 1)) + 1
+
+  /** Distributed bloom build: explode each key's k bit positions, `bit_or`
+    * the per-word masks, collect the (word, mask) pairs into a dense
+    * Array[Long]. The collect is BOUNDED: at most numBits/64 ≤ 1M rows of
+    * two longs — this is a sketch, not the data.
+    */
+  def bitmapWords(keys: DataFrame, key: Column, numBits: Int,
+      numHashes: Int): Array[Long] = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0 &&
+      numBits <= maxBits, s"numBits must be a power of two <= $maxBits")
+    val staged = keys.select(key.as("__k")).where(col("__k").isNotNull)
+      .select(h1of(col("__k"), numBits).as("__h1"),
+        h2of(col("__k"), numBits).as("__h2"))
+    val pos = staged.select(explode(array(
+      positions(numBits, numHashes, col("__h1"), col("__h2")): _*)).as("pos"))
+    val words = pos
+      .groupBy((col("pos") / 64).cast("long").as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("pos"), lit(64L)).cast("int"))).as("mask"))
+      .collect()
+    val arr = new Array[Long](numBits / 64)
+    words.foreach(r => arr(r.getLong(0).toInt) |= r.getLong(1))
+    arr
+  }
+
+  /** The k-bit membership test as one boolean column over the literal
+    * bitmap: k codegen'd element_at + mask conjunctions. NULL keys yield
+    * NULL (filtered out), matching semi-join semantics where NULL never
+    * matches.
+    */
+  def mightContain(key: Column, bitmap: Array[Long],
+      numHashes: Int): Column = {
+    val numBits = bitmap.length * 64
+    val litMap = typedLit(bitmap)
+    val h1 = h1of(key, numBits)
+    val h2 = h2of(key, numBits)
+    positions(numBits, numHashes, h1, h2).map { pos =>
+      element_at(litMap, ((pos / 64) + 1).cast("int"))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** Exact semi-join with a bloom prefilter on the big side: identical
+    * result to `big.join(small, bigKey === smallKey, "left_semi")`, but the
+    * big side is filtered BEFORE its exchange (the `merge` hint keeps the
+    * exchange in the plan at test SF so `PlanShapeSpec` can gate the
+    * ordering — on a cluster the small side is past the broadcast
+    * threshold and sort-merge is what Catalyst picks anyway).
+    * `numBits` is sized from the build-side key count (~10 bits/key,
+    * k=7 → ~0.8% false-positive rate).
+    */
+  def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, numHashes: Int = 7): DataFrame = {
+    val n = small.select(col(smallKey)).where(col(smallKey).isNotNull)
+      .count()
+    val numBits = roundPow2(math.max(1024L, n * 10))
+    val bitmap = bitmapWords(small, col(smallKey), numBits, numHashes)
+    big.where(mightContain(col(bigKey), bitmap, numHashes))
+      .join(small.hint("merge"), col(bigKey) === col(smallKey), "left_semi")
+  }
+}

@@ -593,6 +593,32 @@ object Extended {
       FROM orders GROUP BY o_orderpriority"""),
     doc = "salted two-phase aggregation (result invariant under salting)")
 
+  // --- bloom-prefiltered exact semi-join: the 100 TB probe pattern. The
+  //     bloom bitmap is built distributed from the (selective) orders key
+  //     set and applied to lineitem BEFORE its exchange; the exact
+  //     semi-join then kills bloom false positives, so the result — which
+  //     is what the oracle checks — is the plain semi-join's, while the
+  //     shuffled volume shrinks by the key set's selectivity.
+  private val q97_bloom_semi = Q(
+    run = (s, d) => {
+      val hot = Tables.orders(s, d)
+        .where(col("o_totalprice") > 350000.0)
+        .select(col("o_orderkey"))
+      graft.operators.Bloom.semiJoin(Tables.lineitem(s, d), hot,
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_totalprice > 350000.0)
+      GROUP BY l_returnflag"""),
+    doc = "bloom-prefiltered exact semi-join (result invariant under bloom)")
+
   val all: Seq[(String, Q)] = Seq(
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
@@ -618,5 +644,6 @@ object Extended {
     "q76_kmv_distinct" -> q76_kmv_distinct,
     "q77_grouping_sets" -> q77_grouping_sets,
     "q78_salted_agg" -> q78_salted_agg,
-    "q91_hll_portable" -> q91_hll_portable)
+    "q91_hll_portable" -> q91_hll_portable,
+    "q97_bloom_semi" -> q97_bloom_semi)
 }

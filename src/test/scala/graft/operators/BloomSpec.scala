@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every inserted key passes mightContain") {
+    val keys = (1L to 2000L).map(_ * 7919L).toDF("k")
+    val bitmap = Bloom.bitmapWords(keys, col("k"), numBits = 1 << 15,
+      numHashes = 7)
+    val misses = keys
+      .where(!Bloom.mightContain(col("k"), bitmap, numHashes = 7))
+      .count()
+    assert(misses === 0L)
+  }
+
+  test("false-positive rate stays near the sized target") {
+    val keys = (1L to 2000L).toDF("k")
+    // ~16 bits/key at m=2^15 → fpp well under 1%
+    val bitmap = Bloom.bitmapWords(keys, col("k"), numBits = 1 << 15,
+      numHashes = 7)
+    val probes = (1_000_001L to 1_020_000L).toDF("k")
+    val fp = probes
+      .where(Bloom.mightContain(col("k"), bitmap, numHashes = 7))
+      .count()
+    assert(fp < 400L, s"false-positive count $fp out of 20000 probes")
+  }
+
+  test("semiJoin result identical to the plain semi-join (string keys, " +
+      "nulls never match)") {
+    val big = Seq(
+      ("a", 1), ("b", 2), ("c", 3), ("d", 4), (null, 5), ("e", 6),
+      ("a", 7), ("zz", 8)).toDF("k", "v")
+    val small = Seq("a", "c", "e", "nope").toDF("sk")
+      .union(Seq.empty[String].toDF("sk"))
+    val got = Bloom.semiJoin(big, small, "k", "sk")
+      .orderBy("v").collect().map(r => (r.getString(0), r.getInt(1)))
+    val want = big.join(small, col("k") === col("sk"), "left_semi")
+      .orderBy("v").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.toSeq === Seq(("a", 1), ("c", 3), ("e", 6), ("a", 7)))
+  }
+
+  test("bitmap build is distributed and bounded: word count <= numBits/64") {
+    val keys = (1L to 500L).toDF("k")
+    val bitmap = Bloom.bitmapWords(keys, col("k"), numBits = 4096,
+      numHashes = 5)
+    assert(bitmap.length === 4096 / 64)
+    assert(bitmap.exists(_ != 0L))
+  }
+}

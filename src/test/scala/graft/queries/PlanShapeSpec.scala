@@ -181,4 +181,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), s"LUT must broadcast:\n$p")
   }
+
+  test("q97_bloom_semi: the bloom bit tests filter the fact side BELOW " +
+      "its exchange (sort-merge semi-join sees pre-filtered input)") {
+    val p = plan("q97_bloom_semi")
+    assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"),
+      s"expected sort-merge left-semi join:\n$p")
+    // explain prints parents above children: the bloom membership filter
+    // (the element_at bit probes) must appear AFTER the fact side's
+    // shuffle exchange line — i.e. beneath it in the tree
+    val exch = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    val bloom = p.indexOf("element_at")
+    assert(exch >= 0, s"expected the fact-side exchange:\n$p")
+    assert(bloom > exch,
+      s"bloom filter must sit below the exchange (prefilter):\n$p")
+  }
 }
