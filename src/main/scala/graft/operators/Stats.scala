@@ -162,29 +162,46 @@ object Stats {
       .select(col("__tk"), col("__tc"), col("__tb"),
         col("t.tag").as("tag"), col("t.r").as("r"), col("prior"), col("n"))
     // pass B: only rows in a target bucket survive the broadcast join;
-    // the in-bucket histogram + cumsum is tiny by construction
+    // the in-bucket histogram is tiny by construction. Two aggregation
+    // levels, no window: level 1 map-side-combines bucket rows into the
+    // in-bucket value histogram (r/prior/n are constant per (group, tag) —
+    // max() just carries them); level 2 collects each group's histograms
+    // (memory = the target buckets' grids, the same bound the window
+    // formulation had) and a cumulative HOF walk locates each in-bucket
+    // order statistic — one exchange fewer and no per-group sort pass vs
+    // cumsum-window + re-aggregate.
     val cand = rows
       .join(broadcast(targets),
         col(key) <=> col("__tk") && col("cid") === col("__tc") &&
           col("b") === col("__tb"))
-      .groupBy(col(key), col("tag"), col("r"), col("prior"), col("n"),
-        col("val"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("lcum", sum(col("cnt")).over(
-        Window.partitionBy(col(key), col("tag")).orderBy(col("val"))))
-    val vals = cand.groupBy(col(key), col("tag"))
-      .agg(max(col("n")).as("n"),
-        min(when(col("prior") + col("lcum") >= col("r"), col("val")))
-          .cast("double").as("tval"))
-    val wideAggs = names.flatMap { name => Seq(
-      min(when(col("tag") === s"${name}__lo", col("tval")))
-        .as(s"${name}__lo"),
-      min(when(col("tag") === s"${name}__hi", col("tval")))
-        .as(s"${name}__hi"),
-      max(when(col("tag") === s"${name}__lo", col("n")))
-        .as(s"${name}__n"))
+      .groupBy(col(key), col("tag"), col("val"))
+      .agg(count(lit(1)).as("cnt"), max(col("r")).as("r"),
+        max(col("prior")).as("prior"), max(col("n")).as("n"))
+    // sort_array orders by (tag, val): within one tag the entries are the
+    // ascending value grid of that target's bucket
+    val perKey = cand.groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col("tag"), col("val"),
+        col("cnt"), col("r"), col("prior"), col("n")))).as("ents"))
+    // first value whose running in-bucket count reaches rank r − prior;
+    // empty tag slice (that column all-NULL in the group) → NULL
+    def pick(tag: String): Column = aggregate(
+      filter(col("ents"), e => e("tag") === lit(tag)),
+      struct(lit(0L).as("cum"), lit(null).cast("double").as("v")),
+      (acc, e) => struct(
+        (acc("cum") + e("cnt")).as("cum"),
+        coalesce(acc("v"),
+          when(e("prior") + acc("cum") + e("cnt") >= e("r"),
+            e("val").cast("double"))).as("v")),
+      a => a("v"))
+    def nOf(name: String): Column =
+      get(filter(col("ents"), e => e("tag") === lit(s"${name}__lo")),
+        lit(0))("n")
+    val wideCols = names.flatMap { name => Seq(
+      pick(s"${name}__lo").as(s"${name}__lo"),
+      pick(s"${name}__hi").as(s"${name}__hi"),
+      nOf(name).as(s"${name}__n"))
     }
-    val wide = vals.groupBy(col(key)).agg(wideAggs.head, wideAggs.tail: _*)
+    val wide = perKey.select(col(key) +: wideCols: _*)
     interpolate(wide, key, specs.flatMap(_._3),
       name => col(s"${name}__n"))
   }

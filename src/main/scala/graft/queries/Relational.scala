@@ -406,8 +406,10 @@ object Relational {
       // null-SAFE join (a NULL group key still owns real percentiles);
       // renamed key — both frames descend from the same scan, so
       // frame("col") references would be ambiguous self-join refs
+      // pct is one row per group key — broadcast it so the key-universe
+      // join is a BHJ (the SMJ form sorted + exchanged both 3-row sides)
       li.select(col("l_returnflag")).distinct()
-        .join(pct.withColumnRenamed("l_returnflag", "__kp"),
+        .join(broadcast(pct.withColumnRenamed("l_returnflag", "__kp")),
           col("l_returnflag") <=> col("__kp"), "left")
         .drop("__kp")
     },
