@@ -459,10 +459,19 @@ object Similarity {
   def pqSearch(codes: DataFrame, codebook: DataFrame, query: DataFrame,
       dims: Int, m: Int, k: Int, roundDp: Int = 4): DataFrame = {
     require(m >= 1 && dims % m == 0, s"pqSearch: m=$m must divide dims=$dims")
+    adcScore(codes, codebook, query, dims, m, roundDp)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The ADC scoring map shared by [[pqSearch]] and [[ivfPqSearch]]: build
+    * the query's m×codes lookup table (one broadcast row of per-sub arrays
+    * ordered by code_id so `element_at(larr, code+1)` is the table lookup)
+    * and sum m lookups per corpus row. Extra `codes` columns pass through.
+    */
+  private def adcScore(codes: DataFrame, codebook: DataFrame,
+      query: DataFrame, dims: Int, m: Int, roundDp: Int): DataFrame = {
     val ds = dims / m
-    // LUT rows: (sub_id, code_id, lv = q_sub ⋅ sv) → one broadcast row of
-    // per-sub arrays ordered by code_id so element_at(larr, code+1) is the
-    // table lookup
     val lut = codebook.crossJoin(broadcast(
         query.select(col("qv").cast("array<double>").as("qv"))))
       .select(col("sub_id"), col("code_id"),
@@ -474,15 +483,97 @@ object Similarity {
       .groupBy()
       .agg(sort_array(collect_list(struct(col("sub_id"), col("lvs"))))
         .as("lut"))
+    val passthrough = codes.columns.filter(c => c != "vec_id" && c != "codes")
     codes.crossJoin(broadcast(lut))
-      .select(col("vec_id"),
+      .select(col("vec_id") +:
         round(aggregate(
           zip_with(col("codes"),
             transform(col("lut"), e => e("lvs")),
             (c, larr) => element_at(larr, c.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x), roundDp).as("score"))
+          lit(0.0), (acc, x) => acc + x), roundDp).as("score") +:
+        passthrough.map(col): _*)
+  }
+
+  /** IVF-PQ — the composed 100 TB ANN architecture: IVF cells prune WHICH
+    * rows are scored ([[ivfAssign]]); PQ codes shrink WHAT is scored per
+    * row ([[pqEncode]] + ADC). Index build (assign + encode) is a pure map
+    * over the corpus — the cell id rides the encode projection, so codes
+    * never join back to their own assignment. The query path broadcasts
+    * the probed-cell set (a semi-join that skips ~(1 − nprobe/k_cells) of
+    * the index) and the LUT; scoring is m table lookups per surviving
+    * row; top-k is a TakeOrdered. Zero corpus shuffle end to end — gated
+    * in `PlanShapeSpec`.
+    *
+    * Deterministic throughout (fixed centroids/codebook, rounded scores,
+    * id tie-breaks) → fully SQL-oracled as q98.
+    */
+  def ivfPqSearch(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, query: DataFrame, dims: Int, m: Int,
+      nprobe: Int, k: Int, roundDp: Int = 4): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, roundDp,
+      keep = Seq("embedding"))
+    val codes = pqEncode(assigned, codebook, dims, m,
+      keep = Seq("centroid_id"))
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("centroid_id"),
+        round(cosine(col("cv"), col("qv")), roundDp).as("ccos"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    adcScore(codes.join(broadcast(probed), Seq("centroid_id"), "left_semi"),
+        codebook, query, dims, m, roundDp)
+      .select(col("vec_id"), col("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Cell count for [[semanticDedup]]'s seed clustering, sized so the
+    * MEAN cell holds ~`targetCell` vectors: smallest power of two in
+    * [8, 4096] with cells · targetCell ≥ n. Pure integer arithmetic (the
+    * [[autoPlanesPerBand]] convention) so the SQL oracle derives the
+    * identical count from count(*). The 4096 cap bounds the centroid
+    * broadcast; past it (≫1M vectors) callers pass TRAINED centroids with
+    * k ~ √n instead of growing the seed grid.
+    */
+  def autoCells(n: Long, targetCell: Int = 256): Int =
+    (3 to 12).map(1 << _).find(c => c.toLong * targetCell >= n)
+      .getOrElse(4096)
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then mark as duplicate every vector
+    * with an above-`threshold` cosine neighbor of SMALLER id in its OWN
+    * cell — pairwise work is cell-local, so candidate volume is
+    * Σ|cell|²/2 instead of n²/2, and the join shuffles on centroid_id,
+    * a bounded-width key (cell sizes concentrate around n/k by
+    * construction; a pathological mega-cell is the caller's signal to
+    * train better centroids, mirroring [[annPairs]]' hot-bucket note).
+    *
+    * Keep-smallest-id is the [[Dedup.exact]]/[[embeddingDups]] survivor
+    * policy; cosines round to `roundDp` before the filter (the repo-wide
+    * contract), zero-norm cosine = NULL → never a duplicate pair.
+    * Returns every corpus row flagged: (vec_id, centroid_id, is_dup).
+    */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame,
+      threshold: Double, roundDp: Int = 4): DataFrame = {
+    // norms staged as attributes before the pair filter (the HOF rule)
+    val assigned = ivfAssign(emb, centroids, roundDp,
+        keep = Seq("embedding"))
+      .withColumn("__norm", l2norm(col("embedding")))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("__norm").as("na"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("__norm").as("nb"))
+    val cos = round(try_divide(dot(col("ea"), col("eb")),
+      col("na") * col("nb")), roundDp)
+    // id test BEFORE the d-wide dot product (And short-circuits)
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b") && cos >= threshold)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 
   /** Symmetric per-vector INT8 quantization — the 4× embedding

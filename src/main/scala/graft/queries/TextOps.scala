@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Stats, TextAnalysis}
 
 /** Training-data text operators as named, oracle-checked queries over the
   * `documents` table: token/quality stats, language ID, exact+normalized
@@ -718,6 +718,58 @@ object TextOps {
       FROM s"""),
     doc = "overlapping token-window chunking (64/16 overlap)")
 
+  // --- ADAPTIVE quality cut: the corpus decides its own threshold. A
+  //     doc's quality score (4dp stopword density — codegen'd
+  //     CountInSetExpr over a staged token array) is cut at the GLOBAL
+  //     exact interpolated 20th percentile, computed scale-first via
+  //     [[Stats.globalPercentiles]]: the single-partition step sees the
+  //     4dp score GRID (<= 10001 distinct values), never the rows. NULL
+  //     text -> NULL score -> excluded from both the percentile and the
+  //     output (the percentile-aggregate contract).
+  private val q100_quality_cut = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          round(try_divide(
+            TextAnalysis.stopwordHits(col("__tk"),
+              Seq("the", "a", "of", "and", "is")).cast("double"),
+            size(col("__tk")).cast("double")), 4).as("score"))
+      val thr = Stats.globalPercentiles(scored, "score", Seq("p20" -> 0.2))
+      scored.filter(col("score").isNotNull)
+        .crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("score"), col("p20"),
+          (col("score") >= col("p20")).as("kept"))
+    },
+    oracle = Some("""
+      WITH sc AS (
+        SELECT doc_id,
+          round(CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) /
+                CAST(len(tk) AS DOUBLE), 4) AS score
+        FROM (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+              FROM documents)),
+      hist AS (
+        SELECT score AS val, count(*) AS cnt
+        FROM sc WHERE score IS NOT NULL GROUP BY 1),
+      cum AS (
+        SELECT val, sum(cnt) OVER (ORDER BY val) AS cum,
+               sum(cnt) OVER () AS n
+        FROM hist),
+      agg AS (
+        SELECT CAST(max(n) AS DOUBLE) AS n,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.2)+1 THEN val END) AS DOUBLE) AS lo,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.2)+2 THEN val END) AS DOUBLE) AS hi
+        FROM cum),
+      thr AS (
+        SELECT round(CASE WHEN (n-1)*0.2 = floor((n-1)*0.2) THEN lo
+          ELSE lo + ((n-1)*0.2 - floor((n-1)*0.2)) * (hi - lo) END, 6) AS p20
+        FROM agg)
+      SELECT s.doc_id, s.score, t.p20, s.score >= t.p20 AS kept
+      FROM sc s, thr t WHERE s.score IS NOT NULL"""),
+    doc = "adaptive quality filter: cut at the corpus's exact global p20")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -737,5 +789,6 @@ object TextOps {
     "q88_mixture_plan" -> q88_mixture_plan,
     "q89_pack_bins" -> q89_pack_bins,
     "q90_lm_score" -> q90_lm_score,
-    "q92_chunks" -> q92_chunks)
+    "q92_chunks" -> q92_chunks,
+    "q100_quality_cut" -> q100_quality_cut)
 }

@@ -439,6 +439,129 @@ object VectorOps {
         AND m.code_id = s.code_id AND m.pos = s.pos"""),
     doc = "PQ codebook k-medians training iteration (assign + median move)")
 
+  // --- IVF-PQ: the composed full-scale ANN architecture — IVF cells
+  //     prune WHICH rows are scored, PQ codes shrink WHAT is scored.
+  //     Probe the 3 nearest of 8 cells, ADC-score only their members,
+  //     top-10. Composes the q84 (probed/assigned) and q94 (codes/LUT)
+  //     oracles, so the combined path is hash-gated end to end.
+  private val q98_ivfpq_search = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      Similarity.ivfPqSearch(emb.filter(col("vec_id") =!= 0), centroids,
+        cb, query, dims = 64, m = 8, nprobe = 3, k = 10)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT x.vec_id, c.centroid_id,
+               CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(CAST(c.cv AS DOUBLE[]), y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                      CAST(c.cv AS DOUBLE[])), 4) END AS ccos
+        FROM embeddings x, c WHERE x.vec_id <> 0),
+      assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      probed AS (
+        SELECT centroid_id FROM c, q
+        ORDER BY CASE WHEN list_sum(list_transform(CAST(cv AS DOUBLE[]), y -> y * y)) = 0
+                        OR list_sum(list_transform(CAST(qv AS DOUBLE[]), y -> y * y)) = 0
+                      THEN NULL
+                      ELSE round(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                                        CAST(qv AS DOUBLE[])), 4) END DESC,
+                 centroid_id
+        LIMIT 3),
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cb AS (SELECT j AS sub_id, vec_id AS code_id,
+               v[j*8 + 1 : j*8 + 8] AS sv
+             FROM e, js WHERE vec_id < 16),
+      cbn AS (SELECT sub_id, code_id, sv,
+                list_sum(list_transform(sv, x -> x * x)) AS c2 FROM cb),
+      subs AS (SELECT e.vec_id, j AS sub_id, v[j*8 + 1 : j*8 + 8] AS sub
+               FROM e, js WHERE e.vec_id <> 0),
+      best AS (SELECT s.vec_id, s.sub_id, c.code_id,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+            round(c.c2 - 2 * list_dot_product(s.sub, c.sv), 6),
+            c.code_id) AS rn
+        FROM subs s JOIN cbn c ON s.sub_id = c.sub_id),
+      qd AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+             WHERE vec_id = 0),
+      lut AS (SELECT c.sub_id, c.code_id,
+                list_dot_product(qv[c.sub_id*8 + 1 : c.sub_id*8 + 8],
+                  c.sv) AS lv
+              FROM cbn c, qd)
+      SELECT b.vec_id, round(sum(l.lv), 4) AS score
+      FROM best b
+      JOIN lut l ON b.sub_id = l.sub_id AND b.code_id = l.code_id
+      JOIN assigned a ON a.vec_id = b.vec_id
+      JOIN probed p ON p.centroid_id = a.centroid_id
+      WHERE b.rn = 1
+      GROUP BY b.vec_id
+      ORDER BY score DESC, b.vec_id LIMIT 10"""),
+    doc = "IVF-PQ ANN: probed cells prune rows, ADC lookups prune math")
+
+  // --- SemDeDup-style semantic dedup: cluster the space (adaptive seed
+  //     cell count, mean cell ~256), mark every vector with an
+  //     above-threshold smaller-id neighbor in its own cell. Pairwise
+  //     work is cell-local — Σ|cell|²/2, never n²/2.
+  private val q99_semdedup = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val k = Similarity.autoCells(emb.count())
+      val centroids = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.semanticDedup(emb, centroids, threshold = 0.4)
+    },
+    oracle = Some("""
+      WITH params AS (
+        SELECT coalesce(min(t.c), 4096) AS k
+        FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),(2048),
+                     (4096)) t(c),
+             (SELECT count(*) AS n FROM embeddings) n
+        WHERE CAST(t.c AS BIGINT) * 256 >= n.n),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings, params WHERE vec_id < params.k),
+      scored AS (
+        SELECT e.vec_id, c.centroid_id, CAST(e.embedding AS DOUBLE[]) AS v,
+               CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(CAST(c.cv AS DOUBLE[]), y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(c.cv AS DOUBLE[])), 4) END AS cos
+        FROM embeddings e, c),
+      assigned AS (
+        SELECT vec_id, centroid_id, v
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE CASE WHEN list_sum(list_transform(a.v, y -> y * y)) = 0
+                     OR list_sum(list_transform(b.v, y -> y * y)) = 0
+                   THEN NULL
+                   ELSE round(list_cosine_similarity(a.v, b.v), 4) END
+              >= 0.4)
+      SELECT a.vec_id, a.centroid_id,
+             (d.vec_id IS NOT NULL) AS is_dup
+      FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""),
+    doc = "semantic dedup: cell-local above-threshold smaller-id neighbor")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -450,5 +573,7 @@ object VectorOps {
     "q93_pq_encode" -> q93_pq_encode,
     "q94_pq_search" -> q94_pq_search,
     "q95_int8_quant" -> q95_int8_quant,
-    "q96_pq_train" -> q96_pq_train)
+    "q96_pq_train" -> q96_pq_train,
+    "q98_ivfpq_search" -> q98_ivfpq_search,
+    "q99_semdedup" -> q99_semdedup)
 }

@@ -411,4 +411,85 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(base == reshuffled, "pair set must not depend on partitioning")
   }
+
+  test("ivfPqSearch: probing ALL cells equals pqSearch over the full " +
+      "corpus; fewer probes return members of probed cells only") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16).cache()
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val full = Similarity.ivfPqSearch(corpus, centroids, cb, query,
+        dims = 64, m = 8, nprobe = 8, k = 10)
+      .as[(Long, Double)].collect()
+    val flat = Similarity.pqSearch(
+        Similarity.pqEncode(corpus, cb, dims = 64, m = 8), cb, query,
+        dims = 64, m = 8, k = 10)
+      .as[(Long, Double)].collect()
+    assert(full.toSeq == flat.toSeq,
+      s"nprobe=all must equal flat ADC search:\n$full\nvs\n$flat")
+    // partial probe: every hit belongs to one of the probed cells
+    val assigned = Similarity.ivfAssign(corpus, centroids, roundDp = 4)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    val probedCells = centroids.crossJoin(broadcast(query))
+      .select(col("centroid_id"),
+        round(Similarity.cosine(col("cv"), col("qv")), 4).as("c"))
+      .orderBy(col("c").desc, col("centroid_id")).limit(3)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val part = Similarity.ivfPqSearch(corpus, centroids, cb, query,
+        dims = 64, m = 8, nprobe = 3, k = 10)
+      .as[(Long, Double)].collect()
+    assert(part.nonEmpty)
+    assert(part.forall { case (id, _) => probedCells(assigned(id)) },
+      "partial probe surfaced a vector from an unprobed cell")
+  }
+
+  test("semanticDedup: dup iff an above-threshold smaller-id neighbor " +
+      "shares the cell (brute-force replay); partitioning-independent") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val k = Similarity.autoCells(emb.count())
+    val centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val got = Similarity.semanticDedup(emb, centroids, threshold = 0.4)
+      .select(col("vec_id"), col("is_dup")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(got.size == emb.count())
+    assert(got.values.exists(identity), "fixture must contain semantic dups")
+    // brute-force replay: exact all-pairs above threshold, restricted to
+    // same-cell pairs, keep-smallest-id
+    val cell = Similarity.ivfAssign(emb, centroids, roundDp = 4)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    val expectDup = Similarity.exactCosinePairs(emb, 0.4)
+      .select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect()
+      .filter { case (a, b) => cell(a) == cell(b) }
+      .map(_._2).toSet
+    assert(got.filter(_._2).keySet == expectDup,
+      "semanticDedup marks must equal the brute-force same-cell replay")
+    // semantic dups are a SUBSET of global near-dups (cell pruning only
+    // ever removes pairs)
+    val globalDup = Similarity.embeddingDups(emb, 0.4).filter(col("is_dup"))
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(expectDup.subsetOf(globalDup))
+    val reshuffled = Similarity
+      .semanticDedup(emb.repartition(7, col("label")), centroids, 0.4)
+      .select(col("vec_id"), col("is_dup")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(got == reshuffled, "marks must not depend on partitioning")
+  }
+
+  test("autoCells: power-of-two in [8, 4096], mean cell stays <= target") {
+    assert(Similarity.autoCells(0) == 8)
+    assert(Similarity.autoCells(2048) == 8)
+    assert(Similarity.autoCells(2049) == 16)
+    assert(Similarity.autoCells(32000) == 128)
+    assert(Similarity.autoCells(Long.MaxValue) == 4096)
+    val ks = Seq(100L, 10000L, 1000000L, 100000000L)
+      .map(n => Similarity.autoCells(n))
+    assert(ks.forall(c => c >= 8 && c <= 4096 && (c & (c - 1)) == 0))
+    assert(ks == ks.sorted)
+  }
 }

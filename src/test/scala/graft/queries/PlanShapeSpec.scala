@@ -196,4 +196,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(bloom > exch,
       s"bloom filter must sit below the exchange (prefilter):\n$p")
   }
+
+  test("q98_ivfpq_search: corpus path is a pure map — probed-cell semi " +
+      "join + LUT broadcast, fused top-k, only tiny-side exchanges") {
+    val p = plan("q98_ivfpq_search")
+    assert(p.contains("LeftSemi"), s"expected probed-cell semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k fusion:\n$p")
+    assert(!p.contains("Window"), s"assignment must stay window-free:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    // non-broadcast exchanges may only build the broadcast sides:
+    // centroid packing (1) + codebook packing (2) + LUT packing (2);
+    // one more means the CORPUS started shuffling
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 5,
+      s"corpus must not shuffle ($nonBroadcast shuffle exchanges):\n$p")
+  }
+
+  test("q99_semdedup: pairwise work shuffles on centroid_id only " +
+      "(cell-local equi-join), never a cartesian product") {
+    val p = plan("q99_semdedup")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    // the pair join must be an EQUI-join keyed on the cell id (shuffled
+    // at scale; AQE may broadcast one side at test SF — both are keyed)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("centroid_id")),
+      s"expected a centroid_id-keyed pair join:\n$p")
+    assert(!p.contains("Window"), s"assignment must stay window-free:\n$p")
+  }
 }
