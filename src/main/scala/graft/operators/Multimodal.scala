@@ -5,12 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata, flowing through real Spark schemas/partitioning. The decode
-  * step is a clearly-marked deterministic FAKE (image/audio codecs are not
-  * in this container — see builder prompt): it derives "features" from the
-  * bytes arithmetically, so the pipeline shape (schema, batching,
-  * partition-parallel feature extraction) is real and testable while the
-  * codec call is swappable.
+  * metadata, flowing through real Spark schemas/partitioning.
+  *
+  * Two decode paths:
+  *  - [[decodeImages]] / [[resizeImages]]: REAL codecs via the JDK's
+  *    built-in `javax.imageio` (PNG/JPEG/BMP/GIF) — decode, feature
+  *    extraction (dims, channels, luma, 8×8 perceptual thumb), and
+  *    nearest-neighbor resize, all partition-parallel typed maps.
+  *  - [[extractFeatures]] / [[resizeStub]]: clearly-marked deterministic
+  *    FAKEs for formats whose codecs aren't in this container (video,
+  *    audio): they derive "features" from the bytes arithmetically, so
+  *    the pipeline shape (schema, batching, partition-parallel feature
+  *    extraction) is real and testable while the codec call is swappable
+  *    — and they stay DuckDB-oracle-able (q38/q63), which a real codec
+  *    can never be.
   */
 object Multimodal {
 
@@ -83,6 +91,120 @@ object Multimodal {
       substring(col("payload"), 1, width * height / 64).as("thumb"),
       octet_length(col("payload")).cast("long").as("orig_bytes"))
 
+  /** REAL image decode via the JDK's built-in `javax.imageio` codecs
+    * (PNG / JPEG / BMP / GIF — no external libraries, headless-safe):
+    * per-asset width/height/channel-count plus an 8x8 grayscale
+    * perceptual thumbnail (the aHash/dHash input — downstream near-dup
+    * hashing runs on it without re-decoding). Undecodable or NULL
+    * payloads yield `decode_ok = false` with NULL features — a poisoned
+    * blob must mark its row, never kill the 100 TB job.
+    *
+    * Shape: typed `mapPartitions` over (id, payload) — codecs are
+    * genuine per-row imperative logic (the survey's documented exception
+    * to the expressions-first rule); decoding is partition-parallel, one
+    * decoder loop per partition, nothing leaves the executor.
+    */
+  def decodeImages(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
+      .toDF()
+  }
+
+  /** One asset through ImageIO: dimensions, channel count, mean luma
+    * (0-255 integer BT.601 over the 8x8 thumb), and the 8x8 grayscale
+    * thumbnail in row-major order (box-averaged — decoder-stable, no
+    * Graphics2D interpolation variance across JVMs). Pure function of
+    * the bytes — deterministic across partitionings and cluster layouts.
+    */
+  private[operators] def decodeOne(id: Long,
+      bytes: Array[Byte]): ImageFeatures = {
+    val img =
+      if (bytes == null || bytes.isEmpty) null
+      else
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+    if (img == null) ImageFeatures(id, decode_ok = false,
+      None, None, None, None, None)
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val thumb = new Array[Int](64)
+      var ty = 0
+      while (ty < 8) {
+        var tx = 0
+        while (tx < 8) {
+          val x0 = tx * w / 8; val x1 = math.max((tx + 1) * w / 8, x0 + 1)
+          val y0 = ty * h / 8; val y1 = math.max((ty + 1) * h / 8, y0 + 1)
+          var sum = 0L; var n = 0
+          var y = y0
+          while (y < h && y < y1) {
+            var x = x0
+            while (x < w && x < x1) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sum += (299 * r + 587 * g + 114 * b) / 1000 // BT.601 int luma
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          thumb(ty * 8 + tx) = if (n == 0) 0 else (sum / n).toInt
+          tx += 1
+        }
+        ty += 1
+      }
+      ImageFeatures(id, decode_ok = true, Some(w), Some(h),
+        Some(img.getColorModel.getNumComponents),
+        Some(thumb.sum.toDouble / 64.0), Some(thumb.toSeq))
+    }
+  }
+
+  /** REAL image resize through the same JDK codec path: decode, nearest-
+    * neighbor scale to `width` x `height` (deterministic — no AA kernel
+    * variance), re-encode as PNG. Undecodable payloads pass through with
+    * a NULL png. Partition-parallel typed map, nothing leaves the
+    * executor.
+    */
+  def resizeImages(assets: DataFrame, width: Int,
+      height: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(width > 0 && height > 0, "resizeImages: target dims must be > 0")
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (img == null) ResizedImage(id, width, height, None)
+        else {
+          val out = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              out.setRGB(x, y, img.getRGB(
+                x * img.getWidth / width, y * img.getHeight / height))
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          ResizedImage(id, width, height, Some(buf.toByteArray))
+        }
+      })
+      .toDF()
+  }
+
   /** Frame-sampling shape: one row per sampled offset (stride over bytes,
     * standing in for video frame indices) — demonstrates the explode-style
     * fan-out a frame sampler produces, with deterministic offsets.
@@ -104,3 +226,12 @@ object Multimodal {
           .cast("int"))
       .drop("__n_bytes")
 }
+
+/** Typed decode output of [[Multimodal.decodeImages]]. */
+case class ImageFeatures(asset_id: Long, decode_ok: Boolean,
+    width: Option[Int], height: Option[Int], n_channels: Option[Int],
+    mean_luma: Option[Double], thumb8: Option[Seq[Int]])
+
+/** Typed output of [[Multimodal.resizeImages]]. */
+case class ResizedImage(asset_id: Long, target_width: Int,
+    target_height: Int, png: Option[Array[Byte]])

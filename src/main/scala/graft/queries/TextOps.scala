@@ -770,6 +770,36 @@ object TextOps {
       FROM sc s, thr t WHERE s.score IS NOT NULL"""),
     doc = "adaptive quality filter: cut at the corpus's exact global p20")
 
+  // --- deterministic training-shard export layout: portable-hash shard
+  //     assignment (md5-fold, the q36/q87 hash) + a total order WITHIN
+  //     each shard. The per-shard row_number IS the export sort — writing
+  //     ordered shards requires exactly this one shuffle, keyed on the
+  //     shard id, with 1/nshards of the corpus per sort (spilling, never
+  //     buffering). Reproducible across cluster layouts: hash and
+  //     tie-break are data-derived, nothing depends on partitioning.
+  private val q101_shards = Q(
+    run = (s, d) => {
+      val h = Dedup.portableHash64(col("doc_id").cast("string"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("__h", h)
+        .withColumn("shard", pmod(col("__h"), lit(64)).cast("int"))
+        .withColumn("seq", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("__h"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("shard"), col("seq"))
+    },
+    oracle = Some("""
+      WITH h AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS h
+        FROM documents)
+      SELECT doc_id, CAST(h % 64 AS INT) AS shard,
+        CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)
+             AS BIGINT) AS seq
+      FROM h"""),
+    doc = "deterministic shard export: portable-hash assignment + in-shard order")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -790,5 +820,6 @@ object TextOps {
     "q89_pack_bins" -> q89_pack_bins,
     "q90_lm_score" -> q90_lm_score,
     "q92_chunks" -> q92_chunks,
-    "q100_quality_cut" -> q100_quality_cut)
+    "q100_quality_cut" -> q100_quality_cut,
+    "q101_shards" -> q101_shards)
 }
