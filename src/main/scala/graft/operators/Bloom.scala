@@ -82,6 +82,13 @@ object Bloom {
     * bitmap: k codegen'd element_at + mask conjunctions. NULL keys yield
     * NULL (filtered out), matching semi-join semantics where NULL never
     * matches.
+    *
+    * COMPOSED REFERENCE FORM — [[mightContainFused]] is the production
+    * path: at k=7 this form's predicate is ~40+ non-trivial expressions
+    * over a 100k-element array literal, past the JIT method-size cliff,
+    * and the probe stage silently ran interpreted (7.7 s for 6 M rows at
+    * sf1 — 4.6× the plain semi-join it prefilters). Kept as the
+    * property-test oracle in `BloomSpec`.
     */
   def mightContain(key: Column, bitmap: Array[Long],
       numHashes: Int): Column = {
@@ -94,6 +101,22 @@ object Bloom {
         .bitwiseAND(call_function("shiftleft", lit(1L),
           pmod(pos, lit(64L)).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
+  }
+
+  /** The production probe: same double-hash position family, but the k
+    * bit tests run in ONE loop-based codegen'd expression
+    * ([[graft.functions.BloomTestExpr]]) over a plain JVM `long[]`
+    * reference — the generated method stays tiny regardless of k and the
+    * stage stays inside WholeStageCodegen (the q41 JIT-cliff rule).
+    */
+  def mightContainFused(key: Column, bitmap: Array[Long],
+      numHashes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    val numBits = bitmap.length * 64
+    ExprBridge.column(graft.functions.BloomTestExpr(
+      ExprBridge.expr(h1of(key, numBits)),
+      ExprBridge.expr(h2of(key, numBits)),
+      bitmap, numHashes))
   }
 
   /** Exact semi-join with a bloom prefilter on the big side: identical
@@ -111,7 +134,7 @@ object Bloom {
       .count()
     val numBits = roundPow2(math.max(1024L, n * 10))
     val bitmap = bitmapWords(small, col(smallKey), numBits, numHashes)
-    big.where(mightContain(col(bigKey), bitmap, numHashes))
+    big.where(mightContainFused(col(bigKey), bitmap, numHashes))
       .join(small.hint("merge"), col(bigKey) === col(smallKey), "left_semi")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,17 +8,20 @@ import org.apache.spark.sql.types._
   * metadata, flowing through real Spark schemas/partitioning.
   *
   * Two decode paths:
-  *  - [[decodeImages]] / [[resizeImages]]: REAL codecs via the JDK's
-  *    built-in `javax.imageio` (PNG/JPEG/BMP/GIF) — decode, feature
-  *    extraction (dims, channels, luma, 8×8 perceptual thumb), and
-  *    nearest-neighbor resize, all partition-parallel typed maps.
+  *  - REAL codecs, all JDK-built-in, no external libraries:
+  *    [[decodeImages]] / [[resizeImages]] via `javax.imageio`
+  *    (PNG/JPEG/BMP/GIF — dims, channels, luma, 8×8 perceptual thumb,
+  *    nearest-neighbor resize), [[decodeAudio]] via
+  *    `javax.sound.sampled` (WAV/AIFF/AU PCM — rate, channels,
+  *    duration, RMS, zero-crossing rate), and [[imageDupPairs]] /
+  *    [[aHash]] for perceptual image dedup on the decoded thumbs. All
+  *    partition-parallel typed maps.
   *  - [[extractFeatures]] / [[resizeStub]]: clearly-marked deterministic
-  *    FAKEs for formats whose codecs aren't in this container (video,
-  *    audio): they derive "features" from the bytes arithmetically, so
-  *    the pipeline shape (schema, batching, partition-parallel feature
-  *    extraction) is real and testable while the codec call is swappable
-  *    — and they stay DuckDB-oracle-able (q38/q63), which a real codec
-  *    can never be.
+  *    FAKEs for formats with no in-container codec (video): they derive
+  *    "features" from the bytes arithmetically, so the pipeline shape
+  *    (schema, batching, partition-parallel feature extraction) is real
+  *    and testable while the codec call is swappable — and they stay
+  *    DuckDB-oracle-able (q38/q63), which a real codec can never be.
   */
 object Multimodal {
 
@@ -205,6 +208,128 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual aHash from [[decodeImages]]' 8x8 thumb: bit i set when
+    * thumb(i) >= the thumb's own mean — 64 bits packed into one long.
+    * Column-level (composes into any projection); NULL thumb -> NULL
+    * hash. The standard re-encode-robust image fingerprint: byte-level
+    * dedup misses a recompressed JPEG, the luma thumb doesn't.
+    */
+  def aHash(thumb8: Column): Column = {
+    // mean comparison in pure integers (v*64 >= total) — no float parity
+    // hazards; element i -> bit i, packed as two 32-bit halves folded
+    // MSB-first (an ANSI-mode long would overflow-throw on the top bit
+    // of a single 64-bit arithmetic fold; shiftleft is bitwise, not
+    // arithmetic)
+    val total = aggregate(thumb8, lit(0L), (acc, x) => acc + x)
+    val bits = transform(thumb8,
+      v => when(v * 64L >= total, lit(1L)).otherwise(lit(0L)))
+    def pack32(sl: Column): Column =
+      aggregate(reverse(sl), lit(0L), (acc, b) => acc * 2 + b)
+    when(thumb8.isNull, lit(null).cast("long"))
+      .otherwise(shiftleft(pack32(slice(bits, 33, 32)), 32)
+        .bitwiseOR(pack32(slice(bits, 1, 32))))
+  }
+
+  /** Image near-dup pairs by aHash Hamming distance <= `maxBits` over
+    * decoded assets: 4x16-bit pigeonhole bands (a pair within 3 bits
+    * MUST agree on >= 1 band — the [[Dedup.simhashPairs]] construction),
+    * so candidate generation is a band equi-join, never all-pairs;
+    * verification is one XOR+popcount per candidate. Scale shape
+    * mirrors simhash: map-side hash, (band, bits) shuffle, candidate-
+    * only verify.
+    */
+  def imageDupPairs(decoded: DataFrame, maxBits: Int = 3): DataFrame = {
+    val hashed = decoded.filter(col("decode_ok"))
+      .select(col("asset_id"), aHash(col("thumb8")).as("h"))
+    val banded = hashed.select(col("asset_id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("h"), b * 16)
+              .bitwiseAND(lit(0xffffL)).as("bits"))): _*)).as("bb"))
+      .select(col("asset_id"), col("h"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"),
+        col("b.asset_id").as("asset_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("dist"))
+      .filter(col("dist") <= maxBits)
+      .distinct()
+  }
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM — no external libraries): per-asset sample rate,
+    * channel count, frame count, duration, and signal features (RMS
+    * energy and zero-crossing rate over the first channel) — the
+    * quality/silence filters an audio corpus pipeline gates on.
+    * Undecodable or NULL payloads flag their row (`decode_ok = false`),
+    * never kill the job. Partition-parallel typed map.
+    */
+  def decodeAudio(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudioOne(id, bytes) })
+      .toDF()
+  }
+
+  private[operators] def decodeAudioOne(id: Long,
+      bytes: Array[Byte]): AudioFeatures = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      if (bytes == null || bytes.isEmpty) null
+      else
+        try AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+    if (in == null)
+      AudioFeatures(id, decode_ok = false, None, None, None, None, None, None)
+    else
+      try {
+        val fmt = in.getFormat
+        val pcmSigned = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val frames = in.getFrameLength
+        val rate = fmt.getSampleRate.toDouble
+        val ch = fmt.getChannels
+        if (!pcmSigned || (bytesPerSample != 2 && bytesPerSample != 1))
+          AudioFeatures(id, decode_ok = true, Some(rate), Some(ch),
+            Some(frames), Some(frames / rate), None, None)
+        else {
+          // first channel, full read: 16-bit or 8-bit signed PCM
+          val data = in.readAllBytes()
+          val frameBytes = fmt.getFrameSize
+          val n = data.length / frameBytes
+          var i = 0; var sumSq = 0.0; var zc = 0L; var prevNeg = false
+          while (i < n) {
+            val off = i * frameBytes
+            val s =
+              if (bytesPerSample == 2) {
+                val lo = data(off) & 0xff; val hi = data(off + 1)
+                if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort / 32768.0
+                else ((hi << 8) | lo).toShort / 32768.0
+              } else data(off) / 128.0
+            sumSq += s * s
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          val zcr = if (n <= 1) 0.0 else zc.toDouble / (n - 1)
+          AudioFeatures(id, decode_ok = true, Some(rate), Some(ch),
+            Some(n.toLong), Some(n / rate),
+            Some(math.rint(rms * 1e6) / 1e6), Some(math.rint(zcr * 1e6) / 1e6))
+        }
+      } catch {
+        case _: Exception =>
+          AudioFeatures(id, decode_ok = false, None, None, None, None,
+            None, None)
+      } finally in.close()
+  }
+
   /** Frame-sampling shape: one row per sampled offset (stride over bytes,
     * standing in for video frame indices) — demonstrates the explode-style
     * fan-out a frame sampler produces, with deterministic offsets.
@@ -235,3 +360,9 @@ case class ImageFeatures(asset_id: Long, decode_ok: Boolean,
 /** Typed output of [[Multimodal.resizeImages]]. */
 case class ResizedImage(asset_id: Long, target_width: Int,
     target_height: Int, png: Option[Array[Byte]])
+
+/** Typed output of [[Multimodal.decodeAudio]]. */
+case class AudioFeatures(asset_id: Long, decode_ok: Boolean,
+    sample_rate: Option[Double], n_channels: Option[Int],
+    n_frames: Option[Long], duration_sec: Option[Double],
+    rms: Option[Double], zcr: Option[Double])

@@ -602,7 +602,7 @@ object Extended {
   private val q97_bloom_semi = Q(
     run = (s, d) => {
       val hot = Tables.orders(s, d)
-        .where(col("o_totalprice") > 350000.0)
+        .where(col("o_totalprice") > 480000.0)
         .select(col("o_orderkey"))
       graft.operators.Bloom.semiJoin(Tables.lineitem(s, d), hot,
           "l_orderkey", "o_orderkey")
@@ -615,7 +615,7 @@ object Extended {
              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
       FROM lineitem
       WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-                           WHERE o_totalprice > 350000.0)
+                           WHERE o_totalprice > 480000.0)
       GROUP BY l_returnflag"""),
     doc = "bloom-prefiltered exact semi-join (result invariant under bloom)")
 

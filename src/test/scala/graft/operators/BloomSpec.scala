@@ -51,4 +51,20 @@ class BloomSpec extends SparkSpec {
     assert(bitmap.length === 4096 / 64)
     assert(bitmap.exists(_ != 0L))
   }
+
+  test("fused bloom_test == composed mightContain on hits, misses and " +
+      "null keys") {
+    val keys = (1L to 3000L).map(_ * 104729L).toDF("k")
+    val bitmap = Bloom.bitmapWords(keys, col("k"), numBits = 1 << 15,
+      numHashes = 7)
+    val probes = ((1L to 3000L).map(_ * 104729L) ++ (1L to 20000L))
+      .map(Option(_)).:+(Option.empty[Long]).toDF("k")
+    val disagree = probes
+      .select(col("k"),
+        Bloom.mightContain(col("k"), bitmap, 7).as("composed"),
+        Bloom.mightContainFused(col("k"), bitmap, 7).as("fused"))
+      .where(!(col("composed") <=> col("fused")))
+      .count()
+    assert(disagree === 0L)
+  }
 }

@@ -162,4 +162,87 @@ class MultimodalSpec extends SparkSpec {
     assert((thumb.getRGB(0, 0) & 0xffffff) == 0xff0000)
     assert((thumb.getRGB(7, 0) & 0xffffff) == 0x00ff00)
   }
+
+  test("aHash + imageDupPairs: identical pixels through different REAL " +
+      "codecs collide at distance 0; a different image stays apart") {
+    import java.awt.image.BufferedImage
+    def gradient(mirror: Boolean): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      (0 until 32).foreach(y => (0 until 32).foreach { x =>
+        val v = ((if (mirror) (31 - x) else x) * 8) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf); buf.toByteArray
+    }
+    val a = gradient(false)
+    val rows = Seq(
+      (1L, enc(a, "png")), (2L, enc(a, "bmp")), // same pixels, two codecs
+      (3L, enc(gradient(true), "png")))         // mirrored image
+    val decoded = Multimodal.decodeImages(rows.toDF("asset_id", "payload"))
+      .cache()
+    val hashes = decoded
+      .select(col("asset_id"), Multimodal.aHash(col("thumb8")))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L),
+      "same pixels must hash identically across codecs")
+    assert(hashes(1L) != hashes(3L))
+    val pairs = Multimodal.imageDupPairs(decoded, maxBits = 3)
+      .select(col("asset_a"), col("asset_b"), col("dist"))
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == 0L)
+    // partitioning independence of the banded pair path
+    val re = Multimodal.imageDupPairs(
+        Multimodal.decodeImages(rows.toDF("asset_id", "payload")
+          .repartition(5)), maxBits = 3)
+      .select(col("asset_a"), col("asset_b")).as[(Long, Long)]
+      .collect().toSet
+    assert(re == pairs.map(p => (p._1, p._2)).toSet)
+  }
+
+  test("decodeAudio: REAL JDK WAV decode — rate/channels/frames/duration " +
+      "and RMS/ZCR signal features; silence and bad bytes pinned") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short], rate: Float): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xff).toByte          // little-endian PCM16
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val n = 4000 // 0.5 s at 8 kHz
+    val sine = Array.tabulate(n)(i =>
+      (0.5 * 32767 * math.sin(2 * math.Pi * 440 * i / 8000.0)).toShort)
+    val silence = Array.fill(n)(0.toShort)
+    val rows = Seq(
+      (1L, wav(sine, 8000f)), (2L, wav(silence, 8000f)),
+      (3L, "not audio".getBytes("UTF-8")))
+    val got = Multimodal.decodeAudio(rows.toDF("asset_id", "payload"))
+      .select(col("asset_id"), col("decode_ok"), col("sample_rate"),
+        col("n_channels"), col("n_frames"), col("duration_sec"),
+        col("rms"), col("zcr"))
+      .as[(Long, Boolean, Option[Double], Option[Int], Option[Long],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, true), (2L, true), (3L, false)))
+    val tone = got(0)
+    assert(tone._3.contains(8000.0) && tone._4.contains(1) &&
+      tone._5.contains(4000L) && tone._6.contains(0.5))
+    // 440 Hz sine at amplitude 0.5: RMS ~ 0.5/sqrt(2), ZCR ~ 2*440/8000
+    assert(math.abs(tone._7.get - 0.5 / math.sqrt(2)) < 0.01, s"rms=${tone._7}")
+    assert(math.abs(tone._8.get - 0.11) < 0.005, s"zcr=${tone._8}")
+    val quiet = got(1)
+    assert(quiet._7.contains(0.0) && quiet._8.contains(0.0))
+  }
 }

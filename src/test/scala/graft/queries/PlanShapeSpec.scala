@@ -191,7 +191,7 @@ class PlanShapeSpec extends SparkSpec {
     // (the element_at bit probes) must appear AFTER the fact side's
     // shuffle exchange line — i.e. beneath it in the tree
     val exch = p.indexOf("Exchange hashpartitioning(l_orderkey")
-    val bloom = p.indexOf("element_at")
+    val bloom = p.indexOf("bloom_test")
     assert(exch >= 0, s"expected the fact-side exchange:\n$p")
     assert(bloom > exch,
       s"bloom filter must sit below the exchange (prefilter):\n$p")
