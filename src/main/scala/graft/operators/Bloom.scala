@@ -121,20 +121,25 @@ object Bloom {
 
   /** Exact semi-join with a bloom prefilter on the big side: identical
     * result to `big.join(small, bigKey === smallKey, "left_semi")`, but the
-    * big side is filtered BEFORE its exchange (the `merge` hint keeps the
-    * exchange in the plan at test SF so `PlanShapeSpec` can gate the
-    * ordering — on a cluster the small side is past the broadcast
-    * threshold and sort-merge is what Catalyst picks anyway).
-    * `numBits` is sized from the build-side key count (~10 bits/key,
-    * k=7 → ~0.8% false-positive rate).
+    * big side is filtered BEFORE the join — when the key set is past the
+    * broadcast threshold (the 100 TB case: Catalyst picks sort-merge),
+    * the prefilter sits below the fact side's exchange and cuts its
+    * shuffle volume by the key set's selectivity. At test SF the exact
+    * join legitimately broadcasts (AQE sees a small build side); pass
+    * `forceShuffle = true` to pin the sort-merge plan — `BloomSpec` gates
+    * the filter-below-exchange ordering on that variant. `numBits` is
+    * sized from the build-side key count (~10 bits/key, k=7 → ~0.8%
+    * false-positive rate).
     */
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
-      smallKey: String, numHashes: Int = 7): DataFrame = {
+      smallKey: String, numHashes: Int = 7,
+      forceShuffle: Boolean = false): DataFrame = {
     val n = small.select(col(smallKey)).where(col(smallKey).isNotNull)
       .count()
     val numBits = roundPow2(math.max(1024L, n * 10))
     val bitmap = bitmapWords(small, col(smallKey), numBits, numHashes)
+    val rhs = if (forceShuffle) small.hint("merge") else small
     big.where(mightContainFused(col(bigKey), bitmap, numHashes))
-      .join(small.hint("merge"), col(bigKey) === col(smallKey), "left_semi")
+      .join(rhs, col(bigKey) === col(smallKey), "left_semi")
   }
 }

@@ -67,4 +67,25 @@ class BloomSpec extends SparkSpec {
       .count()
     assert(disagree === 0L)
   }
+
+  test("forceShuffle plan shape: the bloom prefilter sits BELOW the fact " +
+      "side's exchange (sort-merge semi-join sees pre-filtered input)") {
+    // range sources, not local relations — Catalyst eagerly evaluates a
+    // Filter over a LocalRelation and the prefilter would vanish from
+    // the plan under test
+    val big = spark.range(1, 5001).select(col("id").as("k"))
+    val small = spark.range(1, 5001, 7).select(col("id").as("sk"))
+    val p = Bloom.semiJoin(big, small, "k", "sk", forceShuffle = true)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"),
+      s"expected sort-merge left-semi join:\n$p")
+    // explain prints parents above children: the bloom filter must appear
+    // AFTER the fact side's shuffle exchange line — beneath it in the tree
+    val exch = p.indexOf("Exchange hashpartitioning(")
+    val bloom = p.indexOf("bloom_test")
+    assert(exch >= 0, s"expected the fact-side exchange:\n$p")
+    assert(bloom > exch,
+      s"bloom filter must sit below the exchange (prefilter):\n$p")
+  }
 }
