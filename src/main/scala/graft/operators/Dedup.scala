@@ -109,15 +109,19 @@ object Dedup {
       .filter(col("df") <= maxDf).select(col("shh"))
     val sh = allSh.join(rare, "shh")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // n_sh rides INTO the self-join (one doc-keyed join of the capped
+    // shingle relation — AQE broadcasts the size table at test SF) so the
+    // denominators fall out of the pair aggregation itself. The previous
+    // shape joined `sizes` onto the PAIR relation twice, and colliding
+    // pairs outnumber capped shingles (4.7M pairs vs 1.8M shingle rows at
+    // sf1) — two shuffles of the biggest relation in the query, both gone.
+    val shN = sh.join(sizes, "doc_id")
+    val inter = shN.as("a").join(shN.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"), max(col("a.n_sh")).as("n_a"),
+        max(col("b.n_sh")).as("n_b"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
