@@ -251,6 +251,76 @@ object Dedup {
       .distinct()
   }
 
+  /** CONTINUOUS-INGESTION dedup: flag each BATCH document against an
+    * existing BASE corpus — the shape a production pipeline runs on every
+    * new crawl drop, where re-deduping the whole corpus is off the table.
+    * Two stages, both cross-side only (the base NEVER self-joins):
+    *  - exact: the batch doc's normalized token-bag fingerprint
+    *    ([[TextAnalysis.normalizedHash]]) already exists in base;
+    *  - near: a MinHash band-bucket mate in base whose exact shingle
+    *    Jaccard clears `threshold` (the [[minhashDedup]] verify, applied
+    *    to cross-side candidates only).
+    * Returns every batch row: (doc_id, is_exact_dup, is_near_dup).
+    *
+    * Scale shape: the base side contributes only its fingerprint and
+    * signature index (what a real pipeline keeps MATERIALIZED between
+    * batches — recomputed here from the table so the whole operator
+    * replays in the SQL oracle); the candidate join shuffles on the
+    * (band, bucket) tuple; verification touches candidate pairs only.
+    */
+  def incrementalDedup(base: DataFrame, batch: DataFrame, id: Column,
+      text: Column, threshold: Double, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    def fps(df: DataFrame): DataFrame = df.select(id.as("doc_id"),
+      TextAnalysis.normalizedHash(text).as("fp"))
+    val exactDup = fps(batch)
+      .join(fps(base).select(col("fp")), Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    val rowsPerBand = k / bands
+    def bandedOf(df: DataFrame): DataFrame = {
+      val sig = minhashSignatures(df, id, text, k)
+      val bandCols = (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          array((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+            .map(i => col(s"sig_$i")): _*).as("bucket"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    }
+    val cand = bandedOf(base).as("a").join(bandedOf(batch).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_base"), col("b.doc_id").as("doc_new"))
+      .distinct()
+    def shOf(df: DataFrame): DataFrame =
+      hashedShingles(df, id, text, portable = true)
+    val shB = shOf(base); val shN = shOf(batch)
+    val inter = cand
+      .join(shB.select(col("doc_id").as("doc_base"), col("shh")),
+        Seq("doc_base"))
+      .join(shN.select(col("doc_id").as("doc_new"), col("shh")),
+        Seq("doc_new", "shh"))
+      .groupBy(col("doc_base"), col("doc_new"))
+      .agg(count(lit(1)).as("inter"))
+    def sizesOf(sh: DataFrame, key: String): DataFrame =
+      sh.groupBy(col("doc_id").as(key))
+        .agg(count(lit(1)).as(s"n_$key"))
+    val nearDup = inter
+      .join(sizesOf(shB, "doc_base"), "doc_base")
+      .join(sizesOf(shN, "doc_new"), "doc_new")
+      .filter(col("inter").cast("double") /
+        (col("n_doc_base") + col("n_doc_new") - col("inter"))
+          .cast("double") >= threshold)
+      .select(col("doc_new").as("doc_id")).distinct()
+    batch.select(id.as("doc_id"))
+      .join(exactDup.withColumn("__e", lit(true)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("__n", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__e"), lit(false)).as("is_exact_dup"),
+        coalesce(col("__n"), lit(false)).as("is_near_dup"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: LSH candidates verified with exact
     * Jaccard — the scale path (verification join touches candidates only).
     */

@@ -800,6 +800,90 @@ object TextOps {
       FROM h"""),
     doc = "deterministic shard export: portable-hash assignment + in-shard order")
 
+  // q102's oracle: the full two-stage incremental-dedup replay — the q33
+  // fingerprint and the q36 signature/band/verify machinery, applied
+  // CROSS-SIDE (base = even doc_ids, batch = odd). Generated from the
+  // same hashParams/band constants as the Spark plan.
+  private val incrementalOracleSql: String = {
+    val k = 16
+    val bands = 4
+    val rowsPerBand = k / bands
+    val sigDefs = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((x * $a + $b) % ${Dedup.P}) AS sig_$i"
+    }.mkString(",\n          ")
+    val bandEq = (0 until bands).map { bnd =>
+      (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => s"a.sig_$i = b.sig_$i").mkString("(", " AND ", ")")
+    }.mkString("\n              OR ")
+    def shCte(name: String, src: String) = s"""
+      $name AS (
+        SELECT DISTINCT doc_id,
+          ${duckHash64("substr(text, CAST(g AS INTEGER), 16)")} AS shh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM $src))"""
+    def sigCte(name: String, sh: String) = s"""
+      $name AS (
+        SELECT doc_id,
+          $sigDefs
+        FROM (SELECT doc_id, shh % ${Dedup.P} AS x FROM $sh)
+        GROUP BY doc_id)"""
+    s"""
+      WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      fpb AS (SELECT md5(array_to_string(list_sort(
+                regexp_split_to_array(lower(trim(text)), '\\s+')), ' ')) AS fp
+              FROM base),
+      fpn AS (SELECT doc_id, md5(array_to_string(list_sort(
+                regexp_split_to_array(lower(trim(text)), '\\s+')), ' ')) AS fp
+              FROM batch),
+      exact_dup AS (
+        SELECT DISTINCT n.doc_id FROM fpn n JOIN fpb b ON n.fp = b.fp),
+      ${shCte("shb", "base")},
+      ${shCte("shn", "batch")},
+      ${sigCte("sigb", "shb")},
+      ${sigCte("sign", "shn")},
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_base, b.doc_id AS doc_new
+        FROM sigb a JOIN sign b ON ($bandEq)),
+      szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+      szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+      inter AS (
+        SELECT doc_base, doc_new, count(*) AS inter
+        FROM cand
+        JOIN shb sa ON sa.doc_id = doc_base
+        JOIN shn sb ON sb.doc_id = doc_new AND sa.shh = sb.shh
+        GROUP BY 1, 2),
+      near_dup AS (
+        SELECT DISTINCT doc_new AS doc_id
+        FROM inter
+        JOIN szb ON szb.doc_id = doc_base
+        JOIN szn ON szn.doc_id = doc_new
+        WHERE CAST(inter AS DOUBLE) / CAST(szb.n + szn.n - inter AS DOUBLE)
+              >= 0.5)
+      SELECT t.doc_id,
+             (e.doc_id IS NOT NULL) AS is_exact_dup,
+             (n.doc_id IS NOT NULL) AS is_near_dup
+      FROM batch t
+      LEFT JOIN exact_dup e ON t.doc_id = e.doc_id
+      LEFT JOIN near_dup n ON t.doc_id = n.doc_id"""
+  }
+
+  // --- continuous-ingestion dedup: flag a NEW batch against the existing
+  //     base corpus — exact fingerprint hit + cross-side MinHash-banded
+  //     near-dup (verified). The base never self-joins; every stage of
+  //     both engines' pipelines is generated from the same constants.
+  private val q102_incremental_dedup = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("doc_id"), col("text"), threshold = 0.5)
+    },
+    oracle = Some(incrementalOracleSql),
+    doc = "incremental batch-vs-base dedup (exact fp + cross-side LSH verify)")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -821,5 +905,6 @@ object TextOps {
     "q90_lm_score" -> q90_lm_score,
     "q92_chunks" -> q92_chunks,
     "q100_quality_cut" -> q100_quality_cut,
-    "q101_shards" -> q101_shards)
+    "q101_shards" -> q101_shards,
+    "q102_incremental_dedup" -> q102_incremental_dedup)
 }

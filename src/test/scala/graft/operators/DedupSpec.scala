@@ -196,4 +196,35 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("incrementalDedup: exact fp hit, word-shuffle hit, near-dup via " +
+      "cross-side LSH, novel doc clean; base never flags itself") {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated text about distributed query engines at scale"),
+      (4L, "a third base document with its own unique and stable content here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "again and again today the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (7L, "an entirely novel batch document sharing nothing with the base set"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(base, batch, col("doc_id"),
+        col("text"), threshold = 0.5)
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.length == 4)
+    assert(byId(1L)._1, "verbatim copy must be an exact dup")
+    assert(byId(3L) == ((true, false)) || byId(3L)._1,
+      "word shuffle must hit the normalized fingerprint")
+    assert(!byId(5L)._1 && byId(5L)._2,
+      "one-word change must be a near dup, not exact")
+    assert(byId(7L) == ((false, false)), "novel doc must pass clean")
+    // partitioning independence
+    val re = Dedup.incrementalDedup(base.repartition(5),
+        batch.repartition(3), col("doc_id"), col("text"), threshold = 0.5)
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
 }
