@@ -220,4 +220,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a centroid_id-keyed pair join:\n$p")
     assert(!p.contains("Window"), s"assignment must stay window-free:\n$p")
   }
+
+  test("q100_quality_cut: the adaptive threshold broadcasts into the " +
+      "score relation; the scan reads only doc_id and text") {
+    val p = plan("q100_quality_cut")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"threshold must broadcast, never shuffle-join:\n$p")
+    // column pruning: the documents scan must not read unused columns
+    assert(!p.contains("lang#") || !p.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("lang")),
+      s"scan reads unused columns:\n$p")
+  }
+
+  test("q101_shards: ONE exchange — the export shuffle itself (keyed on " +
+      "the shard id), nothing else") {
+    val p = plan("q101_shards")
+    val shuffles = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(shuffles == 1,
+      s"expected exactly the export shuffle, got $shuffles:\n$p")
+    assert(p.contains("Window"), s"in-shard order needs the window:\n$p")
+  }
+
+  test("q102_incremental_dedup: cross-side joins are all equi-joins — " +
+      "no cartesian product anywhere in the two-stage pipeline") {
+    val p = plan("q102_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be keyed (band/bucket, fp, shh, doc):\n$p")
+    assert(p.contains("LeftSemi"), s"exact stage must stay a semi join:\n$p")
+  }
 }
