@@ -57,7 +57,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter (local iteration
+    // on one query without the 100-query wall; the driver passes 2 args)
+    val only = args.lift(2).map(_.split(',').toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,8 +70,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dump(spark, sfDir, outDir, SparkEntry.queries.toSeq)
+    dump(spark, sfDir, outDir,
+      SparkEntry.queries.toSeq.filter(q => keep(q._1)))
     val json = SparkEntry.oracleSql
+      .filter(q => keep(q._1))
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -206,9 +206,16 @@ object Dedup {
     * rehash: exact band equality (no bucket collisions) and portable to
     * the SQL oracle.
     */
-  def minhashCandidates(docs: DataFrame, id: Column, text: Column,
-      k: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+  /** The banded (doc_id, band, bucket) relation of a MinHash signature
+    * frame: each doc explodes into `bands` rows whose bucket is the raw
+    * signature slice for that band. ONE definition shared by the
+    * self-join ([[minhashCandidates]]) and cross-side
+    * ([[incrementalDedup]]) candidate generators — the band layout also
+    * backs the q36/q102 oracle generators, so a format change here is
+    * the single place all four must move together.
+    */
+  private[graft] def bandedSignatures(docs: DataFrame, id: Column,
+      text: Column, k: Int, bands: Int): DataFrame = {
     val sig = minhashSignatures(docs, id, text, k)
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { bnd =>
@@ -216,10 +223,15 @@ object Dedup {
         array((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
           .map(i => col(s"sig_$i")): _*).as("bucket"))
     }
-    val banded = sig.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+  }
+
+  def minhashCandidates(docs: DataFrame, id: Column, text: Column,
+      k: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded = bandedSignatures(docs, id, text, k, bands)
     // Hot-bucket fuse, STAR variant: a MinHash bucket over-fills when the
     // corpus has a giant cluster of (near-)identical documents — template
     // pages, empty docs — and unlike q41's junk buckets its members ARE
@@ -267,51 +279,44 @@ object Dedup {
     * batches — recomputed here from the table so the whole operator
     * replays in the SQL oracle); the candidate join shuffles on the
     * (band, bucket) tuple; verification touches candidate pairs only.
+    *
+    * `maxBucketSize` is the hot-bucket fuse (see [[crossCandidates]]):
+    * past the cap a base-side (band, bucket) keeps only its
+    * `maxBucketSize` lowest-doc_id representatives, bounding candidates
+    * per batch doc at bands × cap — without it a boilerplate bucket
+    * present on both sides goes O(|base bucket| × |batch bucket|).
     */
   def incrementalDedup(base: DataFrame, batch: DataFrame, id: Column,
       text: Column, threshold: Double, k: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     def fps(df: DataFrame): DataFrame = df.select(id.as("doc_id"),
       TextAnalysis.normalizedHash(text).as("fp"))
     val exactDup = fps(batch)
       .join(fps(base).select(col("fp")), Seq("fp"), "left_semi")
       .select(col("doc_id"))
-    val rowsPerBand = k / bands
-    def bandedOf(df: DataFrame): DataFrame = {
-      val sig = minhashSignatures(df, id, text, k)
-      val bandCols = (0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          array((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-            .map(i => col(s"sig_$i")): _*).as("bucket"))
-      }
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"),
-          col("bb.bucket").as("bucket"))
-    }
-    val cand = bandedOf(base).as("a").join(bandedOf(batch).as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket"))
-      .select(col("a.doc_id").as("doc_base"), col("b.doc_id").as("doc_new"))
-      .distinct()
+    val cand = crossCandidates(base, batch, id, text, k, bands,
+      maxBucketSize)
     def shOf(df: DataFrame): DataFrame =
       hashedShingles(df, id, text, portable = true)
-    val shB = shOf(base); val shN = shOf(batch)
-    val inter = cand
-      .join(shB.select(col("doc_id").as("doc_base"), col("shh")),
-        Seq("doc_base"))
-      .join(shN.select(col("doc_id").as("doc_new"), col("shh")),
-        Seq("doc_new", "shh"))
+    // each side's shingle relation feeds its size aggregation AND the
+    // intersection join — cache so the charShingles+md5 pipeline (the
+    // per-row dominant cost) runs once per side, and ride the sizes INTO
+    // the intersection join (the jaccardPairs shape) so the denominators
+    // fall out of the pair aggregation instead of two extra joins of the
+    // pair relation
+    val shB = shOf(base).cache(); val shN = shOf(batch).cache()
+    def withSize(sh: DataFrame, key: String): DataFrame = sh
+      .join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as(s"n_$key")),
+        "doc_id")
+      .withColumnRenamed("doc_id", key)
+    val nearDup = cand
+      .join(withSize(shB, "doc_base"), Seq("doc_base"))
+      .join(withSize(shN, "doc_new"), Seq("doc_new", "shh"))
       .groupBy(col("doc_base"), col("doc_new"))
-      .agg(count(lit(1)).as("inter"))
-    def sizesOf(sh: DataFrame, key: String): DataFrame =
-      sh.groupBy(col("doc_id").as(key))
-        .agg(count(lit(1)).as(s"n_$key"))
-    val nearDup = inter
-      .join(sizesOf(shB, "doc_base"), "doc_base")
-      .join(sizesOf(shN, "doc_new"), "doc_new")
+      .agg(count(lit(1)).as("inter"), max(col("n_doc_base")).as("n_b"),
+        max(col("n_doc_new")).as("n_n"))
       .filter(col("inter").cast("double") /
-        (col("n_doc_base") + col("n_doc_new") - col("inter"))
-          .cast("double") >= threshold)
+        (col("n_b") + col("n_n") - col("inter")).cast("double") >= threshold)
       .select(col("doc_new").as("doc_id")).distinct()
     batch.select(id.as("doc_id"))
       .join(exactDup.withColumn("__e", lit(true)), Seq("doc_id"), "left")
@@ -319,6 +324,45 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("__e"), lit(false)).as("is_exact_dup"),
         coalesce(col("__n"), lit(false)).as("is_near_dup"))
+  }
+
+  /** Cross-side LSH candidate pairs for [[incrementalDedup]]: base and
+    * batch banded signatures ([[bandedSignatures]] — the same layout the
+    * self-join path uses) equi-joined on (band, bucket).
+    *
+    * Hot-bucket fuse, REPRESENTATIVE variant: a bucket shared by a
+    * mega-cluster of boilerplate docs appears on BOTH sides, and the
+    * cross join of its memberships is O(|base| × |batch|) — the exact
+    * blowup [[minhashCandidates]]' star cap fuses against. The batch
+    * side cannot be thinned (every batch doc needs a verdict), so the
+    * cap applies to the BASE side only: past `maxBucketSize` a bucket
+    * keeps its `maxBucketSize` LOWEST-doc_id members as representatives
+    * — deterministic (rank by doc_id), so the q102 oracle replays the
+    * identical selection with a window. Candidates per batch doc are
+    * then bounded at bands × cap. An over-cap bucket's members agree on
+    * a full band slice — overwhelmingly a near-identical cluster — so
+    * any batch doc it would have matched still meets `cap`
+    * representatives of that cluster for the Jaccard verify; as with
+    * q41's junk-bucket cap, a true mate hiding PAST the representatives
+    * of a diverse junk bucket is the accepted recall trade at scale.
+    */
+  private[graft] def crossCandidates(base: DataFrame, batch: DataFrame,
+      id: Column, text: Column, k: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    val baseBanded0 = bandedSignatures(base, id, text, k, bands)
+    val baseBanded =
+      if (maxBucketSize == Int.MaxValue) baseBanded0
+      else baseBanded0
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("band"), col("bucket"))
+            .orderBy(col("doc_id"))))
+        .filter(col("__rn") <= maxBucketSize).drop("__rn")
+    baseBanded.as("a")
+      .join(bandedSignatures(batch, id, text, k, bands).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_base"), col("b.doc_id").as("doc_new"))
+      .distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates verified with exact

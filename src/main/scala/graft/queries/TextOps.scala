@@ -804,6 +804,10 @@ object TextOps {
   // fingerprint and the q36 signature/band/verify machinery, applied
   // CROSS-SIDE (base = even doc_ids, batch = odd). Generated from the
   // same hashParams/band constants as the Spark plan.
+  // base-side hot-bucket cap for q102 — replayed verbatim in the oracle's
+  // per-band ranked candidate CTEs (the q41/q99 replay-the-fuse pattern)
+  private val IncDedupCap = 16
+
   private val incrementalOracleSql: String = {
     val k = 16
     val bands = 4
@@ -811,10 +815,21 @@ object TextOps {
     val sigDefs = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       s"min((x * $a + $b) % ${Dedup.P}) AS sig_$i"
     }.mkString(",\n          ")
-    val bandEq = (0 until bands).map { bnd =>
-      (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-        .map(i => s"a.sig_$i = b.sig_$i").mkString("(", " AND ", ")")
-    }.mkString("\n              OR ")
+    // cross-side candidates per band, with the base side ranked inside
+    // its (band, bucket) and cut at the cap — the exact selection
+    // Dedup.crossCandidates makes (representatives = lowest doc_ids)
+    val bandCands = (0 until bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+      val part = cols.map(i => s"sig_$i").mkString(", ")
+      val eq = cols.map(i => s"a.sig_$i = b.sig_$i").mkString(" AND ")
+      s"""SELECT a.doc_id AS doc_base, b.doc_id AS doc_new
+          FROM (SELECT doc_id, $part,
+                  row_number() OVER (PARTITION BY $part
+                    ORDER BY doc_id) AS rn
+                FROM sigb) a
+          JOIN sign b ON $eq
+          WHERE a.rn <= $IncDedupCap"""
+    }.mkString("\n          UNION ALL\n          ")
     def shCte(name: String, src: String) = s"""
       $name AS (
         SELECT DISTINCT doc_id,
@@ -844,8 +859,8 @@ object TextOps {
       ${sigCte("sigb", "shb")},
       ${sigCte("sign", "shn")},
       cand AS (
-        SELECT DISTINCT a.doc_id AS doc_base, b.doc_id AS doc_new
-        FROM sigb a JOIN sign b ON ($bandEq)),
+        SELECT DISTINCT doc_base, doc_new FROM (
+          $bandCands)),
       szb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
       szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
       inter AS (
@@ -879,7 +894,8 @@ object TextOps {
       Dedup.incrementalDedup(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        col("doc_id"), col("text"), threshold = 0.5)
+        col("doc_id"), col("text"), threshold = 0.5,
+        maxBucketSize = IncDedupCap)
     },
     oracle = Some(incrementalOracleSql),
     doc = "incremental batch-vs-base dedup (exact fp + cross-side LSH verify)")

@@ -227,4 +227,40 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
     assert(re.toSeq == got.toSeq)
   }
+
+  test("incrementalDedup cross-side hot-bucket cap: candidate volume goes " +
+      "linear in the batch, verdicts unchanged, representatives are the " +
+      "lowest base ids") {
+    // one boilerplate mega-cluster spanning BOTH sides — the shape whose
+    // cross join is |base bucket| x |batch bucket| without the fuse
+    val tpl = "template boilerplate page body repeated across the whole crawl"
+    val base = ((0L until 80L by 2).map(i => (i, tpl)) :+
+      ((100L, "a genuinely unique base document about query engines")))
+      .toDF("doc_id", "text")
+    val batch = ((1L until 80L by 2).map(i => (i, tpl)) :+
+      ((101L, "an entirely novel batch document sharing nothing at all")))
+      .toDF("doc_id", "text")
+    val cap = 4
+    val uncapped = Dedup.crossCandidates(base, batch, col("doc_id"),
+      col("text"), k = 16, bands = 4, maxBucketSize = Int.MaxValue).count()
+    assert(uncapped == 40L * 40L, s"uncapped $uncapped") // the quadratic form
+    val capped = Dedup.crossCandidates(base, batch, col("doc_id"),
+      col("text"), k = 16, bands = 4, maxBucketSize = cap).cache()
+    // bounded: each batch doc meets at most bands x cap base reps (here the
+    // four bands share one membership, so exactly `cap` distinct mates)
+    val maxPerNew = capped.groupBy(col("doc_new")).count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(maxPerNew <= cap.toLong, s"maxPerNew $maxPerNew")
+    // deterministic representatives = the cap lowest base doc_ids
+    val reps = capped.filter(col("doc_new") =!= 101L)
+      .select(col("doc_base")).distinct().as[Long].collect().toSet
+    assert(reps == Set(0L, 2L, 4L, 6L), s"reps $reps")
+    // the dedup RESULT is unchanged by the fuse: every batch cluster
+    // member still verifies near-dup against a representative
+    val got = Dedup.incrementalDedup(base, batch, col("doc_id"),
+        col("text"), threshold = 0.5, maxBucketSize = cap)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert((1L until 80L by 2).forall(got(_)), "cluster members flagged")
+    assert(!got(101L), "novel doc clean")
+  }
 }
