@@ -23,9 +23,9 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   *
   * Position family is EXACTLY the build side's
   * (`Bloom.positions`): pos_i = floorMod(h1 + i·h2, m) with
-  * m = 64·bitmap.length; h1/h2 are pre-reduced mod m (/ m−1) by the
-  * caller, so h1 + i·h2 stays far below Long.MaxValue (ANSI: overflow
-  * throws). Property-tested equal to the composed form in `BloomSpec`.
+  * m = 64·bitmap.length; h1/h2 are pre-reduced below m (low-bit mask,
+  * h2 odd) by the caller, so h1 + i·h2 stays far below Long.MaxValue
+  * (ANSI: overflow throws). Property-tested equal to the composed form in `BloomSpec`.
   */
 case class BloomTestExpr(left: Expression, right: Expression,
     bitmap: Array[Long], numHashes: Int) extends BinaryExpression {

@@ -40,8 +40,17 @@ object Bloom {
   }
 
   /** Double-hashing position family: pos_i = (h1 + i*h2) mod m with h1/h2
-    * from two xxhash64 seeds. Both operands are pre-reduced mod m, so the
-    * products stay far below Long.MaxValue (ANSI mode: overflow throws).
+    * from two xxhash64 seeds. Both operands are pre-reduced below m, so
+    * the products stay far below Long.MaxValue (ANSI mode: overflow
+    * throws).
+    *
+    * h1/h2 are the LOW BITS of the hashes (h2 forced odd — coprime to
+    * the power-of-two m, so the k probes cycle the whole bitmap). Low-bit
+    * masking makes the family FOLD-CLOSED: for any k ≤ K,
+    * pos_i(m=2^k) = pos_i(m=2^K) mod 2^k — which is what lets
+    * [[buildFolded]] build ONE max-size bitmap blind and shrink it to the
+    * measured key count afterwards, in the same job (a mod-(m−1) h2, the
+    * previous family, breaks the congruence).
     */
   private def positions(numBits: Int, numHashes: Int,
       h1: Column, h2: Column): Seq[Column] =
@@ -50,9 +59,10 @@ object Bloom {
     }
 
   private def h1of(key: Column, numBits: Int): Column =
-    pmod(xxhash64(key), lit(numBits.toLong))
+    xxhash64(key).bitwiseAND(lit(numBits.toLong - 1))
   private def h2of(key: Column, numBits: Int): Column =
-    pmod(xxhash64(key, lit(0x9E3779B97F4A7C15L)), lit(numBits.toLong - 1)) + 1
+    xxhash64(key, lit(0x9E3779B97F4A7C15L))
+      .bitwiseAND(lit(numBits.toLong - 1)).bitwiseOR(lit(1L))
 
   /** Distributed bloom build: explode each key's k bit positions, `bit_or`
     * the per-word masks, collect the (word, mask) pairs into a dense
@@ -76,6 +86,45 @@ object Bloom {
     val arr = new Array[Long](numBits / 64)
     words.foreach(r => arr(r.getLong(0).toInt) |= r.getLong(1))
     arr
+  }
+
+  /** Single-job sized build: the bitmap is built once at [[maxBits]] and
+    * FOLDED down to the size the key count warrants — removing the
+    * separate `count()` sizing job [[semiJoin]] used to pay before the
+    * build (three driver-sequential jobs → two: build, probe).
+    *
+    *  - Build at m = [[maxBits]]: the word aggregation's shuffle is
+    *    bounded by min(n·k, 1M) word rows either way, and the collect
+    *    stays ≤ 8 MB.
+    *  - The key count falls out of the SAME result: with S set bits of
+    *    m, the standard occupancy inversion n̂ = −(m/k)·ln(1 − S/m) is
+    *    exact in expectation (and ≈ S/k in the sparse regime every
+    *    non-saturated build is in).
+    *  - Fold to numBits = 2^b ≈ 10·n̂: because the position family is
+    *    fold-closed (see [[positions]]), OR-ing word j into j mod
+    *    (numBits/64) yields BIT-IDENTICAL output to a direct build at
+    *    numBits — `BloomSpec` asserts the equality, so the fold is not
+    *    an approximation trade.
+    */
+  def buildFolded(keys: DataFrame, key: Column,
+      numHashes: Int = 7, bitsPerKey: Int = 10): Array[Long] = {
+    val big = bitmapWords(keys, key, maxBits, numHashes)
+    val setBits = {
+      var s = 0L; var i = 0
+      while (i < big.length) { s += java.lang.Long.bitCount(big(i)); i += 1 }
+      s
+    }
+    if (setBits == 0L) return new Array[Long](1024 / 64) // empty key set
+    val m = maxBits.toDouble
+    val nEst = -(m / numHashes) * math.log1p(-(setBits / m))
+    val numBits = roundPow2(math.max(1024L, math.ceil(nEst).toLong *
+      bitsPerKey))
+    if (numBits == maxBits) return big
+    val words = numBits / 64
+    val folded = new Array[Long](words)
+    var j = 0
+    while (j < big.length) { folded(j & (words - 1)) |= big(j); j += 1 }
+    folded
   }
 
   /** The k-bit membership test as one boolean column over the literal
@@ -127,17 +176,18 @@ object Bloom {
     * shuffle volume by the key set's selectivity. At test SF the exact
     * join legitimately broadcasts (AQE sees a small build side); pass
     * `forceShuffle = true` to pin the sort-merge plan — `BloomSpec` gates
-    * the filter-below-exchange ordering on that variant. `numBits` is
-    * sized from the build-side key count (~10 bits/key, k=7 → ~0.8%
-    * false-positive rate).
+    * the filter-below-exchange ordering on that variant.
+    *
+    * Driver-sequential work is TWO jobs: the [[buildFolded]] index build
+    * (sizing rides the build — ~10 bits/key, k=7 → ~0.8% false-positive
+    * rate) and the probe+join itself. In production the build is an
+    * index amortized across every probe of the same key set; the bench
+    * number charges it to the single query.
     */
   def semiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, numHashes: Int = 7,
       forceShuffle: Boolean = false): DataFrame = {
-    val n = small.select(col(smallKey)).where(col(smallKey).isNotNull)
-      .count()
-    val numBits = roundPow2(math.max(1024L, n * 10))
-    val bitmap = bitmapWords(small, col(smallKey), numBits, numHashes)
+    val bitmap = buildFolded(small, col(smallKey), numHashes)
     val rhs = if (forceShuffle) small.hint("merge") else small
     big.where(mightContainFused(col(bigKey), bitmap, numHashes))
       .join(rhs, col(bigKey) === col(smallKey), "left_semi")

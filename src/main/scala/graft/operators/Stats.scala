@@ -73,6 +73,71 @@ object Stats {
     out.select(col(key) +: ps.map { case (n, _) => col(n) }: _*)
   }
 
+  /** [[gridPercentiles]] over SEVERAL measured columns in ONE scan and
+    * ONE job: the columns are unpivoted to (key, cid, val) rows, the
+    * value grid aggregates per (key, cid, val), the cumulative/total
+    * windows share one (key, cid) partitioning, and every target's lo/hi
+    * order statistics fall out of the SAME final aggregation — no
+    * broadcast build, no second scan of the input, no key-universe
+    * re-join (the fused selection shape the q20 oracle's single-CTE
+    * chain expresses).
+    *
+    * NULL handling is inlined instead of re-joining a key universe: NULL
+    * measurements keep their grid row but carry count 0, so a key whose
+    * column is all-NULL still emits an output row (with NULL results for
+    * that column) and the cumulative counts of real values are
+    * untouched. Null grid rows sort FIRST in the cumulative window
+    * (pinned) — with zero weight their position is count-neutral, and
+    * the oracle never sees them (it filters NULLs and re-joins keys;
+    * same result by construction).
+    *
+    * Scale bound: state per (key, cid) is the DISTINCT-value grid, never
+    * rows — for integral counts and 2dp money the grid saturates at the
+    * value RANGE, so the per-group single-task window is a bounded fixed
+    * cost at any corpus size. For grids too fine for that bound (float
+    * scores over a wide range) use [[selectionPercentilesMulti]], which
+    * trades a second scan for never sorting more than one bucket.
+    */
+  def gridPercentilesMulti(df: DataFrame, key: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty),
+      "gridPercentilesMulti: empty spec")
+    val names = specs.flatMap(_._2.map(_._1))
+    require(names.distinct.size == names.size,
+      s"gridPercentilesMulti: duplicate output names in $names")
+    val colArr = array(specs.zipWithIndex.map { case ((v, _), ci) =>
+      struct(lit(ci).as("cid"), col(v).cast("double").as("val"))
+    }: _*)
+    val grid = df.select(col(key), explode(colArr).as("cv"))
+      .groupBy(col(key), col("cv.cid").as("cid"), col("cv.val").as("val"))
+      .agg(count(lit(1)).as("rows"))
+      // NULL measurements are excluded from the percentile (the
+      // `percentile`-aggregate contract) but keep the key alive
+      .withColumn("cnt",
+        when(col("val").isNotNull, col("rows")).otherwise(lit(0L)))
+    val part = Window.partitionBy(col(key), col("cid"))
+    val cum = grid
+      .withColumn("cum",
+        sum(col("cnt")).over(part.orderBy(col("val").asc_nulls_first)))
+      .withColumn("n", sum(col("cnt")).over(part))
+    def rank1(p: Double): Column =
+      floor((col("n") - 1).cast("double") * lit(p)) + 1
+    val aggs = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
+      val inCid = col("cid") === lit(ci)
+      ps.flatMap { case (name, p) =>
+        Seq(
+          min(when(inCid && col("cum") >= rank1(p), col("val")))
+            .as(s"${name}__lo"),
+          min(when(inCid && col("cum") >= rank1(p) + 1, col("val")))
+            .as(s"${name}__hi"),
+          // per-column row count (0 for an all-NULL column in the key)
+          max(when(inCid, col("n"))).as(s"${name}__n"))
+      }
+    }
+    val agg = cum.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    interpolate(agg, key, specs.flatMap(_._2), name => col(s"${name}__n"))
+  }
+
   /** Exact percentiles by two-pass distributed SELECTION — the shape that
     * survives value grids too fine for [[gridPercentiles]] (2dp money over
     * a wide range, float scores): that operator's cumulative window puts

@@ -389,30 +389,20 @@ object Relational {
   // Exact interpolated percentiles WITHOUT Spark's `percentile` aggregate
   // (which buffers every group member in executor memory — an OOM with
   // wide groups at 100×). Both columns go through
-  // [[graft.operators.Stats.selectionPercentilesMulti]]: two-pass bucket
-  // selection — no per-group single-partition sort (price is 2dp money
-  // over a range as wide as the data, so a value-grid window would be one
-  // straggler task per group), and the unpivot means quantity's histogram
-  // rides the same two scans instead of a third and fourth of its own.
+  // [[graft.operators.Stats.gridPercentilesMulti]]: ONE unpivoted scan →
+  // value-grid histogram → shared cumulative windows → one final
+  // aggregation. No second scan, no broadcast-build job, no key-universe
+  // re-join (all-NULL keys survive inside the grid) — the whole query is
+  // a single job, the fused shape the DuckDB oracle's CTE chain runs.
+  // State per group is the DISTINCT-value grid: quantity is integral and
+  // price 2dp money, so the grid saturates at the value range and the
+  // per-group window stays a bounded fixed cost at any corpus size (the
+  // two-pass selection variant remains in Stats for unbounded grids).
   private val q20_median = Q(
-    run = (s, d) => {
-      val li = Tables.lineitem(s, d)
-      // both measured columns ride ONE unpivoted scan-pair: qty's 1-wide
-      // buckets make selection degrade to exactly the grid histogram
-      val pct = Stats.selectionPercentilesMulti(li, "l_returnflag", Seq(
-        ("l_quantity", 1.0, Seq("median_qty" -> 0.5)),
-        ("l_extendedprice", 64.0,
-          Seq("p25_price" -> 0.25, "p75_price" -> 0.75))))
-      // null-SAFE join (a NULL group key still owns real percentiles);
-      // renamed key — both frames descend from the same scan, so
-      // frame("col") references would be ambiguous self-join refs
-      // pct is one row per group key — broadcast it so the key-universe
-      // join is a BHJ (the SMJ form sorted + exchanged both 3-row sides)
-      li.select(col("l_returnflag")).distinct()
-        .join(broadcast(pct.withColumnRenamed("l_returnflag", "__kp")),
-          col("l_returnflag") <=> col("__kp"), "left")
-        .drop("__kp")
-    },
+    run = (s, d) =>
+      Stats.gridPercentilesMulti(Tables.lineitem(s, d), "l_returnflag", Seq(
+        ("l_quantity", Seq("median_qty" -> 0.5)),
+        ("l_extendedprice", Seq("p25_price" -> 0.25, "p75_price" -> 0.75)))),
     oracle = Some("""
       WITH qh AS (
         SELECT l_returnflag AS k, l_quantity AS val, count(*) AS cnt

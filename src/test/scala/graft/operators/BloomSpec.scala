@@ -52,6 +52,24 @@ class BloomSpec extends SparkSpec {
     assert(bitmap.exists(_ != 0L))
   }
 
+  test("buildFolded == direct build at the derived size (the fold is " +
+      "bit-identical, not an approximation) and sizes to the key count") {
+    for (n <- Seq(100L, 2000L, 50000L)) {
+      val keys = (1L to n).map(_ * 7919L).toDF("k")
+      val folded = Bloom.buildFolded(keys, col("k"), numHashes = 7)
+      // sized ~10 bits/key, rounded to a power of two (>= the 1024 floor)
+      val numBits = folded.length * 64
+      assert(numBits >= 1024 && (numBits & (numBits - 1)) == 0)
+      assert(numBits >= n * 5 && numBits <= math.max(1024L, n * 40L),
+        s"n=$n sized numBits=$numBits")
+      val direct = Bloom.bitmapWords(keys, col("k"), numBits, numHashes = 7)
+      assert(java.util.Arrays.equals(folded, direct), s"fold mismatch n=$n")
+    }
+    // empty key set: all-zero bitmap (prefilter rejects everything)
+    val empty = Bloom.buildFolded(Seq.empty[Long].toDF("k"), col("k"))
+    assert(empty.forall(_ == 0L))
+  }
+
   test("fused bloom_test == composed mightContain on hits, misses and " +
       "null keys") {
     val keys = (1L to 3000L).map(_ * 104729L).toDF("k")
@@ -75,17 +93,32 @@ class BloomSpec extends SparkSpec {
     // the plan under test
     val big = spark.range(1, 5001).select(col("id").as("k"))
     val small = spark.range(1, 5001, 7).select(col("id").as("sk"))
-    val p = Bloom.semiJoin(big, small, "k", "sk", forceShuffle = true)
-      .queryExecution
-      .explainString(org.apache.spark.sql.execution.SimpleMode)
-    assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"),
-      s"expected sort-merge left-semi join:\n$p")
-    // explain prints parents above children: the bloom filter must appear
-    // AFTER the fact side's shuffle exchange line — beneath it in the tree
-    val exch = p.indexOf("Exchange hashpartitioning(")
-    val bloom = p.indexOf("bloom_test")
-    assert(exch >= 0, s"expected the fact-side exchange:\n$p")
-    assert(bloom > exch,
-      s"bloom filter must sit below the exchange (prefilter):\n$p")
+    // walk the physical tree, not string offsets: an indexOf over the
+    // explain text keys on print order, and a plan change that prints the
+    // build side's exchange first would let the gate pass vacuously
+    // executedPlan carries EnsureRequirements' exchanges (sparkPlan is
+    // pre-preparation and has none); unwrap AQE to its initial plan —
+    // the shape Catalyst chose, which is what carries to a cluster
+    val plan = Bloom.semiJoin(big, small, "k", "sk", forceShuffle = true)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+    val smj = plan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isDefined, s"expected a sort-merge join:\n$plan")
+    assert(smj.get.joinType.sql == "LEFT SEMI", s"expected left semi:\n$plan")
+    // the FACT side is the semi join's left child; its exchange must have
+    // the bloom filter BENEATH it (prefiltered shuffle input)
+    val factExch = smj.get.left.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(factExch.isDefined, s"expected the fact-side exchange:\n$plan")
+    val bloomBelow = factExch.get.child.find(n => n.expressions.exists(
+      _.find(_.isInstanceOf[graft.functions.BloomTestExpr]).isDefined))
+    assert(bloomBelow.isDefined,
+      s"bloom filter must sit below the fact exchange (prefilter):\n$plan")
   }
 }

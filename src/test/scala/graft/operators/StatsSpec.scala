@@ -66,6 +66,30 @@ class StatsSpec extends SparkSpec {
     assert(multi.exists { case (k, x, y) => k == "b" && x.nonEmpty && y.isEmpty })
   }
 
+  test("gridPercentilesMulti matches per-column gridPercentiles and keeps " +
+      "every input key alive (incl. all-NULL keys, which grid drops)") {
+    val df = Seq(
+      ("a", Some(1.0), Some(100.0)), ("a", Some(2.0), Some(200.0)),
+      ("a", Some(3.0), None),
+      ("b", Some(10.0), None), ("b", Some(20.0), None), // y all NULL
+      ("c", None, Some(7.0)), // x all NULL
+      ("d", None, None)) // both all NULL — still a row in the multi form
+      .toDF("k", "x", "y")
+    val multi = Stats.gridPercentilesMulti(df, "k", Seq(
+      ("x", Seq("px" -> 0.5)), ("y", Seq("py" -> 0.25, "py2" -> 0.75))))
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    val px = Stats.gridPercentiles(df, "k", "x", Seq("px" -> 0.5))
+      .as[(String, Double)].collect().toMap
+    val py = Stats.gridPercentiles(df, "k", "y",
+        Seq("py" -> 0.25, "py2" -> 0.75))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = Set("a", "b", "c", "d")
+      .map(k => (k, px.get(k), py.get(k).map(_._1), py.get(k).map(_._2)))
+    assert(multi == expected)
+  }
+
   test("selection percentiles agree with Spark's exact percentile " +
       "on spread-out and negative values") {
     val vals = (1 to 997).map(i => ("g", (i * i * 7919 % 100003) - 50000.0))

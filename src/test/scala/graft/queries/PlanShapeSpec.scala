@@ -243,6 +243,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"in-shard order needs the window:\n$p")
   }
 
+  test("q20_median: fused single-job percentiles — one scan, no joins, " +
+      "no broadcast build (the r6 two-pass selection latency, removed)") {
+    val p = plan("q20_median")
+    assert(!p.contains("Join"), s"fused form must not join:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"no driver-sequential broadcast-build job:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"lineitem must be scanned exactly once, got " +
+      s"$scans:\n$p")
+  }
+
   test("q102_incremental_dedup: cross-side joins are all equi-joins — " +
       "no cartesian product anywhere in the two-stage pipeline") {
     val p = plan("q102_incremental_dedup")
