@@ -285,7 +285,8 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
     if (in == null)
-      AudioFeatures(id, decode_ok = false, None, None, None, None, None, None)
+      AudioFeatures(id, decode_ok = false, features_ok = false,
+        None, None, None, None, None, None)
     else
       try {
         val fmt = in.getFormat
@@ -295,8 +296,15 @@ object Multimodal {
         val rate = fmt.getSampleRate.toDouble
         val ch = fmt.getChannels
         if (!pcmSigned || (bytesPerSample != 2 && bytesPerSample != 1))
-          AudioFeatures(id, decode_ok = true, Some(rate), Some(ch),
-            Some(frames), Some(frames / rate), None, None)
+          // container metadata decoded fine, but the sample loop below
+          // only measures 8/16-bit signed PCM — features_ok = false is
+          // the DISTINCT flag a silence filter must key on: a filter
+          // keyed on `rms IS NULL OR rms < eps` would silently drop
+          // 24/32-bit and float assets as "silent" when they were merely
+          // unmeasured
+          AudioFeatures(id, decode_ok = true, features_ok = false,
+            Some(rate), Some(ch), Some(frames), Some(frames / rate),
+            None, None)
         else {
           // first channel, full read: 16-bit or 8-bit signed PCM
           val data = in.readAllBytes()
@@ -307,9 +315,12 @@ object Multimodal {
             val off = i * frameBytes
             val s =
               if (bytesPerSample == 2) {
-                val lo = data(off) & 0xff; val hi = data(off + 1)
-                if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort / 32768.0
-                else ((hi << 8) | lo).toShort / 32768.0
+                // one sample from the (lo, hi) pair per endianness
+                val b0 = data(off); val b1 = data(off + 1)
+                val s16 =
+                  if (fmt.isBigEndian) ((b0 << 8) | (b1 & 0xff)).toShort
+                  else ((b1 << 8) | (b0 & 0xff)).toShort
+                s16 / 32768.0
               } else data(off) / 128.0
             sumSq += s * s
             val neg = s < 0
@@ -319,14 +330,14 @@ object Multimodal {
           }
           val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
           val zcr = if (n <= 1) 0.0 else zc.toDouble / (n - 1)
-          AudioFeatures(id, decode_ok = true, Some(rate), Some(ch),
-            Some(n.toLong), Some(n / rate),
+          AudioFeatures(id, decode_ok = true, features_ok = true,
+            Some(rate), Some(ch), Some(n.toLong), Some(n / rate),
             Some(math.rint(rms * 1e6) / 1e6), Some(math.rint(zcr * 1e6) / 1e6))
         }
       } catch {
         case _: Exception =>
-          AudioFeatures(id, decode_ok = false, None, None, None, None,
-            None, None)
+          AudioFeatures(id, decode_ok = false, features_ok = false,
+            None, None, None, None, None, None)
       } finally in.close()
   }
 
@@ -350,7 +361,71 @@ object Multimodal {
         least(lit(stride), col("__n_bytes") - col("frame_offset"))
           .cast("int"))
       .drop("__n_bytes")
+
+  /** Runtime video-codec capability probe: the JDK ships no video API, so
+    * a real frame extractor arrives (if ever) as a [[VideoDecoder]] SPI
+    * implementation on the classpath
+    * (`META-INF/services/graft.operators.VideoDecoder`). Probing at
+    * runtime means a codec-enabled container flips
+    * [[videoFrameFeatures]] to the real path with NO code change here —
+    * this container has none, so the arithmetic FAKE keeps backing the
+    * oracle-able q38/q63 shapes.
+    */
+  def videoDecoder(): Option[VideoDecoder] = {
+    val it = java.util.ServiceLoader.load(classOf[VideoDecoder]).iterator()
+    if (it.hasNext) Some(it.next()) else None
+  }
+
+  /** Capability-dispatched per-frame features: the REAL path when a
+    * [[VideoDecoder]] is registered (partition-parallel typed map, one
+    * decoder per partition — the [[decodeImages]] shape), the
+    * deterministic FAKE otherwise (frames = byte-stride offsets of
+    * [[sampleFrames]], luma unmeasured → NULL). Both paths share one
+    * schema so downstream plumbing is identical either way; `decoder` is
+    * injectable for tests — production callers take the probed default.
+    */
+  def videoFrameFeatures(assets: DataFrame, strideSec: Double = 1.0,
+      decoder: Option[VideoDecoder] = videoDecoder()): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    decoder match {
+      case Some(d) =>
+        assets.select(col("asset_id").cast("long"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, bytes) =>
+            d.sample(id, bytes, strideSec) })
+          .toDF()
+      case None =>
+        // FAKE-DECODE: one "frame" per 64-byte stride (the q63 offsets),
+        // timestamped as if sampled at strideSec — schema-real, content
+        // arithmetic, luma explicitly unmeasured
+        sampleFrames(assets, stride = 64).select(
+          col("asset_id"),
+          (col("frame_offset") / 64).cast("int").as("frame_idx"),
+          ((col("frame_offset") / 64) * strideSec).as("ts_sec"),
+          lit(null).cast("double").as("mean_luma"))
+    }
+  }
 }
+
+/** SPI for a real video frame sampler: a codec-enabled deployment
+  * registers an implementation via `java.util.ServiceLoader` and
+  * [[Multimodal.videoFrameFeatures]] dispatches to it at runtime.
+  * Implementations must be deterministic functions of the bytes
+  * (partitioning-independence is the corpus-wide contract) and
+  * serializable (they ride the closure to executors).
+  */
+trait VideoDecoder extends Serializable {
+  /** Sample ~one frame every `strideSec` seconds of `payload`. */
+  def sample(assetId: Long, payload: Array[Byte],
+      strideSec: Double): Iterator[VideoFrameFeatures]
+}
+
+/** One sampled video frame's features ([[Multimodal.videoFrameFeatures]] —
+  * both the real SPI path and the FAKE emit this schema).
+  */
+case class VideoFrameFeatures(asset_id: Long, frame_idx: Int,
+    ts_sec: Double, mean_luma: Option[Double])
 
 /** Typed decode output of [[Multimodal.decodeImages]]. */
 case class ImageFeatures(asset_id: Long, decode_ok: Boolean,
@@ -361,8 +436,15 @@ case class ImageFeatures(asset_id: Long, decode_ok: Boolean,
 case class ResizedImage(asset_id: Long, target_width: Int,
     target_height: Int, png: Option[Array[Byte]])
 
-/** Typed output of [[Multimodal.decodeAudio]]. */
+/** Typed output of [[Multimodal.decodeAudio]]. `decode_ok` = the
+  * container/format decoded; `features_ok` = rms/zcr were actually
+  * measured (8/16-bit signed PCM) — decodable-but-unmeasured encodings
+  * (24/32-bit, float, unsigned) carry `decode_ok = true,
+  * features_ok = false` so a silence filter can distinguish "quiet"
+  * from "unmeasured".
+  */
 case class AudioFeatures(asset_id: Long, decode_ok: Boolean,
+    features_ok: Boolean,
     sample_rate: Option[Double], n_channels: Option[Int],
     n_frames: Option[Long], duration_sec: Option[Double],
     rms: Option[Double], zcr: Option[Double])

@@ -119,4 +119,40 @@ object CorpusStream {
       watermark: String = "10 minutes",
       budgetPerLang: Long = 50000L): Dataset[Admission] =
     budgetGate(dedup(enrich(docs, minTokens), watermark), budgetPerLang)
+
+  /** NEAR-dup admission against a static BASE corpus — the stage the
+    * in-stream stages above cannot express: [[dedup]] catches only exact
+    * token-bag repeats *within* the stream's watermark, while a crawl
+    * drop's worst duplicates are near-copies of documents already IN the
+    * accepted corpus. Runs [[graft.operators.Dedup.incrementalDedup]]
+    * (exact fingerprint + cross-side MinHash-banded candidates + exact
+    * Jaccard verify, hot buckets capped) base-vs-batch and keeps only
+    * batch docs that are neither exact nor near dups.
+    *
+    * This is a multi-join batch plan, so it runs per micro-batch inside
+    * `foreachBatch` with `base` as a static frame — the standard
+    * stream-static pattern for joins streaming can't run incrementally:
+    *
+    * {{{
+    * enriched.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    *   CorpusStream.admitAgainstBase(b, base).write(...)   // + append to base
+    * }
+    * }}}
+    *
+    * The base side's fingerprint/signature/shingle relations are what a
+    * production pipeline keeps MATERIALIZED between drops; here they are
+    * recomputed from `base`'s plan — identical across micro-batches, so
+    * Spark's cache manager (plan-equality keyed) serves every batch from
+    * the first batch's cached shingle relation.
+    */
+  def admitAgainstBase(batch: DataFrame, base: DataFrame,
+      threshold: Double = 0.5, maxBucketSize: Int = 64): DataFrame = {
+    val verdicts = graft.operators.Dedup.incrementalDedup(
+      base, batch, col("doc_id"), col("text"), threshold,
+      maxBucketSize = maxBucketSize)
+    batch.join(
+      verdicts.filter(!col("is_exact_dup") && !col("is_near_dup"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
 }

@@ -228,6 +228,64 @@ class DedupSpec extends SparkSpec {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("portableHash64 distribution: per-bit balance, low pairwise bit " +
+      "correlation, and bounded bucket skew — the gate the whole " +
+      "MinHash/SimHash/KMV family keys on (a md5-fold tweak that skews " +
+      "bucket sizes must fail here, not at corpus scale)") {
+    // mixed-shape corpus: short ids, numerics, emails, unicode
+    val corpus = ((1 to 8000).map(i => s"doc $i") ++
+      (1 to 6000).map(_.toString) ++
+      (1 to 6000).map(i => s"user_$i@example.com") ++
+      (1 to 4000).map(i => s"北京 document №$i")).toDF("s")
+    val hs = corpus.select(Dedup.portableHash64(col("s")).as("h"))
+      .as[Long].collect()
+    val n = hs.length
+    assert(hs.distinct.length == n, "hash collisions in a 24k corpus")
+    assert(hs.forall(h => h >= 0 && h < (1L << 60)), "60-bit range")
+    // per-bit balance across the 60 usable bits: ±0.03 of 0.5 is ~9
+    // sigma at n=24000 — a pass is structural, not lucky
+    val ones = new Array[Int](60)
+    hs.foreach { h =>
+      var b = 0
+      while (b < 60) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+    }
+    (0 until 60).foreach { b =>
+      val frac = ones(b).toDouble / n
+      assert(math.abs(frac - 0.5) < 0.03, s"bit $b balance $frac")
+    }
+    // pairwise bit correlation, all 1770 pairs: |phi| < 0.05 (~7 sigma)
+    val both = Array.ofDim[Int](60, 60)
+    hs.foreach { h =>
+      var i = 0
+      while (i < 60) {
+        if (((h >>> i) & 1L) == 1L) {
+          var j = i + 1
+          while (j < 60) {
+            if (((h >>> j) & 1L) == 1L) both(i)(j) += 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    for (i <- 0 until 60; j <- (i + 1) until 60) {
+      val pi = ones(i).toDouble / n; val pj = ones(j).toDouble / n
+      val phi = (both(i)(j).toDouble / n - pi * pj) /
+        math.sqrt(pi * (1 - pi) * pj * (1 - pj))
+      assert(math.abs(phi) < 0.05, s"bits ($i,$j) correlation $phi")
+    }
+    // bucket skew at the modular fan-outs the queries use (64 shards =
+    // q101, 1024 = LSH-scale buckets): chi-square within ~4 sigma
+    for (k <- Seq(64, 1024)) {
+      val counts = new Array[Int](k)
+      hs.foreach(h => counts((h % k).toInt) += 1)
+      val e = n.toDouble / k
+      val chi2 = counts.map(c => (c - e) * (c - e) / e).sum
+      val bound = (k - 1) + 4 * math.sqrt(2.0 * (k - 1))
+      assert(chi2 < bound, s"mod-$k chi2 $chi2 over bound $bound")
+    }
+  }
+
   test("incrementalDedup cross-side hot-bucket cap: candidate volume goes " +
       "linear in the batch, verdicts unchanged, representatives are the " +
       "lowest base ids") {

@@ -245,4 +245,85 @@ class MultimodalSpec extends SparkSpec {
     val quiet = got(1)
     assert(quiet._7.contains(0.0) && quiet._8.contains(0.0))
   }
+
+  test("decodeAudio: big-endian AIFF measures the same signal as " +
+      "little-endian WAV; unsigned 8-bit decodes but is flagged " +
+      "UNMEASURED (features_ok=false, not fake-silent)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = 4000
+    val sineS = Array.tabulate(n)(i =>
+      (0.5 * 32767 * math.sin(2 * math.Pi * 440 * i / 8000.0)).toShort)
+    def pcm16(samples: Array[Short], bigEndian: Boolean,
+        tpe: AudioFileFormat.Type): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val (b0, b1) = if (bigEndian) (((s >> 8) & 0xff), (s & 0xff))
+          else ((s & 0xff), ((s >> 8) & 0xff))
+        data(2 * i) = b0.toByte; data(2 * i + 1) = b1.toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, tpe, buf)
+      buf.toByteArray
+    }
+    def pcm8u(count: Int): Array[Byte] = {
+      val data = Array.fill(count)(128.toByte) // unsigned midpoint
+      val fmt = new AudioFormat(8000f, 8, 1, false, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, count.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val rows = Seq(
+      (1L, pcm16(sineS, bigEndian = false, AudioFileFormat.Type.WAVE)),
+      (2L, pcm16(sineS, bigEndian = true, AudioFileFormat.Type.AIFF)),
+      (3L, pcm8u(n)))
+    val got = Multimodal.decodeAudio(rows.toDF("asset_id", "payload"))
+      .select(col("asset_id"), col("decode_ok"), col("features_ok"),
+        col("duration_sec"), col("rms"))
+      .as[(Long, Boolean, Boolean, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    // both endiannesses decode the identical signal to the identical rms
+    assert(got(0)._2 && got(0)._3 && got(1)._2 && got(1)._3)
+    assert(got(0)._5 == got(1)._5,
+      s"LE rms ${got(0)._5} != BE rms ${got(1)._5}")
+    assert(math.abs(got(0)._5.get - 0.5 / math.sqrt(2)) < 0.01)
+    // unsigned 8-bit: metadata real, signal features explicitly absent
+    assert(got(2)._2 && !got(2)._3, "u8 must be decodable-but-unmeasured")
+    assert(got(2)._4.contains(0.5) && got(2)._5.isEmpty)
+  }
+
+  test("video frames: this container has no codec — the capability probe " +
+      "is empty and the FAKE offsets path runs; a registered decoder " +
+      "flips to the real path with no code change") {
+    // capability probe: no VideoDecoder SPI on this classpath
+    assert(Multimodal.videoDecoder().isEmpty)
+    val assets = Seq((1L, Array.fill[Byte](130)(7))).toDF("asset_id", "payload")
+    // FAKE path: byte-stride pseudo-frames, luma explicitly unmeasured
+    val fake = Multimodal.videoFrameFeatures(assets, strideSec = 2.0)
+      .as[VideoFrameFeatures].collect().sortBy(_.frame_idx)
+    assert(fake.map(f => (f.frame_idx, f.ts_sec)).toSeq ==
+      Seq((0, 0.0), (1, 2.0), (2, 4.0))) // 130 bytes / 64-stride = 3 frames
+    assert(fake.forall(_.mean_luma.isEmpty))
+    // injected decoder (standing in for an SPI registration): same
+    // schema, real per-frame features
+    val real = Multimodal.videoFrameFeatures(assets, strideSec = 2.0,
+        decoder = Some(new ToyVideoDecoder))
+      .as[VideoFrameFeatures].collect().sortBy(_.frame_idx)
+    assert(real.map(f => (f.frame_idx, f.ts_sec, f.mean_luma)).toSeq ==
+      Seq((0, 0.0, Some(100.0)), (1, 2.0, Some(101.0))))
+  }
+}
+
+/** Deterministic stand-in for a real SPI video decoder (top-level so the
+  * executor closure serializes cleanly).
+  */
+class ToyVideoDecoder extends VideoDecoder {
+  override def sample(assetId: Long, payload: Array[Byte],
+      strideSec: Double): Iterator[VideoFrameFeatures] =
+    (0 until 2).iterator.map(i =>
+      VideoFrameFeatures(assetId, i, i * strideSec, Some(100.0 + i)))
 }

@@ -94,4 +94,43 @@ class CorpusStreamSpec extends SparkSpec {
           (4L, 78L, false)))
     } finally q.stop()
   }
+
+  test("near-dup admission against a static base inside foreachBatch: a " +
+      "NEAR copy (not just an exact one) of a base doc is rejected; novel " +
+      "docs pass; verdicts are partitioning-independent") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseText = (1 to 30).map(i => s"base$i").mkString(" ")
+    val base = Seq((100L, baseText)).toDF("doc_id", "text")
+    // one word changed: near dup (high Jaccard) but NOT an exact
+    // fingerprint hit; plus a word-shuffle (exact bag dup) and a novel doc
+    val nearText = ((1 to 29).map(i => s"base$i") :+ "changed").mkString(" ")
+    val bagText = (1 to 30).map(i => s"base$i").reverse.mkString(" ")
+    val novelText = (1 to 30).map(i => s"novel$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        survivors.synchronized {
+          survivors ++= CorpusStream.admitAgainstBase(b, base)
+            .select("doc_id").as[Long].collect()
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData((1L, nearText), (2L, bagText), (3L, novelText))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(survivors.sorted.toSeq == Seq(3L),
+      s"near dup (1) and bag dup (2) must be rejected, got $survivors")
+    // batch-form partitioning independence of the same admission
+    val batch = Seq((1L, nearText), (2L, bagText), (3L, novelText))
+      .toDF("doc_id", "text")
+    val a = CorpusStream.admitAgainstBase(batch, base)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = CorpusStream.admitAgainstBase(batch.repartition(7),
+        base.repartition(3))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == Seq(3L) && b == a)
+  }
 }
