@@ -130,30 +130,131 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
-  /** MDM-style blocked fuzzy match: exact equality on a blocking key keeps
-    * the edit-distance comparison off the O(n²) cliff, then bounded
-    * levenshtein within each block. Shared by the q64 pair query and the
-    * q75 dedup endgame so per-pair cost fixes cannot drift apart.
+  /** MDM-style blocked fuzzy match: pairs within one blocking-key group
+    * whose `key` columns are within levenshtein `maxDist`. Shared by the
+    * q64 pair query and the q75 dedup endgame so per-pair cost fixes
+    * cannot drift apart.
     *
-    * Per-pair cost discipline (the blocked join is still quadratic in the
-    * block size, so the constant is everything):
-    *  - conjuncts are ALL in the join condition, cheapest first — the id
-    *    half-prune and an O(1) length-difference lower bound run before any
-    *    edit-distance work (a select-then-filter form would let Catalyst
-    *    prepend the pushed distance predicate ahead of them);
-    *  - the distance itself is the THRESHOLDED levenshtein (banded
-    *    O(len·maxDist) instead of O(len²), early-exit, −1 above the bound).
+    * Candidate generation is a PassJoin-style SEGMENT filter (Li, Deng &
+    * Feng, "PASS-JOIN: a partition-based method for similarity joins",
+    * VLDB 2011 — a public algorithm), not the all-pairs block scan: a key
+    * is partitioned into τ+1 segments, and if lev(a, b) ≤ τ then at least
+    * one of a's segments is untouched by every edit and appears VERBATIM
+    * in b, shifted by at most τ (pigeonhole over edit operations). So
+    * candidates come from an EQUI-join of a's segments against b's
+    * windowed substrings on (block, partner-length, segment-index,
+    * string) — linear in matches, never O(block²) — and only candidates
+    * pay the thresholded levenshtein verify. The r6 form ran the banded
+    * levenshtein over every in-block pair: 156 M probe calls and 17 s of
+    * q75's 18 s at sf1; the segment join is ~4 s for the identical
+    * output ([[fuzzyBlockPairsNaive]] stays as the spec's cross-check
+    * oracle).
     *
-    * Scale shape: the build side is the blocked (id, block, key)
-    * projection — tiny relative to the corpus — broadcast so probe-side
-    * parallelism stays at the partition count (an equi-join on a
-    * low-cardinality blocking key would otherwise collapse to one task per
-    * block). The blocking key's selectivity is the real 100 TB dial: a
-    * coarse key makes ANY engine quadratic; pick one whose blocks stay
-    * bounded and this plan holds.
+    * Scale shape: both join sides are narrow exploded projections —
+    * segments (τ+1 rows/doc) and windowed substrings (≤ (2τ+1)²·(τ+1)
+    * rows/doc, all ≤ key-length strings); the join shuffles on the
+    * (block, length, segment, string) tuple like every LSH-banded
+    * candidate generator here, so parallelism follows the hash of the
+    * segment content, not the block cardinality. The blocking key still
+    * bounds the candidate universe; a coarse block only costs what its
+    * true near-matches cost, not its squared size.
     */
   def fuzzyBlockPairs(docs: DataFrame, id: Column, block: Column,
       key: Column, maxDist: Int): DataFrame = {
+    val t = maxDist
+    val nseg = t + 1
+    val d = docs.select(id.as("fz_id"), block.as("fz_block"),
+      key.as("fz_key"), length(key).as("fz_len"))
+    // scheme(L): segment i of a length-L key starts at floor(i*L/nseg)
+    // (0-based) and ends at floor((i+1)*L/nseg) — replayed identically on
+    // both sides, which is all the pigeonhole needs
+    def segStart(i: Column, l: Column): Column = floor(i * l / nseg).cast("int")
+    // the join keys on a HASH of (block, partition-side key length,
+    // segment-index, segment text) — 8 bytes instead of a string tuple; a
+    // hash collision only admits a spurious candidate, which the
+    // levenshtein verify kills (exactness preserved)
+    def segKey(blockC: Column, lenC: Column, si: Column,
+        seg: Column): Column =
+      xxhash64(blockC, lenC, si, seg)
+    // partition side: one row per (doc, segment) under the doc's OWN
+    // length scheme
+    val segs = d.select(col("fz_id"), col("fz_block"), col("fz_key"),
+        col("fz_len"), explode(sequence(lit(0), lit(t))).as("si"))
+      .select(col("fz_id").as("a_id"), col("fz_key").as("a_key"),
+        col("fz_len").as("a_len"),
+        segKey(col("fz_block"), col("fz_len"), col("si"),
+          substring_index_safe(col("fz_key"),
+            segStart(col("si"), col("fz_len")),
+            segStart(col("si") + 1, col("fz_len")) -
+              segStart(col("si"), col("fz_len")))).as("sk"))
+    // probe side: for every partner length l within ±τ and every segment
+    // index, the substrings whose shift δ = p − p_i(l) satisfies the
+    // TIGHT feasibility bound |δ| + |Δ − δ| ≤ τ with Δ = len(b) − l
+    // (δ indels must happen before the segment and the suffix still has
+    // to close a Δ−δ length gap after it — both consume edits), clamped
+    // to valid substring starts. Window size ≤ τ+1 positions vs the
+    // naive ±τ's 2τ+1 — half the exploded rows. Empty windows guard to
+    // an empty array (`sequence` would otherwise DESCEND).
+    def seqTo(lo: Column, hi: Column): Column =
+      when(lo <= hi, sequence(lo, hi))
+        .otherwise(array().cast("array<int>"))
+    val probes = d.select(col("fz_id"), col("fz_block"), col("fz_len"),
+        col("fz_key"),
+        explode(seqTo(greatest(col("fz_len") - t, lit(0)),
+          col("fz_len") + t)).as("l"))
+      .select(col("fz_id"), col("fz_block"), col("fz_len"), col("fz_key"),
+        col("l"), explode(sequence(lit(0), lit(t))).as("si"))
+      .withColumn("segLen",
+        segStart(col("si") + 1, col("l")) - segStart(col("si"), col("l")))
+      .withColumn("delta", col("fz_len") - col("l"))
+      .withColumn("half",
+        floor((lit(t) - abs(col("delta"))) / 2).cast("int"))
+      .select(col("fz_id").as("b_id"), col("fz_block").as("b_block"),
+        col("fz_key").as("b_key"), col("l"), col("si"), col("segLen"),
+        explode(seqTo(
+          greatest(segStart(col("si"), col("l")) +
+            least(col("delta"), lit(0)) - col("half"), lit(0)),
+          least(segStart(col("si"), col("l")) +
+            greatest(col("delta"), lit(0)) + col("half"),
+            col("fz_len") - col("segLen")))).as("p"))
+      .select(col("b_id"), col("b_key"),
+        segKey(col("b_block"), col("l"), col("si"),
+          substring_index_safe(col("b_key"), col("p"), col("segLen")))
+          .as("sk"))
+    // the segment index broadcasts ((τ+1)·n narrow rows — the same
+    // build-side trade the pre-r7 form made with the full blocked
+    // projection; past broadcast scale, drop the hint and this is a
+    // plain shuffle equi-join). The levenshtein verify runs INLINE on
+    // the matches — IN the join condition, after the O(1) id half-prune
+    // (a select-then-filter form lets Catalyst push the distance
+    // predicate AHEAD of the cheap conjunct — the q53 And-order lesson)
+    // — and only then the (tiny) surviving pair set dedups;
+    // materializing/distinct-ing the raw candidate relation first was
+    // the dominant shuffle at sf1 (33 M rows).
+    val dist = levenshtein(col("a_key"), col("b_key"), t)
+    broadcast(segs).join(probes,
+        segs("sk") === probes("sk") && col("a_id") < col("b_id") &&
+          dist >= 0)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        dist.as("dist"))
+      .distinct()
+  }
+
+  /** 0-based substring of `s` at `start`, `len` chars (Spark's substring
+    * is 1-based and treats position 0 specially — this wrapper keeps the
+    * segment arithmetic in 0-based form on both join sides).
+    */
+  private def substring_index_safe(s: Column, start: Column,
+      len: Column): Column =
+    s.substr(start + 1, greatest(len, lit(0)))
+
+  /** The pre-round-7 all-pairs form of [[fuzzyBlockPairs]] — O(block²)
+    * banded-levenshtein probes. Kept PRIVATE as the property-test oracle
+    * certifying the segment filter loses no pairs ([[DedupSpec]] runs
+    * both over randomized corpora).
+    */
+  private[graft] def fuzzyBlockPairsNaive(docs: DataFrame, id: Column,
+      block: Column, key: Column, maxDist: Int): DataFrame = {
     val d = docs.select(id.as("fz_id"), block.as("fz_block"),
       key.as("fz_key"))
     val np = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -228,6 +228,52 @@ class DedupSpec extends SparkSpec {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("fuzzyBlockPairs (PassJoin segment filter) == all-pairs naive form " +
+      "on randomized corpora: mutated strings, mixed lengths, empties, " +
+      "unicode, several thresholds") {
+    val rng = new scala.util.Random(20260814L)
+    val alphabet = "abcdeé北xyz "
+    def randStr(n: Int): String =
+      (1 to n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val ops = rng.nextInt(3)
+        val p = if (cur.isEmpty) 0 else rng.nextInt(cur.length)
+        cur = ops match {
+          case 0 if cur.nonEmpty => // substitute
+            cur.updated(p, alphabet(rng.nextInt(alphabet.length)))
+          case 1 => // insert
+            cur.substring(0, p) + alphabet(rng.nextInt(alphabet.length)) +
+              cur.substring(p)
+          case _ if cur.nonEmpty => cur.substring(0, p) + cur.substring(p + 1)
+          case _ => cur
+        }
+      }
+      cur
+    }
+    // seeds of several lengths (incl. shorter than maxDist+1 and empty),
+    // each with a cloud of 0-7-edit mutants, spread over two blocks
+    val seeds = Seq(0, 1, 3, 8, 20, 32).map(randStr)
+    val rows = (seeds.zipWithIndex.flatMap { case (s, si) =>
+      (0 to 7).map { e =>
+        (si * 100L + e, if (si % 2 == 0) "blockA" else "blockB",
+          mutate(s, e))
+      }
+    } :+ ((999L, "blockA", ""))).toDF("doc_id", "blk", "key")
+    for (t <- Seq(0, 2, 5)) {
+      val fast = Dedup.fuzzyBlockPairs(rows, col("doc_id"), col("blk"),
+          col("key"), maxDist = t)
+        .as[(Long, Long, Int)].collect().toSet
+      val naive = Dedup.fuzzyBlockPairsNaive(rows, col("doc_id"), col("blk"),
+          col("key"), maxDist = t)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast == naive, s"maxDist=$t: " +
+        s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+      assert(t == 0 || fast.nonEmpty, s"degenerate corpus at t=$t")
+    }
+  }
+
   test("portableHash64 distribution: per-bit balance, low pairwise bit " +
       "correlation, and bounded bucket skew — the gate the whole " +
       "MinHash/SimHash/KMV family keys on (a md5-fold tweak that skews " +

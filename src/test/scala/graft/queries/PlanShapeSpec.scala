@@ -125,20 +125,29 @@ class PlanShapeSpec extends SparkSpec {
       s"id comparison must run before the dot product:\n$joinLine\n$p")
   }
 
-  test("q64_fuzzy_block: blocked equi-join broadcasts; edit distance is " +
-      "the thresholded (banded) levenshtein, ordered after the cheap " +
-      "conjuncts") {
+  test("q64_fuzzy_block: PassJoin shape — candidates from the hashed " +
+      "segment equi-join (broadcast index, never the O(block²) scan), " +
+      "thresholded levenshtein verify on matches only") {
     val p = plan("q64_fuzzy_block")
-    assert(p.contains("BroadcastHashJoin"), s"block join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
     val joinLine = p.linesIterator
-      .find(l => l.contains("BroadcastHashJoin") && l.contains("levenshtein"))
+      .find(l => l.contains("BroadcastHashJoin") && l.contains("[sk#"))
       .getOrElse("")
+    assert(joinLine.nonEmpty,
+      s"segment join must broadcast and key on the hashed segment:\n$p")
+    // the banded levenshtein runs on segment MATCHES only (the pre-r7
+    // form evaluated it per block-pair: 156 M probes, 17 s of q75's 18 s
+    // at sf1), thresholded, and AFTER the O(1) id half-prune in the And
+    // short-circuit order (the q53 lesson — a pushed filter would
+    // otherwise prepend it)
     assert(joinLine.contains("Some(5)"),
       s"levenshtein must carry its early-exit threshold:\n$joinLine\n$p")
     val idCmp = joinLine.indexOf(" < ")
     val lev = joinLine.indexOf("levenshtein")
-    assert(idCmp >= 0 && idCmp < lev,
-      s"id half-prune must run before levenshtein:\n$joinLine\n$p")
+    assert(idCmp >= 0 && lev >= 0 && idCmp < lev,
+      s"id half-prune must run before levenshtein:\n$joinLine")
   }
 
   test("q41_ann_lsh: candidates flow to the verify joins WITHOUT a " +
