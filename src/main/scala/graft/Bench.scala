@@ -238,12 +238,16 @@ object Bench {
       }
     // full-detail record alongside (not size-capped): per-query times at
     // native precision for offline analysis. ONLY-filtered smoke runs must
-    // not clobber the committed full-suite baseline.
+    // not clobber the committed full-suite baseline. A par=1 run records
+    // to its own file: sequential walls are the cross-round-comparable
+    // ones (par>1 walls absorb contention — the r6 postmortem), so both
+    // artifacts ship per round without clobbering each other.
     if (only.isEmpty) {
       val fullQs = merged.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       try {
-        val w = new java.io.PrintWriter("bench_full.json")
+        val w = new java.io.PrintWriter(
+          if (par == 1) "bench_full_seq.json" else "bench_full.json")
         w.println(s"""{"metric":"total","value":${best.wall},"unit":"sec",""" +
           s""""queries":$fullQs,"sum":$sum,"par":$par,"passes":4,""" +
           (if (failed.nonEmpty) s""""headline_valid":false,""" else "") +
