@@ -800,6 +800,101 @@ object TextOps {
       FROM h"""),
     doc = "deterministic shard export: portable-hash assignment + in-shard order")
 
+  // --- RANGE-partitioned (equal-depth) shard export: the curriculum
+  //     layout — shards ordered by a quality score, so shard k holds the
+  //     corpus's k-th score band and within-shard order is the global
+  //     sort restricted to the band. Boundaries are the EXACT global
+  //     i/16 percentiles of the 4dp score (the q100 value-grid argument:
+  //     the single-partition step sees <= 10001 distinct values, never
+  //     rows), broadcast into a pure-map shard assignment; the only
+  //     corpus-width exchange is the export shuffle itself, keyed on the
+  //     shard id, each shard sorting 1/16 of the corpus (spilling, never
+  //     buffering). Equal-depth up to score TIES — a 4dp grid puts many
+  //     docs on each boundary value and ties never split (determinism
+  //     beats exact balance; q101 is the hash layout when balance wins).
+  //     i/16 fractions are exact in binary AND decimal, so the
+  //     interpolated boundaries replay bit-identically in the oracle.
+  private val RangeShardCount = 16
+  private val q103_range_shards = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          round(try_divide(
+            TextAnalysis.stopwordHits(col("__tk"),
+              Seq("the", "a", "of", "and", "is")).cast("double"),
+            size(col("__tk")).cast("double")), 4).as("score"))
+        .filter(col("score").isNotNull)
+      val bounds = Stats.globalPercentiles(scored, "score",
+        (1 until RangeShardCount).map(i =>
+          s"b$i" -> i.toDouble / RangeShardCount))
+      // shard = boundaries strictly below the score (boundary ties go to
+      // the LOWER shard) — a codegen'd sum of compares, no search
+      val shardCol = (1 until RangeShardCount)
+        .map(i => when(col("score") > col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      scored.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("score"),
+          shardCol.cast("int").as("shard"))
+        .withColumn("seq", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("score"), col("doc_id"))).cast("long"))
+    },
+    oracle = Some(rangeShardsOracleSql),
+    doc = "equal-depth range shards: exact percentile boundaries + " +
+      "in-band global order")
+
+  private def rangeShardsOracleSql: String = {
+    val n = RangeShardCount
+    val fr = (1 until n).map(i => i -> (i.toDouble / n).toString).toMap
+    val loHis = (1 until n).map { i =>
+      s"""CAST(min(CASE WHEN cum >= floor((n-1)*${fr(i)})+1 THEN val END)
+            AS DOUBLE) AS lo$i,
+          CAST(min(CASE WHEN cum >= floor((n-1)*${fr(i)})+2 THEN val END)
+            AS DOUBLE) AS hi$i"""
+    }.mkString(",\n          ")
+    val interps = (1 until n).map { i =>
+      s"""round(CASE WHEN (n-1)*${fr(i)} = floor((n-1)*${fr(i)}) THEN lo$i
+            ELSE lo$i + ((n-1)*${fr(i)} - floor((n-1)*${fr(i)}))
+                 * (hi$i - lo$i) END, 6) AS b$i"""
+    }.mkString(",\n          ")
+    val shardSum = (1 until n)
+      .map(i => s"(CASE WHEN s.score > t.b$i THEN 1 ELSE 0 END)")
+      .mkString(" +\n            ")
+    s"""
+      WITH sc AS (
+        SELECT doc_id,
+          round(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) /
+                CAST(len(tk) AS DOUBLE), 4) AS score
+        FROM (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+              FROM documents)),
+      hist AS (
+        SELECT score AS val, count(*) AS cnt
+        FROM sc WHERE score IS NOT NULL GROUP BY 1),
+      cum AS (
+        SELECT val, sum(cnt) OVER (ORDER BY val) AS cum,
+               sum(cnt) OVER () AS n
+        FROM hist),
+      agg AS (
+        SELECT CAST(max(n) AS DOUBLE) AS n,
+          $loHis
+        FROM cum),
+      thr AS (
+        SELECT
+          $interps
+        FROM agg),
+      sh AS (
+        SELECT s.doc_id, s.score,
+          CAST($shardSum AS INT) AS shard
+        FROM sc s, thr t WHERE s.score IS NOT NULL)
+      SELECT doc_id, score, shard,
+        CAST(row_number() OVER (PARTITION BY shard
+          ORDER BY score, doc_id) AS BIGINT) AS seq
+      FROM sh"""
+  }
+
   // q102's oracle: the full two-stage incremental-dedup replay — the q33
   // fingerprint and the q36 signature/band/verify machinery, applied
   // CROSS-SIDE (base = even doc_ids, batch = odd). Generated from the
@@ -922,5 +1017,6 @@ object TextOps {
     "q92_chunks" -> q92_chunks,
     "q100_quality_cut" -> q100_quality_cut,
     "q101_shards" -> q101_shards,
-    "q102_incremental_dedup" -> q102_incremental_dedup)
+    "q102_incremental_dedup" -> q102_incremental_dedup,
+    "q103_range_shards" -> q103_range_shards)
 }

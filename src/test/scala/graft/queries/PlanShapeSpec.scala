@@ -263,6 +263,18 @@ class PlanShapeSpec extends SparkSpec {
       s"$scans:\n$p")
   }
 
+  test("q103_range_shards: percentile boundaries broadcast into a " +
+      "pure-map shard assignment — no shuffle join anywhere; the export " +
+      "window is the only corpus-width reorganization") {
+    val p = plan("q103_range_shards")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row boundary frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-width join may appear:\n$p")
+    assert(p.contains("Window"), s"in-shard order needs the window:\n$p")
+  }
+
   test("q102_incremental_dedup: cross-side joins are all equi-joins — " +
       "no cartesian product anywhere in the two-stage pipeline") {
     val p = plan("q102_incremental_dedup")
