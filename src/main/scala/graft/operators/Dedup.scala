@@ -390,32 +390,89 @@ object Dedup {
   def incrementalDedup(base: DataFrame, batch: DataFrame, id: Column,
       text: Column, threshold: Double, k: Int = 16,
       bands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    def fps(df: DataFrame): DataFrame = df.select(id.as("doc_id"),
+    val baseFp = base.select(id.as("doc_id"),
       TextAnalysis.normalizedHash(text).as("fp"))
-    val exactDup = fps(batch)
-      .join(fps(base).select(col("fp")), Seq("fp"), "left_semi")
-      .select(col("doc_id"))
-    val cand = crossCandidates(base, batch, id, text, k, bands,
-      maxBucketSize)
-    def shOf(df: DataFrame): DataFrame =
-      hashedShingles(df, id, text, portable = true)
-    // each side's shingle relation feeds its size aggregation AND the
+    // the base shingle relation feeds its size aggregation AND the
     // intersection join — cache so the charShingles+md5 pipeline (the
-    // per-row dominant cost) runs once per side, and ride the sizes INTO
-    // the intersection join (the jaccardPairs shape) so the denominators
-    // fall out of the pair aggregation instead of two extra joins of the
-    // pair relation
-    val shB = shOf(base).cache(); val shN = shOf(batch).cache()
-    def withSize(sh: DataFrame, key: String): DataFrame = sh
-      .join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as(s"n_$key")),
+    // per-row dominant cost) runs once
+    val shB = hashedShingles(base, id, text, portable = true).cache()
+    val baseSh = shB
+      .join(shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
         "doc_id")
-      .withColumnRenamed("doc_id", key)
+    incrementalDedupCore(baseFp, bandedSignatures(base, id, text, k, bands),
+      baseSh, batch, id, text, threshold, k, bands, maxBucketSize)
+  }
+
+  /** The base-side index of [[incrementalDedup]], MATERIALIZED — what a
+    * production continuous-ingestion pipeline keeps between crawl drops
+    * instead of recomputing the whole base corpus every batch (at corpus
+    * scale the base-side fingerprint/signature/shingle recompute IS the
+    * dominant cost; the batch side is tiny). Three parquet relations:
+    * `fp/` normalized token-bag fingerprints, `banded/` MinHash band
+    * buckets, `sh/` portable shingle hashes with per-doc set sizes.
+    * [[incrementalDedupWithIndex]] consumes them and returns the
+    * IDENTICAL verdicts to the recompute path (spec-gated equality).
+    * After admitting a batch, append its surviving docs' index rows the
+    * same way — the relations are unioned-by-schema, so incremental
+    * maintenance is a parquet append.
+    */
+  def writeDedupIndex(base: DataFrame, id: Column, text: Column,
+      path: String, k: Int = 16, bands: Int = 4): Unit = {
+    base.select(id.as("doc_id"), TextAnalysis.normalizedHash(text).as("fp"))
+      .write.mode("overwrite").parquet(s"$path/fp")
+    bandedSignatures(base, id, text, k, bands)
+      .write.mode("overwrite").parquet(s"$path/banded")
+    val sh = hashedShingles(base, id, text, portable = true).cache()
+    sh.join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+        "doc_id")
+      .write.mode("overwrite").parquet(s"$path/sh")
+  }
+
+  /** [[incrementalDedup]] against a [[writeDedupIndex]]-materialized base:
+    * the batch is flagged without touching the base TEXT at all — the
+    * scans are the three narrow index relations. `k`/`bands` must match
+    * the index's build parameters (the band layout is positional).
+    */
+  def incrementalDedupWithIndex(indexPath: String, batch: DataFrame,
+      id: Column, text: Column, threshold: Double, k: Int = 16,
+      bands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val spark = batch.sparkSession
+    incrementalDedupCore(
+      spark.read.parquet(s"$indexPath/fp"),
+      spark.read.parquet(s"$indexPath/banded"),
+      spark.read.parquet(s"$indexPath/sh"),
+      batch, id, text, threshold, k, bands, maxBucketSize)
+  }
+
+  /** Shared verdict pipeline over a (fp, banded, shingles+sizes) base
+    * index — computed inline by [[incrementalDedup]], loaded from parquet
+    * by [[incrementalDedupWithIndex]].
+    */
+  private def incrementalDedupCore(baseFp: DataFrame, baseBanded: DataFrame,
+      baseSh: DataFrame, batch: DataFrame, id: Column, text: Column,
+      threshold: Double, k: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    val exactDup = batch
+      .select(id.as("doc_id"), TextAnalysis.normalizedHash(text).as("fp"))
+      .join(baseFp.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    val cand = crossCandidatesFromBanded(baseBanded,
+      bandedSignatures(batch, id, text, k, bands), maxBucketSize)
+    // batch shingles feed sizes + the intersection join — cache (the
+    // jaccardPairs shape: sizes ride the join so the denominators fall
+    // out of the pair aggregation, no extra pair-relation joins)
+    val shN = hashedShingles(batch, id, text, portable = true).cache()
+    val batchSh = shN
+      .join(shN.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+        "doc_id")
     val nearDup = cand
-      .join(withSize(shB, "doc_base"), Seq("doc_base"))
-      .join(withSize(shN, "doc_new"), Seq("doc_new", "shh"))
+      .join(baseSh.select(col("doc_id").as("doc_base"), col("shh"),
+        col("n_sh").as("n_b0")), Seq("doc_base"))
+      .join(batchSh.select(col("doc_id").as("doc_new"), col("shh"),
+        col("n_sh").as("n_n0")), Seq("doc_new", "shh"))
       .groupBy(col("doc_base"), col("doc_new"))
-      .agg(count(lit(1)).as("inter"), max(col("n_doc_base")).as("n_b"),
-        max(col("n_doc_new")).as("n_n"))
+      .agg(count(lit(1)).as("inter"), max(col("n_b0")).as("n_b"),
+        max(col("n_n0")).as("n_n"))
       .filter(col("inter").cast("double") /
         (col("n_b") + col("n_n") - col("inter")).cast("double") >= threshold)
       .select(col("doc_new").as("doc_id")).distinct()
@@ -449,8 +506,12 @@ object Dedup {
     */
   private[graft] def crossCandidates(base: DataFrame, batch: DataFrame,
       id: Column, text: Column, k: Int, bands: Int,
-      maxBucketSize: Int): DataFrame = {
-    val baseBanded0 = bandedSignatures(base, id, text, k, bands)
+      maxBucketSize: Int): DataFrame =
+    crossCandidatesFromBanded(bandedSignatures(base, id, text, k, bands),
+      bandedSignatures(batch, id, text, k, bands), maxBucketSize)
+
+  private def crossCandidatesFromBanded(baseBanded0: DataFrame,
+      batchBanded: DataFrame, maxBucketSize: Int): DataFrame = {
     val baseBanded =
       if (maxBucketSize == Int.MaxValue) baseBanded0
       else baseBanded0
@@ -458,8 +519,7 @@ object Dedup {
           Window.partitionBy(col("band"), col("bucket"))
             .orderBy(col("doc_id"))))
         .filter(col("__rn") <= maxBucketSize).drop("__rn")
-    baseBanded.as("a")
-      .join(bandedSignatures(batch, id, text, k, bands).as("b"),
+    baseBanded.as("a").join(batchBanded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("doc_base"), col("b.doc_id").as("doc_new"))

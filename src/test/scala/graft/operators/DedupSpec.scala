@@ -228,6 +228,50 @@ class DedupSpec extends SparkSpec {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("incrementalDedup against a MATERIALIZED index == the recompute " +
+      "path (verdicts identical, incl. under the bucket cap); the index " +
+      "maintains by parquet append") {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated text about distributed query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (7L, "an entirely novel batch document sharing nothing with the base set"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-index").toString
+    Dedup.writeDedupIndex(base, col("doc_id"), col("text"), dir)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Long, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    val direct = run(Dedup.incrementalDedup(base, batch, col("doc_id"),
+      col("text"), threshold = 0.5, maxBucketSize = 4))
+    val indexed = run(Dedup.incrementalDedupWithIndex(dir, batch,
+      col("doc_id"), col("text"), threshold = 0.5, maxBucketSize = 4))
+    assert(indexed == direct)
+    assert(direct.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, true, true), (5L, false, true), (7L, false, false)))
+    // incremental maintenance: append the admitted batch docs' rows and
+    // the grown index flags a near-copy of a BATCH doc
+    val admitted = batch.filter(col("doc_id") === 7L)
+    Dedup.writeDedupIndex(admitted, col("doc_id"), col("text"),
+      s"$dir/tmp2")
+    for (rel <- Seq("fp", "banded", "sh"))
+      spark.read.parquet(s"$dir/tmp2/$rel")
+        .write.mode("append").parquet(s"$dir/$rel")
+    // an exact copy hits the appended fingerprint AND (identical
+    // signatures → every band) the appended buckets deterministically —
+    // LSH recall on a merely-near copy is probabilistic, so the append
+    // proof uses the deterministic pair
+    val batch2 = Seq(
+      (9L, "an entirely novel batch document sharing nothing with the base set"))
+      .toDF("doc_id", "text")
+    val got2 = run(Dedup.incrementalDedupWithIndex(dir, batch2,
+      col("doc_id"), col("text"), threshold = 0.5))
+    assert(got2 == Seq((9L, true, true)),
+      "copy of an appended doc must be flagged by the grown index")
+  }
+
   test("fuzzyBlockPairs (PassJoin segment filter) == all-pairs naive form " +
       "on randomized corpora: mutated strings, mixed lengths, empties, " +
       "unicode, several thresholds") {
