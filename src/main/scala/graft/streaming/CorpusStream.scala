@@ -146,13 +146,28 @@ object CorpusStream {
     * the first batch's cached shingle relation.
     */
   def admitAgainstBase(batch: DataFrame, base: DataFrame,
-      threshold: Double = 0.5, maxBucketSize: Int = 64): DataFrame = {
-    val verdicts = graft.operators.Dedup.incrementalDedup(
-      base, batch, col("doc_id"), col("text"), threshold,
-      maxBucketSize = maxBucketSize)
+      threshold: Double = 0.5, maxBucketSize: Int = 64): DataFrame =
+    admitVerdicts(batch,
+      graft.operators.Dedup.incrementalDedup(base, batch, col("doc_id"),
+        col("text"), threshold, maxBucketSize = maxBucketSize))
+
+  /** [[admitAgainstBase]] against a
+    * [[graft.operators.Dedup.writeDedupIndex]]-materialized base — the
+    * production form: per micro-batch the base corpus' TEXT is never
+    * read, only its narrow parquet index relations; appending the
+    * admitted docs' index rows after each batch keeps the index current.
+    */
+  def admitAgainstIndex(batch: DataFrame, indexPath: String,
+      threshold: Double = 0.5, maxBucketSize: Int = 64): DataFrame =
+    admitVerdicts(batch,
+      graft.operators.Dedup.incrementalDedupWithIndex(indexPath, batch,
+        col("doc_id"), col("text"), threshold,
+        maxBucketSize = maxBucketSize))
+
+  private def admitVerdicts(batch: DataFrame,
+      verdicts: DataFrame): DataFrame =
     batch.join(
       verdicts.filter(!col("is_exact_dup") && !col("is_near_dup"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-  }
 }

@@ -132,5 +132,13 @@ class CorpusStreamSpec extends SparkSpec {
         base.repartition(3))
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == Seq(3L) && b == a)
+    // the materialized-index form admits identically (base text untouched)
+    val dir = java.nio.file.Files.createTempDirectory("admit-index").toString
+    graft.operators.Dedup.writeDedupIndex(base,
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), dir)
+    val c = CorpusStream.admitAgainstIndex(batch, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(c == a)
   }
 }
