@@ -392,15 +392,13 @@ object Dedup {
       bands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val baseFp = base.select(id.as("doc_id"),
       TextAnalysis.normalizedHash(text).as("fp"))
-    // the base shingle relation feeds its size aggregation AND the
-    // intersection join — cache so the charShingles+md5 pipeline (the
-    // per-row dominant cost) runs once
+    // cache the shingle relation: shared (via the cache manager's
+    // subplan matching) by the signature pipeline and the verify stage,
+    // so the charShingles+md5 map runs once. Sizes are computed in the
+    // core AFTER the candidate-doc restriction, never over the corpus.
     val shB = hashedShingles(base, id, text, portable = true).cache()
-    val baseSh = shB
-      .join(shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
-        "doc_id")
     incrementalDedupCore(baseFp, bandedSignatures(base, id, text, k, bands),
-      baseSh, batch, id, text, threshold, k, bands, maxBucketSize)
+      shB, batch, id, text, threshold, k, bands, maxBucketSize)
   }
 
   /** The base-side index of [[incrementalDedup]], MATERIALIZED — what a
@@ -444,9 +442,21 @@ object Dedup {
       batch, id, text, threshold, k, bands, maxBucketSize)
   }
 
-  /** Shared verdict pipeline over a (fp, banded, shingles+sizes) base
+  /** Shared verdict pipeline over a (fp, banded, shingles[+sizes]) base
     * index — computed inline by [[incrementalDedup]], loaded from parquet
-    * by [[incrementalDedupWithIndex]].
+    * by [[incrementalDedupWithIndex]] (whose stored relation carries
+    * `n_sh`; the inline form sizes after restriction).
+    *
+    * Verify-stage shape: the candidate pair set is MATERIALIZED (it is
+    * bounded — the bucket cap fuses it at bands × cap per batch doc —
+    * and its plan embeds both signature pipelines, which three
+    * consumers would otherwise re-run), and both shingle relations are
+    * SEMI-FILTERED to candidate docs before sizing and joining. Without
+    * the restriction the intersection join shuffled the corpus-wide
+    * shingle relations to serve a few thousand candidate pairs — 3 s of
+    * q102's 5.5 s at sf1. The id sets are runtime-sized, so AQE
+    * broadcasts them at test SF and falls back to a shuffle semi-join
+    * at corpus scale (no forced broadcast of an unbounded set).
     */
   private def incrementalDedupCore(baseFp: DataFrame, baseBanded: DataFrame,
       baseSh: DataFrame, batch: DataFrame, id: Column, text: Column,
@@ -458,18 +468,24 @@ object Dedup {
       .select(col("doc_id"))
     val cand = crossCandidatesFromBanded(baseBanded,
       bandedSignatures(batch, id, text, k, bands), maxBucketSize)
-    // batch shingles feed sizes + the intersection join — cache (the
-    // jaccardPairs shape: sizes ride the join so the denominators fall
-    // out of the pair aggregation, no extra pair-relation joins)
+      .localCheckpoint(true)
     val shN = hashedShingles(batch, id, text, portable = true).cache()
-    val batchSh = shN
-      .join(shN.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+    // restrict to candidate docs, then size: per-doc totals are
+    // unchanged by a doc-granular filter, and the sizes aggregation
+    // runs over the restricted relation, never the corpus
+    def restrict(sh: DataFrame, ids: DataFrame): DataFrame = {
+      val f = sh.join(ids, Seq("doc_id"), "left_semi")
+      if (sh.columns.contains("n_sh")) f
+      else f.join(f.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
         "doc_id")
+    }
+    val candB = cand.select(col("doc_base").as("doc_id")).distinct()
+    val candN = cand.select(col("doc_new").as("doc_id")).distinct()
     val nearDup = cand
-      .join(baseSh.select(col("doc_id").as("doc_base"), col("shh"),
-        col("n_sh").as("n_b0")), Seq("doc_base"))
-      .join(batchSh.select(col("doc_id").as("doc_new"), col("shh"),
-        col("n_sh").as("n_n0")), Seq("doc_new", "shh"))
+      .join(restrict(baseSh, candB).select(col("doc_id").as("doc_base"),
+        col("shh"), col("n_sh").as("n_b0")), Seq("doc_base"))
+      .join(restrict(shN, candN).select(col("doc_id").as("doc_new"),
+        col("shh"), col("n_sh").as("n_n0")), Seq("doc_new", "shh"))
       .groupBy(col("doc_base"), col("doc_new"))
       .agg(count(lit(1)).as("inter"), max(col("n_b0")).as("n_b"),
         max(col("n_n0")).as("n_n"))
@@ -532,6 +548,11 @@ object Dedup {
   def minhashDedup(docs: DataFrame, id: Column, text: Column,
       threshold: Double, k: Int = 16, bands: Int = 4,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    // NOTE: unlike incrementalDedupCore, the verify stage here does NOT
+    // restrict shingles to candidate docs — a whole-corpus self-dedup's
+    // candidate id set approaches the corpus (measured at sf1: the
+    // restriction + checkpoint barrier cost 1.6 s and filtered almost
+    // nothing), where the cross-side batch case is cap-bounded tiny.
     val cand = minhashCandidates(docs, id, text, k, bands, maxBucketSize)
     // portable hash: the verification intersection must count the same
     // shingle-hash universe the signatures were built from
