@@ -105,16 +105,22 @@ object Dedup {
     // string: half the shuffle bytes and a long-vs-long compare; two
     // distinct shingles of one doc pair colliding (~n²/2⁶⁴) is negligible.
     val allSh = hashedShingles(docs, id, text, len, stride).cache()
-    val rare = allSh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("shh"))
-    val sh = allSh.join(rare, "shh")
+    // df cap via a WINDOW on shh, not aggregate-then-join: the one shh
+    // exchange it costs is the SAME clustering the self-join below
+    // requires, so the df filter, the capped relation and both self-join
+    // sides ride a single shuffle+sort of the shingle relation — the
+    // aggregate-then-join form re-shuffled 12 M rows against a ~10 M-key
+    // df relation just to apply the cap (7.0 s → 3.7 s at sf1)
+    val sh = allSh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shh"))))
+      .filter(col("df") <= maxDf).drop("df")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // n_sh rides INTO the self-join (one doc-keyed join of the capped
-    // shingle relation — AQE broadcasts the size table at test SF) so the
-    // denominators fall out of the pair aggregation itself. The previous
-    // shape joined `sizes` onto the PAIR relation twice, and colliding
-    // pairs outnumber capped shingles (4.7M pairs vs 1.8M shingle rows at
-    // sf1) — two shuffles of the biggest relation in the query, both gone.
+    // n_sh rides INTO the self-join so the denominators fall out of the
+    // pair aggregation itself (the pre-r6 shape joined `sizes` onto the
+    // PAIR relation twice; colliding pairs outnumber capped shingles —
+    // 4.7 M pairs vs 1.8 M shingle rows at sf1). No broadcast hint: the
+    // size relation is one row per DOC (corpus-sized at 100 TB), so AQE
+    // broadcasts it at test SF and shuffle-joins past broadcast scale.
     val shN = sh.join(sizes, "doc_id")
     val inter = shN.as("a").join(shN.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
