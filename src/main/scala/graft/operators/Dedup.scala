@@ -581,6 +581,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Cross-document repeated-passage detection — the SUBSTRING-level
+    * dedup signal doc-level dedup misses (boilerplate paragraphs pasted
+    * across otherwise-distinct pages; the ExactSubstr axis of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 — a public method). Documents are cut into
+    * NON-overlapping `windowTokens`-token windows (tail fragments
+    * dropped — only full windows are comparable); a window is REPEATED
+    * when its [[portableHash64]] occurs in more than one distinct
+    * document. Per doc: total full windows, repeated-window
+    * occurrences, and the repeated fraction (4dp). Docs with no full
+    * window are absent (nothing to measure).
+    *
+    * Scale shape: window fan-out is bounded by [[TextAnalysis.chunks]]'
+    * `maxChunksPerDoc` fuse; per-doc occurrence counts aggregate BEFORE
+    * the cross-doc frequency window, so that window's exchange moves
+    * one row per (doc, window-hash); the per-doc re-aggregation is the
+    * only other exchange. Portable hash → the q104 oracle replays the
+    * pipeline end to end.
+    */
+  def repeatedPassages(docs: DataFrame, id: Column, text: Column,
+      windowTokens: Int = 32): DataFrame = {
+    val ch = TextAnalysis.chunks(docs, id, text, windowTokens, 0)
+      .filter(col("chunk_tokens") === windowTokens)
+    val occ = ch.select(col("doc_id"),
+        portableHash64(col("chunk_text")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n_occ"))
+    occ
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n_occ")).as("n_windows"),
+        sum(when(col("n_docs") > 1, col("n_occ")).otherwise(lit(0L)))
+          .as("n_repeated"))
+      .withColumn("repeated_frac",
+        round(col("n_repeated").cast("double") /
+          col("n_windows").cast("double"), 4))
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   /** SimHash bit width: 60 usable bits from the [[portableHash64]] token

@@ -895,6 +895,46 @@ object TextOps {
       FROM sh"""
   }
 
+  // --- cross-document repeated passages: the SUBSTRING-level dedup
+  //     signal (doc-level dedup keeps two distinct pages that share a
+  //     pasted boilerplate paragraph; this flags the shared windows).
+  //     Windows = q92's chunking at 32/0 (full windows only), hashed
+  //     with the portable md5 fold, cross-doc frequency via a window on
+  //     the hash (the q34 one-exchange df shape).
+  private val q104_repeated_passages = Q(
+    run = (s, d) => Dedup.repeatedPassages(Tables.documents(s, d),
+      col("doc_id"), col("text"), windowTokens = 32),
+    oracle = Some(s"""
+      WITH tk AS (
+        SELECT doc_id,
+          CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+               ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tk
+        FROM documents),
+      n AS (
+        SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok
+        FROM tk WHERE tk IS NOT NULL),
+      w AS (
+        SELECT doc_id,
+          ${duckHash64(
+            "array_to_string(tk[tok_start + 1 : tok_start + 32], ' ')")} AS h
+        FROM (SELECT doc_id, tk, n_tok,
+                unnest(generate_series(0, greatest(n_tok - 1, 0), 32))
+                  AS tok_start
+              FROM n)
+        WHERE n_tok - tok_start >= 32),
+      occ AS (SELECT doc_id, h, count(*) AS n_occ FROM w GROUP BY 1, 2),
+      df AS (SELECT doc_id, n_occ,
+               count(*) OVER (PARTITION BY h) AS n_docs
+             FROM occ)
+      SELECT doc_id,
+        CAST(sum(n_occ) AS BIGINT) AS n_windows,
+        CAST(sum(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END) AS BIGINT)
+          AS n_repeated,
+        round(CAST(sum(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END) AS DOUBLE)
+              / CAST(sum(n_occ) AS DOUBLE), 4) AS repeated_frac
+      FROM df GROUP BY doc_id"""),
+    doc = "cross-doc repeated passages (ExactSubstr-style window fingerprints)")
+
   // q102's oracle: the full two-stage incremental-dedup replay — the q33
   // fingerprint and the q36 signature/band/verify machinery, applied
   // CROSS-SIDE (base = even doc_ids, batch = odd). Generated from the
@@ -1018,5 +1058,6 @@ object TextOps {
     "q100_quality_cut" -> q100_quality_cut,
     "q101_shards" -> q101_shards,
     "q102_incremental_dedup" -> q102_incremental_dedup,
-    "q103_range_shards" -> q103_range_shards)
+    "q103_range_shards" -> q103_range_shards,
+    "q104_repeated_passages" -> q104_repeated_passages)
 }

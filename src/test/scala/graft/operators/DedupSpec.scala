@@ -318,6 +318,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("repeatedPassages: shared 32-token paragraph flagged in BOTH docs, " +
+      "unique docs 0.0, sub-window docs absent, intra-doc repeat alone " +
+      "is NOT cross-doc") {
+    val para = (1 to 32).map(i => s"boiler$i").mkString(" ")
+    val uniq1 = (1 to 32).map(i => s"alpha$i").mkString(" ")
+    val uniq2 = (1 to 32).map(i => s"beta$i").mkString(" ")
+    val selfRep = (1 to 32).map(i => s"gamma$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$para $uniq1"),          // 2 windows, 1 repeated (para in doc 2)
+      (2L, s"$uniq2 $para"),          // 2 windows, 1 repeated
+      (3L, (1 to 64).map(i => s"solo$i").mkString(" ")), // unique, 2 windows
+      (4L, s"$selfRep $selfRep"),     // intra-doc repeat only -> NOT repeated
+      (5L, "too short to window"))    // < 32 tokens -> absent
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedPassages(d, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0),
+      (4L, 2L, 0L, 0.0)))
+    // partitioning independence
+    val re = Dedup.repeatedPassages(d.repartition(7), col("doc_id"),
+        col("text"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("portableHash64 distribution: per-bit balance, low pairwise bit " +
       "correlation, and bounded bucket skew — the gate the whole " +
       "MinHash/SimHash/KMV family keys on (a md5-fold tweak that skews " +

@@ -275,6 +275,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"in-shard order needs the window:\n$p")
   }
 
+  test("q104_repeated_passages: JOIN-FREE — window fan-out is a pure map, " +
+      "cross-doc frequency rides one hash-keyed window, per-doc " +
+      "re-aggregation is the only other exchange") {
+    val p = plan("q104_repeated_passages")
+    assert(!p.contains("Join"), s"no join belongs in this pipeline:\n$p")
+    assert(p.contains("Window"), s"df must ride the hash window:\n$p")
+    val shuffles = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(shuffles <= 3,
+      s"expected (doc,h) agg + h window + doc agg exchanges only, got " +
+        s"$shuffles:\n$p")
+  }
+
   test("q102_incremental_dedup: cross-side joins are all equi-joins — " +
       "no cartesian product anywhere in the two-stage pipeline") {
     val p = plan("q102_incremental_dedup")
