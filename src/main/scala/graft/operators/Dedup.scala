@@ -77,13 +77,26 @@ object Dedup {
   }
 
   /** Portable 60-bit hash: the first 15 hex chars of md5, parsed base-16.
-    * Both engines spell it exactly — Spark `conv(substr(md5(x),1,15),16,10)`,
-    * DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` — so hash-keyed
-    * pipelines (MinHash signatures, SimHash bit votes) are oracle-checkable
-    * end to end. 15 hex chars = 60 bits keeps the value positive in a
-    * signed long with headroom for modular arithmetic.
+    * Both engines spell it exactly — Spark as the fused
+    * [[graft.functions.Md5FoldExpr]] (property-gated equal to
+    * `conv(substr(md5(x),1,15),16,10)`, whose per-row hex-string round
+    * trip was pure overhead on 12 M-row shingle relations), DuckDB
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` — so hash-keyed
+    * pipelines (MinHash signatures, SimHash bit votes) are
+    * oracle-checkable end to end. 15 hex chars = 60 bits keeps the value
+    * positive in a signed long with headroom for modular arithmetic.
     */
-  def portableHash64(c: Column): Column =
+  def portableHash64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    ExprBridge.column(graft.functions.Md5FoldExpr(
+      ExprBridge.expr(c.cast("binary"))))
+  }
+
+  /** The composed-builtin spelling of [[portableHash64]] — the
+    * property-test oracle for the fused expression (never used in a hot
+    * path).
+    */
+  private[graft] def portableHash64Composed(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Exact n-gram Jaccard pairs above a threshold, over shingles with
