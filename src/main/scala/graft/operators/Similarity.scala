@@ -527,6 +527,102 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ with an exact-rerank refine stage — the full production ANN
+    * read path: [[ivfPqSearch]] produces a `shortlist`-sized candidate
+    * set from quantized (lossy) ADC scores, then the TRUE cosine is
+    * recomputed for the shortlist only and the final top-`k` ranks on
+    * the exact score. Recall lost to PQ quantization is recovered at the
+    * cost of `shortlist` full-precision distances instead of |corpus|.
+    *
+    * Scale shape: the shortlist (≤ a few hundred ids) broadcasts into a
+    * broadcast-hash join against the corpus scan — the "fetch full
+    * vectors by id" point-lookup of a serving system, expressed as a
+    * filtered scan; zero corpus shuffle end to end (gated in
+    * `PlanShapeSpec`). Exact scores round to `roundDp` before ranking,
+    * ties break on vec_id, NULL (zero-norm) exact scores sort LAST on
+    * both engines — all pinned in the q105 oracle.
+    */
+  def ivfPqSearchRerank(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, query: DataFrame, dims: Int, m: Int,
+      nprobe: Int, shortlist: Int, k: Int, roundDp: Int = 4): DataFrame = {
+    require(shortlist >= k,
+      s"ivfPqSearchRerank: shortlist=$shortlist must be >= k=$k")
+    val short = ivfPqSearch(corpus, centroids, codebook, query,
+        dims, m, nprobe, shortlist, roundDp)
+      .select(col("vec_id"), col("score").as("adc_score"))
+    corpus.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("adc_score"),
+        round(cosine(col("embedding"), col("qv")), roundDp).as("score"))
+      .orderBy(col("score").desc_nulls_last, col("vec_id"))
+      .limit(k)
+  }
+
+  /** BATCH IVF-PQ search — top-`k` per query for a whole relation of
+    * queries `(query_id, qv)` in ONE pass over the index, the shape a
+    * retrieval service actually runs (the single-query [[ivfPqSearch]]
+    * re-walks the corpus per query; Q queries would mean Q scans).
+    *
+    * All per-query state broadcasts: probed cells are a |Q|·k_cells
+    * window (tiny), LUTs are |Q|·m·codes doubles packed one row per
+    * query. The corpus side stays the q98 pure map (assign + encode);
+    * candidates fan out only to the queries probing their cell, so
+    * candidate volume is Σ_q (nprobe/k_cells)·n — the same row count Q
+    * separate searches would score, now sharing one scan. The only
+    * shuffle is the per-query top-k window over CANDIDATES (never the
+    * corpus); per-query partitions are balanced by construction — every
+    * query probes `nprobe` cells of ~n/k_cells rows each. For one giant
+    * query set against one giant corpus, k_cells grows with n (the
+    * [[autoCells]] sizing), keeping each query's window partition at
+    * nprobe·targetCell rows. Fully deterministic → SQL-oracled as q106.
+    */
+  def ivfPqSearchBatch(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, dims: Int, m: Int,
+      nprobe: Int, k: Int, roundDp: Int = 4): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"ivfPqSearchBatch: m=$m must divide dims=$dims")
+    val ds = dims / m
+    val assigned = ivfAssign(corpus, centroids, roundDp,
+      keep = Seq("embedding"))
+    val codes = pqEncode(assigned, codebook, dims, m,
+      keep = Seq("centroid_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        round(cosine(col("cv"), col("qv")), roundDp).as("ccos"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    // per-query ADC table: one row per query holding the m×codes lookup
+    // arrays ordered by (sub_id, code_id) — the adcScore layout keyed by
+    // query_id so it joins instead of cross-joining
+    val lut = codebook.crossJoin(broadcast(
+        queries.select(col("query_id"),
+          col("qv").cast("array<double>").as("qv"))))
+      .select(col("query_id"), col("sub_id"), col("code_id"),
+        dot(slice(col("qv"), col("sub_id") * ds + 1, lit(ds)), col("sv"))
+          .as("lv"))
+      .groupBy(col("query_id"), col("sub_id"))
+      .agg(transform(sort_array(collect_list(struct(col("code_id"),
+        col("lv")))), e => e("lv")).as("lvs"))
+      .groupBy(col("query_id"))
+      .agg(transform(sort_array(collect_list(struct(col("sub_id"),
+        col("lvs")))), e => e("lvs")).as("lut"))
+    val wTopK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc_nulls_last, col("vec_id"))
+    codes.join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, larr) => element_at(larr, c.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x), roundDp).as("score"))
+      .withColumn("rank", row_number().over(wTopK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
   /** Cell count for [[semanticDedup]]'s seed clustering, sized so the
     * MEAN cell holds ~`targetCell` vectors: smallest power of two in
     * [8, 4096] with cells · targetCell ≥ n. Pure integer arithmetic (the

@@ -513,6 +513,174 @@ object VectorOps {
       ORDER BY score DESC, b.vec_id LIMIT 10"""),
     doc = "IVF-PQ ANN: probed cells prune rows, ADC lookups prune math")
 
+  // --- IVF-PQ + exact rerank: the production refine stage. Same index
+  //     walk as q98 but with a 25-deep ADC shortlist, then the TRUE
+  //     cosine recomputed for those 25 rows only; final top-10 ranks on
+  //     the exact score (4dp, vec_id ties, NULLs LAST on both engines).
+  //     The oracle is q98's CTE chain with the old final SELECT demoted
+  //     to a `short` CTE and one broadcast-sized rerank join on top.
+  private val q105_ivfpq_rerank = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      Similarity.ivfPqSearchRerank(emb.filter(col("vec_id") =!= 0),
+        centroids, cb, query, dims = 64, m = 8, nprobe = 3,
+        shortlist = 25, k = 10)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT x.vec_id, c.centroid_id,
+               CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(CAST(c.cv AS DOUBLE[]), y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                      CAST(c.cv AS DOUBLE[])), 4) END AS ccos
+        FROM embeddings x, c WHERE x.vec_id <> 0),
+      assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      probed AS (
+        SELECT centroid_id FROM c, q
+        ORDER BY CASE WHEN list_sum(list_transform(CAST(cv AS DOUBLE[]), y -> y * y)) = 0
+                        OR list_sum(list_transform(CAST(qv AS DOUBLE[]), y -> y * y)) = 0
+                      THEN NULL
+                      ELSE round(list_cosine_similarity(CAST(cv AS DOUBLE[]),
+                                                        CAST(qv AS DOUBLE[])), 4) END DESC,
+                 centroid_id
+        LIMIT 3),
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cb AS (SELECT j AS sub_id, vec_id AS code_id,
+               v[j*8 + 1 : j*8 + 8] AS sv
+             FROM e, js WHERE vec_id < 16),
+      cbn AS (SELECT sub_id, code_id, sv,
+                list_sum(list_transform(sv, x -> x * x)) AS c2 FROM cb),
+      subs AS (SELECT e.vec_id, j AS sub_id, v[j*8 + 1 : j*8 + 8] AS sub
+               FROM e, js WHERE e.vec_id <> 0),
+      best AS (SELECT s.vec_id, s.sub_id, c.code_id,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+            round(c.c2 - 2 * list_dot_product(s.sub, c.sv), 6),
+            c.code_id) AS rn
+        FROM subs s JOIN cbn c ON s.sub_id = c.sub_id),
+      qd AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+             WHERE vec_id = 0),
+      lut AS (SELECT c.sub_id, c.code_id,
+                list_dot_product(qv[c.sub_id*8 + 1 : c.sub_id*8 + 8],
+                  c.sv) AS lv
+              FROM cbn c, qd),
+      short AS (
+        SELECT b.vec_id, round(sum(l.lv), 4) AS adc_score
+        FROM best b
+        JOIN lut l ON b.sub_id = l.sub_id AND b.code_id = l.code_id
+        JOIN assigned a ON a.vec_id = b.vec_id
+        JOIN probed p ON p.centroid_id = a.centroid_id
+        WHERE b.rn = 1
+        GROUP BY b.vec_id
+        ORDER BY adc_score DESC, b.vec_id LIMIT 25)
+      SELECT s.vec_id, s.adc_score,
+             CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                    OR list_sum(list_transform(CAST(qd.qv AS DOUBLE[]), y -> y * y)) = 0
+                  THEN NULL
+                  ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                    CAST(qd.qv AS DOUBLE[])), 4) END AS score
+      FROM short s
+      JOIN embeddings x ON x.vec_id = s.vec_id, qd
+      ORDER BY score DESC NULLS LAST, s.vec_id LIMIT 10"""),
+    doc = "IVF-PQ + exact rerank: ADC shortlist, true-cosine refine top-k")
+
+  // --- BATCH IVF-PQ: top-10 per query for 3 queries in ONE index pass —
+  //     per-query probed cells and LUTs broadcast, candidates fan out to
+  //     the queries probing their cell, per-query window top-k. Corpus
+  //     rows 3+ are the index; rows 0-2 are the query batch.
+  private val q106_ivfpq_batch = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfPqSearchBatch(emb.filter(col("vec_id") >= 3),
+        centroids, cb, queries, dims = 64, m = 8, nprobe = 3, k = 10)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings WHERE vec_id < 8),
+      qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 3),
+      probed AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.query_id, c.centroid_id,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              CASE WHEN list_sum(list_transform(CAST(c.cv AS DOUBLE[]), y -> y * y)) = 0
+                     OR list_sum(list_transform(q.qv, y -> y * y)) = 0
+                   THEN NULL
+                   ELSE round(list_cosine_similarity(CAST(c.cv AS DOUBLE[]),
+                                                     q.qv), 4) END DESC,
+              c.centroid_id) AS rn
+          FROM qs q, c)
+        WHERE rn <= 3),
+      scored AS (
+        SELECT x.vec_id, c.centroid_id,
+               CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(CAST(c.cv AS DOUBLE[]), y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                      CAST(c.cv AS DOUBLE[])), 4) END AS ccos
+        FROM embeddings x, c WHERE x.vec_id >= 3),
+      assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cb AS (SELECT j AS sub_id, vec_id AS code_id,
+               v[j*8 + 1 : j*8 + 8] AS sv
+             FROM e, js WHERE vec_id < 16),
+      cbn AS (SELECT sub_id, code_id, sv,
+                list_sum(list_transform(sv, x -> x * x)) AS c2 FROM cb),
+      subs AS (SELECT e.vec_id, j AS sub_id, v[j*8 + 1 : j*8 + 8] AS sub
+               FROM e, js WHERE e.vec_id >= 3),
+      best AS (SELECT s.vec_id, s.sub_id, c.code_id,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+            round(c.c2 - 2 * list_dot_product(s.sub, c.sv), 6),
+            c.code_id) AS rn
+        FROM subs s JOIN cbn c ON s.sub_id = c.sub_id),
+      lut AS (SELECT q.query_id, c.sub_id, c.code_id,
+                list_dot_product(q.qv[c.sub_id*8 + 1 : c.sub_id*8 + 8],
+                  c.sv) AS lv
+              FROM cbn c, qs q),
+      cand AS (
+        SELECT p.query_id, b.vec_id, round(sum(l.lv), 4) AS score
+        FROM best b
+        JOIN assigned a ON a.vec_id = b.vec_id
+        JOIN probed p ON p.centroid_id = a.centroid_id
+        JOIN lut l ON l.query_id = p.query_id
+          AND l.sub_id = b.sub_id AND l.code_id = b.code_id
+        WHERE b.rn = 1
+        GROUP BY p.query_id, b.vec_id)
+      SELECT query_id, rank, vec_id, score FROM (
+        SELECT query_id, vec_id, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC NULLS LAST, vec_id) AS INTEGER) AS rank
+        FROM cand)
+      WHERE rank <= 10"""),
+    doc = "batch IVF-PQ: top-k for a query RELATION in one index pass")
+
   // --- SemDeDup-style semantic dedup: cluster the space (adaptive seed
   //     cell count, mean cell ~256), mark every vector with an
   //     above-threshold smaller-id neighbor in its own cell. Pairwise
@@ -575,5 +743,7 @@ object VectorOps {
     "q95_int8_quant" -> q95_int8_quant,
     "q96_pq_train" -> q96_pq_train,
     "q98_ivfpq_search" -> q98_ivfpq_search,
-    "q99_semdedup" -> q99_semdedup)
+    "q99_semdedup" -> q99_semdedup,
+    "q105_ivfpq_rerank" -> q105_ivfpq_rerank,
+    "q106_ivfpq_batch" -> q106_ivfpq_batch)
 }

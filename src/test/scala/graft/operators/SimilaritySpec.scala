@@ -447,6 +447,79 @@ class SimilaritySpec extends SparkSpec {
       "partial probe surfaced a vector from an unprobed cell")
   }
 
+  test("ivfPqSearchRerank: results come from the ADC shortlist, rank on " +
+      "the EXACT cosine, and a corpus-wide shortlist recovers exact top-k") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16).cache()
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val short = Similarity.ivfPqSearch(corpus, centroids, cb, query,
+        dims = 64, m = 8, nprobe = 3, k = 25)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val got = Similarity.ivfPqSearchRerank(corpus, centroids, cb, query,
+        dims = 64, m = 8, nprobe = 3, shortlist = 25, k = 10)
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 10)
+    assert(got.forall { case (id, _, _) => short(id) },
+      "rerank hit outside its own ADC shortlist")
+    // ranked by the exact score desc (NULLs absent in fixture), id ties
+    val scores = got.map(_._3)
+    assert(scores.sameElements(scores.sortBy(-_)), "not exact-score ranked")
+    // exact scores must equal the brute-force cosine for those ids
+    val brute = Similarity.topKForQuery(corpus, query, Int.MaxValue)
+      .select(col("vec_id"), round(col("cos"), 4).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.forall { case (id, _, s) => brute(id) == s },
+      "rerank score diverged from the brute-force cosine")
+    // degenerate check: probing ALL cells with a corpus-wide shortlist
+    // must reproduce the exact brute-force top-k (PQ loss fully refined)
+    val n = corpus.count().toInt
+    val full = Similarity.ivfPqSearchRerank(corpus, centroids, cb, query,
+        dims = 64, m = 8, nprobe = 8, shortlist = n, k = 10)
+      .as[(Long, Double, Double)].collect().map(r => (r._1, r._3))
+    val exact = brute.toSeq.sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(full.toSeq == exact,
+      s"full-shortlist rerank must equal exact top-k:\n${full.toSeq}\nvs\n$exact")
+  }
+
+  test("ivfPqSearchBatch: each query's slice equals the single-query " +
+      "ivfPqSearch, ranks are dense 1..k per query") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16).cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.ivfPqSearchBatch(corpus, centroids, cb, queries,
+        dims = 64, m = 8, nprobe = 3, k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    for (qid <- 0L to 2L) {
+      val single = Similarity.ivfPqSearch(corpus, centroids, cb,
+          emb.filter(col("vec_id") === qid)
+            .select(col("embedding").as("qv")),
+          dims = 64, m = 8, nprobe = 3, k = 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single,
+        s"batch slice for query $qid diverged:\n${batch(qid)}\nvs\n$single")
+      assert(batch(qid).length == 10)
+    }
+    // partitioning independence: the result set survives a reshuffle
+    val reshuffled = Similarity.ivfPqSearchBatch(
+        corpus.repartition(7, col("label")), centroids, cb, queries,
+        dims = 64, m = 8, nprobe = 3, k = 10)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(reshuffled == batch.flatMap { case (q, rs) =>
+      rs.zipWithIndex.map { case ((id, s), i) => (q, i + 1, id, s) }
+    }.toSet, "batch result must not depend on input partitioning")
+  }
+
   test("semanticDedup: dup iff an above-threshold smaller-id neighbor " +
       "shares the cell (brute-force replay); partitioning-independent") {
     val emb = Tables.embeddings(spark, sf()).cache()

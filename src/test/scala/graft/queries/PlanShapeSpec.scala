@@ -296,4 +296,46 @@ class PlanShapeSpec extends SparkSpec {
       s"every join must be keyed (band/bucket, fp, shh, doc):\n$p")
     assert(p.contains("LeftSemi"), s"exact stage must stay a semi join:\n$p")
   }
+
+  test("q105_ivfpq_rerank: shortlist broadcasts back into the corpus " +
+      "scan (BHJ on vec_id), fused top-k, corpus never shuffles") {
+    val p = plan("q105_ivfpq_rerank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k fusion:\n$p")
+    // the rerank fetch is the serving system's point-lookup: the
+    // shortlist must be the BUILD side of a broadcast-hash join keyed on
+    // vec_id, never a shuffle of the corpus
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("vec_id")),
+      s"expected broadcast vec_id rerank join:\n$p")
+    // same budget as q98 plus the shortlist's own TakeOrdered exchange —
+    // anything beyond means the CORPUS started shuffling
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 6,
+      s"corpus must not shuffle ($nonBroadcast shuffle exchanges):\n$p")
+  }
+
+  test("q106_ivfpq_batch: probed cells + per-query LUTs broadcast into " +
+      "the corpus map; the only data-bearing shuffle is the per-query " +
+      "top-k window over candidates") {
+    val p = plan("q106_ivfpq_batch")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    // candidate fan-out joins must be broadcast-hash (probed on
+    // centroid_id, lut on query_id), never shuffled corpus joins
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("centroid_id")),
+      s"probed-cell join must broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("query_id")),
+      s"LUT join must broadcast:\n$p")
+    // the top-k window partitions by query_id — candidates only
+    assert(p.contains("Window"), s"expected per-query top-k window:\n$p")
+    // budget: tiny-side builds (probe window, LUT packing) + ONE
+    // candidate exchange for the window; more means the corpus shuffled
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 7,
+      s"corpus must not shuffle ($nonBroadcast shuffle exchanges):\n$p")
+  }
 }
