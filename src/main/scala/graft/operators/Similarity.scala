@@ -569,12 +569,12 @@ object Similarity {
     * candidates fan out only to the queries probing their cell, so
     * candidate volume is Σ_q (nprobe/k_cells)·n — the same row count Q
     * separate searches would score, now sharing one scan. The only
-    * shuffle is the per-query top-k window over CANDIDATES (never the
-    * corpus); per-query partitions are balanced by construction — every
-    * query probes `nprobe` cells of ~n/k_cells rows each. For one giant
-    * query set against one giant corpus, k_cells grows with n (the
-    * [[autoCells]] sizing), keeping each query's window partition at
-    * nprobe·targetCell rows. Fully deterministic → SQL-oracled as q106.
+    * shuffle is the per-query top-k over CANDIDATES (never the corpus)
+    * — and that runs through [[TopK.perGroup]]'s bounded heap, so each
+    * input partition forwards AT MOST k rows per query into the shuffle
+    * and a hot query costs O(k) aggregation state instead of a
+    * sort-the-partition window. Fully deterministic → SQL-oracled as
+    * q106 (row_number form).
     */
   def ivfPqSearchBatch(corpus: DataFrame, centroids: DataFrame,
       codebook: DataFrame, queries: DataFrame, dims: Int, m: Int,
@@ -609,17 +609,16 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(transform(sort_array(collect_list(struct(col("sub_id"),
         col("lvs")))), e => e("lvs")).as("lut"))
-    val wTopK = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc_nulls_last, col("vec_id"))
-    codes.join(broadcast(probed), Seq("centroid_id"))
+    val scored = codes.join(broadcast(probed), Seq("centroid_id"))
       .join(broadcast(lut), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(aggregate(
           zip_with(col("codes"), col("lut"),
             (c, larr) => element_at(larr, c.cast("int") + 1)),
           lit(0.0), (acc, x) => acc + x), roundDp).as("score"))
-      .withColumn("rank", row_number().over(wTopK))
-      .filter(col("rank") <= k)
+    TopK.perGroup(scored, Seq("query_id"),
+        TopK.descByWithIdTieBreak(col("score"), col("vec_id")),
+        payload = Seq("vec_id", "score"), k = k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
   }
 

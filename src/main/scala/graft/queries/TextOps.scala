@@ -1035,6 +1035,29 @@ object TextOps {
     oracle = Some(incrementalOracleSql),
     doc = "incremental batch-vs-base dedup (exact fp + cross-side LSH verify)")
 
+  // --- bounded-heap per-group top-k: the 3 longest documents per
+  //     (lang, source) stratum — the "best exemplars per slice" pick a
+  //     curation pipeline runs before manual review. TopK.perGroup's
+  //     CollectTopK aggregate keeps O(k) state per group and forwards at
+  //     most k rows per group per input partition into the shuffle; the
+  //     row_number-window oracle is the semantic it replaces (that form
+  //     sorts every group member to keep 3).
+  private val q107_topk_pergroup = Q(
+    run = (s, d) =>
+      graft.operators.TopK.perGroup(Tables.documents(s, d),
+        Seq("lang", "source"),
+        graft.operators.TopK.descByWithIdTieBreak(
+          col("n_chars"), col("doc_id")),
+        payload = Seq("doc_id", "n_chars"), k = 3),
+    oracle = Some("""
+      SELECT lang, source, rank, doc_id, n_chars FROM (
+        SELECT lang, source, doc_id, n_chars,
+          CAST(row_number() OVER (PARTITION BY lang, source
+            ORDER BY n_chars DESC NULLS LAST, doc_id) AS INTEGER) AS rank
+        FROM documents)
+      WHERE rank <= 3"""),
+    doc = "bounded-heap top-k per (lang, source): O(k) state, no window sort")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1059,5 +1082,6 @@ object TextOps {
     "q101_shards" -> q101_shards,
     "q102_incremental_dedup" -> q102_incremental_dedup,
     "q103_range_shards" -> q103_range_shards,
-    "q104_repeated_passages" -> q104_repeated_passages)
+    "q104_repeated_passages" -> q104_repeated_passages,
+    "q107_topk_pergroup" -> q107_topk_pergroup)
 }

@@ -317,8 +317,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q106_ivfpq_batch: probed cells + per-query LUTs broadcast into " +
-      "the corpus map; the only data-bearing shuffle is the per-query " +
-      "top-k window over candidates") {
+      "the corpus map; the per-query top-k is the bounded-heap " +
+      "partial aggregate, never a candidate-sorting window") {
     val p = plan("q106_ivfpq_batch")
     assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
     // candidate fan-out joins must be broadcast-hash (probed on
@@ -329,13 +329,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("query_id")),
       s"LUT join must broadcast:\n$p")
-    // the top-k window partitions by query_id — candidates only
-    assert(p.contains("Window"), s"expected per-query top-k window:\n$p")
+    // the per-query top-k must be TopK.perGroup's bounded heap: map-side
+    // partial collect_top_k means the candidate shuffle carries <= k rows
+    // per query per partition (a window here would sort every candidate)
+    assert(p.contains("ObjectHashAggregate") && p.contains("collect_top_k"),
+      s"expected bounded-heap per-query top-k:\n$p")
+    assert(p.contains("partial_collect_top_k"),
+      s"expected MAP-SIDE partial top-k before the shuffle:\n$p")
     // budget: tiny-side builds (probe window, LUT packing) + ONE
-    // candidate exchange for the window; more means the corpus shuffled
+    // candidate exchange for the top-k agg; more means the corpus shuffled
     val nonBroadcast = p.linesIterator
       .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
     assert(nonBroadcast <= 7,
       s"corpus must not shuffle ($nonBroadcast shuffle exchanges):\n$p")
+  }
+
+  test("q107_topk_pergroup: bounded-heap per-group top-k — ONE exchange " +
+      "(the k-rows-per-group-per-partition aggregate shuffle), no Window, " +
+      "scan pruned to the 4 used columns") {
+    val p = plan("q107_topk_pergroup")
+    assert(p.contains("ObjectHashAggregate") &&
+      p.contains("partial_collect_top_k"),
+      s"expected map-side bounded-heap top-k:\n$p")
+    assert(!p.contains("Window"), s"must not fall back to a window:\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 1,
+      s"expected the single aggregate exchange ($nonBroadcast):\n$p")
+    assert(!p.contains("text#"), s"scan must not read the text column:\n$p")
   }
 }
