@@ -518,13 +518,17 @@ object TextOps {
   //     genuinely displace old ranks — the property mixture re-balancing
   //     jobs rely on.
   private val q87_priority_sample = Q(
+    // bottom-k per stratum rides TopK.perGroup's bounded heap: a hot
+    // language is O(k) aggregation state, not a one-partition sort of
+    // millions of md5 priorities (the row_number window this replaced —
+    // still the oracle's spelling, same rows)
     run = (s, d) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
-          col("doc_id"))
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
+      val pri = md5(col("doc_id").cast("string").cast("binary"))
+      graft.operators.TopK.perGroup(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("lang"), struct(pri.as("p"), col("doc_id").as("i")),
+          payload = Seq("doc_id"), k = 5, largest = false)
+        .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rk"))
     },
     oracle = Some("""
       SELECT doc_id, lang, rk FROM (
