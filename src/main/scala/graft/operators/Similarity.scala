@@ -622,6 +622,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
   }
 
+  /** Per-group element-wise MEAN embedding — the k-means M-step (and the
+    * trained-centroid feed for [[semanticDedup]] / [[ivfAssign]] at the
+    * scale where first-rows seeds stop being representative). Returns
+    * scalar rows (group, pos, centroid) — one per dimension.
+    *
+    * Determinism contract (what makes this hash-oracle-able): float
+    * sums are order-dependent AND `round(double, n)` itself diverges
+    * between engines on decimal-boundary doubles (Spark rounds the
+    * shortest decimal representation, DuckDB the binary expansion — the
+    * edge corpus caught 3/640 dims off by 1e-6). So each element is
+    * quantized in PURE double arithmetic — `floor(x·1e6 + 0.5)`, the
+    * [[quantize]] trick, bit-identical on any IEEE engine — summed
+    * exactly through DECIMAL(38,0), and the mean is the double division
+    * of exact integers: no decimal rounding step anywhere. NULL vectors
+    * contribute no rows; a NULL or NON-FINITE (NaN/±Inf) element is
+    * excluded per-dimension (an all-excluded dimension yields NULL);
+    * finite elements clamp into ±1e9 first — past that magnitude a 6dp
+    * mean is noise (real embeddings are unit-ish), the scaled value
+    * stays exactly representable (1e15 < 2^53), and the accumulator has
+    * ~1e23 rows of ANSI-overflow headroom. All replayed verbatim in the
+    * q108 oracle.
+    *
+    * Scale shape: posexplode fans each row into `dims` scalar rows, but
+    * map-side partial aggregation collapses them to (groups × dims)
+    * partials per partition before the one exchange — the corpus itself
+    * never shuffles.
+    */
+  def groupCentroids(emb: DataFrame, key: String): DataFrame = {
+    val x = col("col")
+    val qx = when(x.isNotNull && !isnan(x) &&
+        abs(x) =!= lit(Double.PositiveInfinity),
+      floor(least(greatest(x, lit(-1e9)), lit(1e9)) * lit(1e6) + lit(0.5)))
+    emb.filter(col("embedding").isNotNull)
+      .select(col(key), posexplode(col("embedding").cast("array<double>")))
+      .withColumn("__qx", qx)
+      .groupBy(col(key), col("pos"))
+      .agg(
+        sum(col("__qx").cast("decimal(38,0)")).as("__sx"),
+        count(col("__qx")).as("__nx"))
+      .select(col(key), col("pos").cast("int").as("pos"),
+        (col("__sx").cast("double") /
+          (col("__nx").cast("double") * lit(1e6))).as("centroid"))
+  }
+
   /** Cell count for [[semanticDedup]]'s seed clustering, sized so the
     * MEAN cell holds ~`targetCell` vectors: smallest power of two in
     * [8, 4096] with cells · targetCell ≥ n. Pure integer arithmetic (the

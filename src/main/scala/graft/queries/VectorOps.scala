@@ -681,6 +681,33 @@ object VectorOps {
       WHERE rank <= 10"""),
     doc = "batch IVF-PQ: top-k for a query RELATION in one index pass")
 
+  // --- per-label mean embedding (k-means M-step / trained-centroid
+  //     build): float sums are order-dependent and round(double, n)
+  //     itself splits engines on boundary doubles, so both engines
+  //     quantize in pure double math — floor(clamp(x)·1e6 + 0.5) — sum
+  //     the exact integers through DECIMAL(38,0), and divide in double.
+  //     Non-finite elements are excluded; finite ones clamp into ±1e9.
+  private val q108_label_centroids = Q(
+    run = (s, d) =>
+      Similarity.groupCentroids(Tables.embeddings(s, d), "label"),
+    oracle = Some("""
+      WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      x AS (
+        SELECT label, CAST(g - 1 AS INTEGER) AS pos,
+               CASE WHEN v[CAST(g AS INTEGER)] IS NOT NULL
+                      AND NOT isnan(v[CAST(g AS INTEGER)])
+                      AND NOT isinf(v[CAST(g AS INTEGER)])
+                    THEN floor(least(greatest(v[CAST(g AS INTEGER)],
+                                              -1e9), 1e9) * 1e6 + 0.5)
+               END AS qx
+        FROM e, unnest(generate_series(1, len(v))) AS t(g))
+      SELECT label, pos,
+             CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE)
+               / (count(qx) * 1e6) AS centroid
+      FROM x GROUP BY label, pos"""),
+    doc = "per-label mean embedding: exact integer sums, one tiny exchange")
+
   // --- SemDeDup-style semantic dedup: cluster the space (adaptive seed
   //     cell count, mean cell ~256), mark every vector with an
   //     above-threshold smaller-id neighbor in its own cell. Pairwise
@@ -745,5 +772,6 @@ object VectorOps {
     "q98_ivfpq_search" -> q98_ivfpq_search,
     "q99_semdedup" -> q99_semdedup,
     "q105_ivfpq_rerank" -> q105_ivfpq_rerank,
-    "q106_ivfpq_batch" -> q106_ivfpq_batch)
+    "q106_ivfpq_batch" -> q106_ivfpq_batch,
+    "q108_label_centroids" -> q108_label_centroids)
 }

@@ -520,6 +520,41 @@ class SimilaritySpec extends SparkSpec {
     }.toSet, "batch result must not depend on input partitioning")
   }
 
+  test("groupCentroids: partitioning-invariant (decimal-exact sums), " +
+      "matches a driver-side mean, singleton group = its own vector") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val base = Similarity.groupCentroids(emb, "label")
+      .as[(Int, Int, Option[Double])].collect().toSet
+    val reshuffled = Similarity
+      .groupCentroids(emb.repartition(11, col("vec_id")), "label")
+      .as[(Int, Int, Option[Double])].collect().toSet
+    assert(base == reshuffled,
+      "float-sum order leaked into the centroid (not decimal-exact)")
+    // driver replay for one label: quantize floor(x*1e6 + 0.5), exact
+    // integer sum, double division — the engine's exact contract
+    def quant(x: Double): Long =
+      math.floor(math.min(math.max(x, -1e9), 1e9) * 1e6 + 0.5).toLong
+    val rows = emb.filter(col("label") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    val dims = rows.head.length
+    val got = base.filter(_._1 == 0).toSeq.sortBy(_._2).map(_._3.get)
+    val want = (0 until dims).map { p =>
+      val s = rows.map(r => BigInt(quant(r(p)))).sum
+      s.toDouble / (rows.length.toDouble * 1e6)
+    }
+    assert(got.size == dims)
+    assert(got == want, s"centroid replay mismatch:\n$got\nvs\n$want")
+    // singleton group: centroid == the vector quantized at 6dp
+    val single = emb.filter(col("vec_id") === 3)
+      .withColumn("label", lit(999))
+    val sc = Similarity.groupCentroids(single, "label")
+      .as[(Int, Int, Option[Double])].collect().sortBy(_._2).map(_._3.get)
+    val sv = single.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].head().map(x => quant(x) / 1e6)
+    assert(sc.toSeq == sv.toSeq)
+  }
+
   test("semanticDedup: dup iff an above-threshold smaller-id neighbor " +
       "shares the cell (brute-force replay); partitioning-independent") {
     val emb = Tables.embeddings(spark, sf()).cache()

@@ -358,4 +358,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the single aggregate exchange ($nonBroadcast):\n$p")
     assert(!p.contains("text#"), s"scan must not read the text column:\n$p")
   }
+
+  test("q108_label_centroids: ONE exchange — the (label, pos) partials; " +
+      "map-side partial aggregation collapses the posexplode fan-out " +
+      "before the shuffle") {
+    val p = plan("q108_label_centroids")
+    assert(p.contains("partial_"),
+      s"expected map-side partial aggregation:\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 1,
+      s"expected the single partials exchange ($nonBroadcast):\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
 }
