@@ -666,6 +666,37 @@ object Similarity {
           (col("__nx").cast("double") * lit(1e6))).as("centroid"))
   }
 
+  /** One k-MEANS Lloyd iteration over the embedding corpus: assign every
+    * vector to its nearest centroid ([[ivfAssign]], cosine, 4dp, id
+    * tie-breaks) and move each centroid to the element-wise MEAN of its
+    * members ([[groupCentroids]]' engine-exact quantized accumulation).
+    * Centroids with no members keep their seed position (left join +
+    * coalesce — the q96 k-medians convention). Returns exploded scalar
+    * rows (centroid_id, pos, w).
+    *
+    * Scale shape: assignment is a pure map (broadcast centroid struct),
+    * the mean is one (centroid_id, pos)-partials exchange, and the
+    * seed/means join is centroids×dims rows on both sides — nothing
+    * corpus-sized ever shuffles. Iterating = feeding the re-assembled
+    * centroids back in; each iteration is one tiny exchange.
+    */
+  def kmeansStep(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = ivfAssign(emb, centroids, roundDp = 4,
+      keep = Seq("embedding"))
+    val means = groupCentroids(
+        assigned.select(col("centroid_id"), col("embedding")),
+        "centroid_id")
+      .select(col("centroid_id"), col("pos"), col("centroid").as("__m"))
+    val seed = centroids
+      .select(col("centroid_id"),
+        posexplode(col("cv").cast("array<double>")))
+      .select(col("centroid_id"), col("pos").cast("int").as("pos"),
+        col("col").as("__w0"))
+    seed.join(means, Seq("centroid_id", "pos"), "left")
+      .select(col("centroid_id"), col("pos"),
+        coalesce(col("__m"), col("__w0")).as("w"))
+  }
+
   /** Cell count for [[semanticDedup]]'s seed clustering, sized so the
     * MEAN cell holds ~`targetCell` vectors: smallest power of two in
     * [8, 4096] with cells · targetCell ≥ n. Pure integer arithmetic (the

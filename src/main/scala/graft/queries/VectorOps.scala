@@ -708,6 +708,62 @@ object VectorOps {
       FROM x GROUP BY label, pos"""),
     doc = "per-label mean embedding: exact integer sums, one tiny exchange")
 
+  // --- one k-MEANS Lloyd iteration (assign + mean move): composes the
+  //     q84/q98 assignment contract (cosine 4dp, ccos DESC + centroid_id
+  //     ties) with the q108 mean contract (pure-double quantize, exact
+  //     decimal sums); empty cells keep their seed (q96 convention).
+  private val q109_kmeans_step = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.kmeansStep(emb, centroids)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT x.vec_id, c.centroid_id,
+               CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(c.cv, y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                      c.cv), 4) END AS ccos
+        FROM embeddings x, c),
+      assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      x AS (
+        SELECT a.centroid_id, CAST(g - 1 AS INTEGER) AS pos,
+               CASE WHEN e.v[CAST(g AS INTEGER)] IS NOT NULL
+                      AND NOT isnan(e.v[CAST(g AS INTEGER)])
+                      AND NOT isinf(e.v[CAST(g AS INTEGER)])
+                    THEN floor(least(greatest(e.v[CAST(g AS INTEGER)],
+                                              -1e9), 1e9) * 1e6 + 0.5)
+               END AS qx
+        FROM assigned a
+        JOIN e ON e.vec_id = a.vec_id,
+        unnest(generate_series(1, len(e.v))) AS t(g)),
+      means AS (
+        SELECT centroid_id, pos,
+               CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE)
+                 / (count(qx) * 1e6) AS m
+        FROM x GROUP BY centroid_id, pos),
+      seed AS (
+        SELECT centroid_id, CAST(g - 1 AS INTEGER) AS pos,
+               cv[CAST(g AS INTEGER)] AS w0
+        FROM c, unnest(generate_series(1, len(cv))) AS t(g))
+      SELECT s.centroid_id, s.pos, coalesce(m.m, s.w0) AS w
+      FROM seed s
+      LEFT JOIN means m ON m.centroid_id = s.centroid_id
+        AND m.pos = s.pos"""),
+    doc = "k-means Lloyd iteration: map-only assign, exact-sum mean move")
+
   // --- SemDeDup-style semantic dedup: cluster the space (adaptive seed
   //     cell count, mean cell ~256), mark every vector with an
   //     above-threshold smaller-id neighbor in its own cell. Pairwise
@@ -773,5 +829,6 @@ object VectorOps {
     "q99_semdedup" -> q99_semdedup,
     "q105_ivfpq_rerank" -> q105_ivfpq_rerank,
     "q106_ivfpq_batch" -> q106_ivfpq_batch,
-    "q108_label_centroids" -> q108_label_centroids)
+    "q108_label_centroids" -> q108_label_centroids,
+    "q109_kmeans_step" -> q109_kmeans_step)
 }

@@ -555,6 +555,43 @@ class SimilaritySpec extends SparkSpec {
     assert(sc.toSeq == sv.toSeq)
   }
 
+  test("kmeansStep: members' quantized mean moves the centroid, a " +
+      "duplicate (higher-id, member-less) centroid keeps its seed") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    // centroid 100 duplicates centroid 0 exactly: cosine ties always
+    // break to the smaller id, so 100 gets no members and must keep
+    // its seed coordinates verbatim
+    val seedBase = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(100L).as("centroid_id"), col("embedding").as("cv"))
+    val seeds = seedBase.unionByName(dup)
+    val stepped = Similarity.kmeansStep(emb, seeds)
+      .as[(Long, Int, Double)].collect()
+    val byCid = stepped.groupBy(_._1)
+    assert(byCid.keySet == Set(0L, 1L, 2L, 3L, 100L))
+    val dupSeed = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+    val dupOut = byCid(100L).sortBy(_._2).map(_._3).toSeq
+    assert(dupOut == dupSeed.toSeq,
+      "member-less duplicate centroid must keep its seed verbatim")
+    // centroid 1's output = quantized mean of its assigned members
+    val assigned = Similarity.ivfAssign(emb, seeds, roundDp = 4)
+      .select(col("vec_id"), col("centroid_id")).as[(Long, Long)]
+      .collect().filter(_._2 == 1L).map(_._1).toSet
+    assert(assigned.nonEmpty)
+    val members = emb.filter(col("vec_id").isInCollection(assigned))
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+      .collect()
+    def quant(x: Double): Long =
+      math.floor(math.min(math.max(x, -1e9), 1e9) * 1e6 + 0.5).toLong
+    val want = (0 until members.head.length).map { p =>
+      members.map(r => BigInt(quant(r(p)))).sum.toDouble /
+        (members.length.toDouble * 1e6)
+    }
+    assert(byCid(1L).sortBy(_._2).map(_._3).toSeq == want)
+  }
+
   test("semanticDedup: dup iff an above-threshold smaller-id neighbor " +
       "shares the cell (brute-force replay); partitioning-independent") {
     val emb = Tables.embeddings(spark, sf()).cache()

@@ -371,4 +371,21 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the single partials exchange ($nonBroadcast):\n$p")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
+
+  test("q109_kmeans_step: window-free map assignment, one partials " +
+      "exchange for the means, tiny seed/means join — the corpus never " +
+      "shuffles") {
+    val p = plan("q109_kmeans_step")
+    assert(!p.contains("Window"),
+      s"assignment must stay the array_max map, never a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partial mean aggregation:\n$p")
+    // means partials (1) + at most the centroids×dims seed/means join
+    // sides (2) — anything more means the corpus shuffled
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 3,
+      s"corpus must not shuffle ($nonBroadcast shuffle exchanges):\n$p")
+  }
 }
