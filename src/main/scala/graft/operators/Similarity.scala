@@ -697,6 +697,18 @@ object Similarity {
         coalesce(col("__m"), col("__w0")).as("w"))
   }
 
+  /** Re-assemble [[kmeansStep]]'s exploded (centroid_id, pos, w) rows
+    * into (centroid_id, cv: array<double>) — the shape [[ivfAssign]] /
+    * [[semanticDedup]] / [[ivfPqSearch]] consume, so trained centroids
+    * feed straight back into the next iteration or the downstream
+    * operator. collect_list is bounded by `dims` per centroid (not
+    * corpus-sized) and the sort key (pos) makes assembly deterministic.
+    */
+  def assembleCentroids(stepped: DataFrame): DataFrame =
+    stepped.groupBy(col("centroid_id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"),
+        col("w")))), e => e("w")).as("cv"))
+
   /** Cell count for [[semanticDedup]]'s seed clustering, sized so the
     * MEAN cell holds ~`targetCell` vectors: smallest power of two in
     * [8, 4096] with cells · targetCell ≥ n. Pure integer arithmetic (the

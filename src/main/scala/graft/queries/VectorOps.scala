@@ -764,6 +764,100 @@ object VectorOps {
         AND m.pos = s.pos"""),
     doc = "k-means Lloyd iteration: map-only assign, exact-sum mean move")
 
+  // --- SemDeDup on TRAINED centroids: adaptive seed count (q99's params
+  //     contract) → one q109 Lloyd iteration → cell-local semantic dedup
+  //     against the MOVED centroids. The full train-then-dedup read path,
+  //     hash-oracled end to end by composing the three proven CTE chains.
+  private val q110_semdedup_trained = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val k = Similarity.autoCells(emb.count())
+      val seeds = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val trained =
+        Similarity.assembleCentroids(Similarity.kmeansStep(emb, seeds))
+      Similarity.semanticDedup(emb, trained, threshold = 0.4)
+    },
+    oracle = Some("""
+      WITH params AS (
+        SELECT coalesce(min(t.c), 4096) AS k
+        FROM (VALUES (8),(16),(32),(64),(128),(256),(512),(1024),(2048),
+                     (4096)) t(c),
+             (SELECT count(*) AS n FROM embeddings) n
+        WHERE CAST(t.c AS BIGINT) * 256 >= n.n),
+      c0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings, params WHERE vec_id < params.k),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+      scored0 AS (
+        SELECT x.vec_id, c.centroid_id,
+               CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(c.cv, y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                      c.cv), 4) END AS ccos
+        FROM embeddings x, c0 c),
+      assigned0 AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, centroid_id) AS rn
+              FROM scored0)
+        WHERE rn = 1),
+      xq AS (
+        SELECT a.centroid_id, CAST(g - 1 AS INTEGER) AS pos,
+               CASE WHEN e.v[CAST(g AS INTEGER)] IS NOT NULL
+                      AND NOT isnan(e.v[CAST(g AS INTEGER)])
+                      AND NOT isinf(e.v[CAST(g AS INTEGER)])
+                    THEN floor(least(greatest(e.v[CAST(g AS INTEGER)],
+                                              -1e9), 1e9) * 1e6 + 0.5)
+               END AS qx
+        FROM assigned0 a
+        JOIN e ON e.vec_id = a.vec_id,
+        unnest(generate_series(1, len(e.v))) AS t(g)),
+      means AS (
+        SELECT centroid_id, pos,
+               CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE)
+                 / (count(qx) * 1e6) AS m
+        FROM xq GROUP BY centroid_id, pos),
+      seed AS (
+        SELECT centroid_id, CAST(g - 1 AS INTEGER) AS pos,
+               cv[CAST(g AS INTEGER)] AS w0
+        FROM c0, unnest(generate_series(1, len(cv))) AS t(g)),
+      trained AS (
+        SELECT s.centroid_id, list(coalesce(m.m, s.w0) ORDER BY s.pos)
+                 AS cv
+        FROM seed s
+        LEFT JOIN means m ON m.centroid_id = s.centroid_id
+          AND m.pos = s.pos
+        GROUP BY s.centroid_id),
+      scored AS (
+        SELECT e2.vec_id, t.centroid_id, CAST(e2.embedding AS DOUBLE[]) AS v,
+               CASE WHEN list_sum(list_transform(CAST(e2.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(t.cv, y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+                                                      t.cv), 4) END AS cos
+        FROM embeddings e2, trained t),
+      assigned AS (
+        SELECT vec_id, centroid_id, v
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE CASE WHEN list_sum(list_transform(a.v, y -> y * y)) = 0
+                     OR list_sum(list_transform(b.v, y -> y * y)) = 0
+                   THEN NULL
+                   ELSE round(list_cosine_similarity(a.v, b.v), 4) END
+              >= 0.4)
+      SELECT a.vec_id, a.centroid_id,
+             (d.vec_id IS NOT NULL) AS is_dup
+      FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""),
+    doc = "train-then-dedup: one Lloyd iteration, SemDeDup on moved cells")
+
   // --- SemDeDup-style semantic dedup: cluster the space (adaptive seed
   //     cell count, mean cell ~256), mark every vector with an
   //     above-threshold smaller-id neighbor in its own cell. Pairwise
@@ -830,5 +924,6 @@ object VectorOps {
     "q105_ivfpq_rerank" -> q105_ivfpq_rerank,
     "q106_ivfpq_batch" -> q106_ivfpq_batch,
     "q108_label_centroids" -> q108_label_centroids,
-    "q109_kmeans_step" -> q109_kmeans_step)
+    "q109_kmeans_step" -> q109_kmeans_step,
+    "q110_semdedup_trained" -> q110_semdedup_trained)
 }

@@ -592,6 +592,29 @@ class SimilaritySpec extends SparkSpec {
     assert(byCid(1L).sortBy(_._2).map(_._3).toSeq == want)
   }
 
+  test("assembleCentroids round-trips kmeansStep into ivfAssign's input " +
+      "shape; trained dedup still partitions the whole corpus") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val stepped = Similarity.kmeansStep(emb, seeds).cache()
+    val dims = stepped.groupBy(col("centroid_id")).count()
+      .select(max(col("count"))).as[Long].head()
+    val trained = Similarity.assembleCentroids(stepped)
+    val arr = trained.select(col("centroid_id"), size(col("cv")).as("d"))
+      .as[(Long, Int)].collect()
+    assert(arr.length == 8 && arr.forall(_._2 == dims.toInt),
+      "every trained centroid must re-assemble to the full dimension")
+    // the assembled relation drops straight into semanticDedup and the
+    // flags still cover every corpus row exactly once
+    val flags = Similarity.semanticDedup(emb, trained, threshold = 0.4)
+    assert(flags.count() == emb.count())
+    assert(flags.select(col("vec_id")).distinct().count() == emb.count())
+    // cached `stepped` IS q109's subtree — leave it cached and the
+    // PlanShapeSpec exchange-count gate sees an InMemoryRelation plan
+    stepped.unpersist()
+  }
+
   test("semanticDedup: dup iff an above-threshold smaller-id neighbor " +
       "shares the cell (brute-force replay); partitioning-independent") {
     val emb = Tables.embeddings(spark, sf()).cache()

@@ -388,4 +388,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(nonBroadcast <= 3,
       s"corpus must not shuffle ($nonBroadcast shuffle exchanges):\n$p")
   }
+
+  test("q110_semdedup_trained: trained-centroid dedup keeps q99's shape " +
+      "— cell-keyed equi pair join, no cartesian, window-free corpus " +
+      "assignment (the only windows rank nothing corpus-sized)") {
+    val p = plan("q110_semdedup_trained")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("centroid_id")),
+      s"expected a centroid_id-keyed pair join:\n$p")
+    assert(!p.contains("Window"),
+      s"assignment must stay the array_max map on both passes:\n$p")
+  }
 }
