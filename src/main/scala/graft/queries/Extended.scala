@@ -153,12 +153,20 @@ object Extended {
 
   // --- INTERSECT set op (q21 covers EXCEPT, q22 UNION).
   private val q60_intersect = Q(
+    // INTERSECT as a grouped both-branches presence test: one scan and
+    // one shuffle instead of two scans + dedup exchanges + a semi join
+    // (the q21 rewrite; INTERSECT's NULL-equality matches GROUP BY's)
     run = (s, d) => {
       val o = Tables.orders(s, d)
-      o.filter(col("o_orderstatus") === "F")
+      o.filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("o_orderstatus") === "F", 1).otherwise(0))
+            .as("__f"),
+          max(when(col("o_orderstatus") === "O", 1).otherwise(0))
+            .as("__o"))
+        .filter(col("__f") === 1 && col("__o") === 1)
         .select(col("o_custkey"))
-        .intersect(o.filter(col("o_orderstatus") === "O")
-          .select(col("o_custkey")))
     },
     oracle = Some("""
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

@@ -455,12 +455,21 @@ object Relational {
 
   // --- SO1 EXCEPT complement (DiabetesSQL.ipynb:3223)
   private val q21_except = Q(
+    // EXCEPT of two distinct scans = two scans + dedup exchanges + an
+    // anti join; the same set is ONE scan + ONE shuffle as a grouped
+    // presence test (max-flag per branch) — NULL keys group the same
+    // way EXCEPT compares them, so semantics are identical
     run = (s, d) => {
       val e = Tables.events(s, d)
-      e.filter(col("event_type") === "click").select(col("user_id")).distinct()
-        .except(
-          e.filter(col("event_type") === "purchase").select(col("user_id"))
-            .distinct())
+      e.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0))
+            .as("__c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("__p"))
+        .filter(col("__c") === 1 && col("__p") === 0)
+        .select(col("user_id"))
     },
     oracle = Some("""
       SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

@@ -40,6 +40,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q13_anti").contains("LeftAnti"))
   }
 
+  test("q21_except / q60_intersect: set ops run as ONE-scan grouped " +
+      "presence tests — one exchange, pushed branch filter, no join") {
+    for (q <- Seq("q21_except", "q60_intersect")) {
+      val p = plan(q)
+      val nonBroadcast = p.linesIterator
+        .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+      assert(nonBroadcast <= 1,
+        s"$q: expected the single aggregate exchange ($nonBroadcast):\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(p.contains("PushedFilters: [") && p.contains("In("),
+        s"$q: branch membership filter must reach the scan:\n$p")
+    }
+  }
+
   test("q17_topk: sort+limit fuses to TakeOrderedAndProject " +
       "(no global sort)") {
     val p = plan("q17_topk")
