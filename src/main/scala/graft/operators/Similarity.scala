@@ -697,6 +697,40 @@ object Similarity {
         coalesce(col("__m"), col("__w0")).as("w"))
   }
 
+  /** [[ivfPqSearchBatch]] + exact rerank — the batch serving path end to
+    * end: a `shortlist`-deep ADC pass per query, then the TRUE cosine
+    * recomputed for each query's shortlist only and the final top-`k`
+    * ranked exactly ([[ivfPqSearchRerank]]'s refine, per query).
+    *
+    * The (query_id, vec_id) shortlist is |Q|·shortlist rows — broadcast
+    * into the corpus scan for the vector fetch (point-lookup join on
+    * vec_id), then each candidate scores against ITS OWN query's vector
+    * via a broadcast equi-join on query_id. Per-query exact top-k runs
+    * on [[TopK.perGroup]]'s bounded heap over |Q|·shortlist rows. The
+    * corpus never shuffles; NULL (zero-norm) exact scores rank last.
+    */
+  def ivfPqSearchBatchRerank(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, dims: Int, m: Int,
+      nprobe: Int, shortlist: Int, k: Int,
+      roundDp: Int = 4): DataFrame = {
+    require(shortlist >= k,
+      s"ivfPqSearchBatchRerank: shortlist=$shortlist must be >= k=$k")
+    val short = ivfPqSearchBatch(corpus, centroids, codebook, queries,
+        dims, m, nprobe, shortlist, roundDp)
+      .select(col("query_id"), col("vec_id"),
+        col("score").as("adc_score"))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("adc_score"),
+        round(cosine(col("embedding"), col("qv")), roundDp).as("score"))
+    TopK.perGroup(scored, Seq("query_id"),
+        TopK.descByWithIdTieBreak(col("score"), col("vec_id")),
+        payload = Seq("vec_id", "adc_score", "score"), k = k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("adc_score"), col("score"))
+  }
+
   /** Re-assemble [[kmeansStep]]'s exploded (centroid_id, pos, w) rows
     * into (centroid_id, cv: array<double>) — the shape [[ivfAssign]] /
     * [[semanticDedup]] / [[ivfPqSearch]] consume, so trained centroids

@@ -681,6 +681,108 @@ object VectorOps {
       WHERE rank <= 10"""),
     doc = "batch IVF-PQ: top-k for a query RELATION in one index pass")
 
+  // --- batch IVF-PQ + exact rerank: q106's 25-deep per-query ADC
+  //     shortlist, then each query's candidates re-scored on the true
+  //     cosine (broadcast vector fetch + per-query bounded-heap top-10).
+  //     The batch analog of q105, ranked on exact scores end to end.
+  private val q111_ivfpq_batch_rerank = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfPqSearchBatchRerank(emb.filter(col("vec_id") >= 3),
+        centroids, cb, queries, dims = 64, m = 8, nprobe = 3,
+        shortlist = 25, k = 10)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings WHERE vec_id < 8),
+      qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 3),
+      probed AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT q.query_id, c.centroid_id,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              CASE WHEN list_sum(list_transform(CAST(c.cv AS DOUBLE[]), y -> y * y)) = 0
+                     OR list_sum(list_transform(q.qv, y -> y * y)) = 0
+                   THEN NULL
+                   ELSE round(list_cosine_similarity(CAST(c.cv AS DOUBLE[]),
+                                                     q.qv), 4) END DESC,
+              c.centroid_id) AS rn
+          FROM qs q, c)
+        WHERE rn <= 3),
+      scored AS (
+        SELECT x.vec_id, c.centroid_id,
+               CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(CAST(c.cv AS DOUBLE[]), y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                      CAST(c.cv AS DOUBLE[])), 4) END AS ccos
+        FROM embeddings x, c WHERE x.vec_id >= 3),
+      assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, centroid_id) AS rn
+              FROM scored)
+        WHERE rn = 1),
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cb AS (SELECT j AS sub_id, vec_id AS code_id,
+               v[j*8 + 1 : j*8 + 8] AS sv
+             FROM e, js WHERE vec_id < 16),
+      cbn AS (SELECT sub_id, code_id, sv,
+                list_sum(list_transform(sv, x -> x * x)) AS c2 FROM cb),
+      subs AS (SELECT e.vec_id, j AS sub_id, v[j*8 + 1 : j*8 + 8] AS sub
+               FROM e, js WHERE e.vec_id >= 3),
+      best AS (SELECT s.vec_id, s.sub_id, c.code_id,
+          row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+            round(c.c2 - 2 * list_dot_product(s.sub, c.sv), 6),
+            c.code_id) AS rn
+        FROM subs s JOIN cbn c ON s.sub_id = c.sub_id),
+      lut AS (SELECT q.query_id, c.sub_id, c.code_id,
+                list_dot_product(q.qv[c.sub_id*8 + 1 : c.sub_id*8 + 8],
+                  c.sv) AS lv
+              FROM cbn c, qs q),
+      cand AS (
+        SELECT p.query_id, b.vec_id, round(sum(l.lv), 4) AS score
+        FROM best b
+        JOIN assigned a ON a.vec_id = b.vec_id
+        JOIN probed p ON p.centroid_id = a.centroid_id
+        JOIN lut l ON l.query_id = p.query_id
+          AND l.sub_id = b.sub_id AND l.code_id = b.code_id
+        WHERE b.rn = 1
+        GROUP BY p.query_id, b.vec_id),
+      short AS (
+        SELECT query_id, vec_id, score AS adc_score FROM (
+          SELECT query_id, vec_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC NULLS LAST, vec_id) AS rn
+          FROM cand)
+        WHERE rn <= 25)
+      SELECT query_id, rank, vec_id, adc_score, score FROM (
+        SELECT s.query_id, s.vec_id, s.adc_score,
+               CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(q.qv, y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                      q.qv), 4) END AS score,
+               CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY
+                 CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                        OR list_sum(list_transform(q.qv, y -> y * y)) = 0
+                      THEN NULL
+                      ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                        q.qv), 4) END DESC NULLS LAST,
+                 s.vec_id) AS INTEGER) AS rank
+        FROM short s
+        JOIN embeddings x ON x.vec_id = s.vec_id
+        JOIN qs q ON q.query_id = s.query_id)
+      WHERE rank <= 10"""),
+    doc = "batch IVF-PQ + exact rerank: per-query refine on true cosines")
+
   // --- per-label mean embedding (k-means M-step / trained-centroid
   //     build): float sums are order-dependent and round(double, n)
   //     itself splits engines on boundary doubles, so both engines
@@ -925,5 +1027,6 @@ object VectorOps {
     "q106_ivfpq_batch" -> q106_ivfpq_batch,
     "q108_label_centroids" -> q108_label_centroids,
     "q109_kmeans_step" -> q109_kmeans_step,
-    "q110_semdedup_trained" -> q110_semdedup_trained)
+    "q110_semdedup_trained" -> q110_semdedup_trained,
+    "q111_ivfpq_batch_rerank" -> q111_ivfpq_batch_rerank)
 }

@@ -592,6 +592,33 @@ class SimilaritySpec extends SparkSpec {
     assert(byCid(1L).sortBy(_._2).map(_._3).toSeq == want)
   }
 
+  test("ivfPqSearchBatchRerank: each query's slice equals the " +
+      "single-query ivfPqSearchRerank") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val cb = Similarity.pqCodebook(emb, dims = 64, m = 8, codes = 16).cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.ivfPqSearchBatchRerank(corpus, centroids, cb,
+        queries, dims = 64, m = 8, nprobe = 3, shortlist = 25, k = 10)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq }
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    for (qid <- 0L to 2L) {
+      val single = Similarity.ivfPqSearchRerank(corpus, centroids, cb,
+          emb.filter(col("vec_id") === qid)
+            .select(col("embedding").as("qv")),
+          dims = 64, m = 8, nprobe = 3, shortlist = 25, k = 10)
+        .as[(Long, Double, Double)].collect().toSeq
+      assert(batch(qid) == single,
+        s"batch rerank slice for query $qid diverged:\n${batch(qid)}" +
+          s"\nvs\n$single")
+    }
+  }
+
   test("assembleCentroids round-trips kmeansStep into ivfAssign's input " +
       "shape; trained dedup still partitions the whole corpus") {
     val emb = Tables.embeddings(spark, sf()).cache()

@@ -358,6 +358,18 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus must not shuffle ($nonBroadcast shuffle exchanges):\n$p")
   }
 
+  test("q111_ivfpq_batch_rerank: shortlist + queries broadcast into the " +
+      "vector fetch, per-query exact top-k on the bounded heap — the " +
+      "corpus never shuffles") {
+    val p = plan("q111_ivfpq_batch_rerank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("vec_id")),
+      s"vector fetch must broadcast the shortlist:\n$p")
+    assert(p.contains("partial_collect_top_k"),
+      s"expected bounded-heap per-query exact top-k:\n$p")
+  }
+
   test("q107_topk_pergroup: bounded-heap per-group top-k — ONE exchange " +
       "(the k-rows-per-group-per-partition aggregate shuffle), no Window, " +
       "scan pruned to the 4 used columns") {
