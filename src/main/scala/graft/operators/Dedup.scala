@@ -21,24 +21,37 @@ object Dedup {
 
   /** Exact duplicates: rows sharing md5(text). Keeps the minimum-id row per
     * group (`is_kept`), reports group size.
+    *
+    * min-id + size come from an AGGREGATE, not a window: `row_number`
+    * over the fp partitioning SORTS every group in one task — a
+    * boilerplate mega-group (the exact thing a dedup op exists to find)
+    * becomes the straggler. The aggregate's map-side partials keep one
+    * (min, count) pair per fp per partition, and the flag join re-keys
+    * without sorting anything.
     */
-  def exact(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val h = md5(text).as("fp")
-    val w = Window.partitionBy(col("fp")).orderBy(id)
-    docs.select(id.as("doc_id"), h)
-      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .withColumn("is_kept", row_number().over(w) === 1)
-  }
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    keepMinId(docs.select(id.as("doc_id"), md5(text).as("fp")))
 
   /** Normalized (token-bag) duplicates: same pipeline keyed on the sorted
     * token multiset hash — catches word-order shuffles.
     */
-  def normalized(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val h = TextAnalysis.normalizedHash(text).as("fp")
-    val w = Window.partitionBy(col("fp")).orderBy(id)
-    docs.select(id.as("doc_id"), h)
-      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .withColumn("is_kept", row_number().over(w) === 1)
+  def normalized(docs: DataFrame, id: Column, text: Column): DataFrame =
+    keepMinId(docs.select(id.as("doc_id"),
+      TextAnalysis.normalizedHash(text).as("fp")))
+
+  /** (doc_id, fp) → + (group_n, is_kept = id == min id of the fp group),
+    * sort-free (see [[exact]]). The flag join is NULL-SAFE (`<=>`): a
+    * NULL fp (null text) forms one group exactly as the window's
+    * partitionBy did — a plain equi-join would silently drop those rows.
+    */
+  private def keepMinId(keyed: DataFrame): DataFrame = {
+    val stats = keyed.groupBy(col("fp")).agg(
+      min(col("doc_id")).as("__min_id"), count(lit(1)).as("group_n"))
+    keyed.alias("k")
+      .join(stats.alias("s"), col("k.fp") <=> col("s.fp"))
+      .select(col("k.doc_id").as("doc_id"), col("k.fp").as("fp"),
+        col("s.group_n").as("group_n"),
+        (col("k.doc_id") === col("s.__min_id")).as("is_kept"))
   }
 
   /** The (doc_id, shingle) relation: distinct character shingles per doc.
@@ -926,8 +939,16 @@ object Dedup {
 
   /** Survivor selection: keep the best-quality member of each component
     * (ties broken by lowest id) — the decision step of a pretraining dedup
-    * pipeline (drop near-dups, keep the highest-quality copy). One window
-    * over the component partitioning; isolated nodes survive trivially.
+    * pipeline (drop near-dups, keep the highest-quality copy).
+    *
+    * The per-component argmax is an AGGREGATE (`max(struct(q, -id))` —
+    * largest quality, then smallest id; a NULL quality sorts below every
+    * non-null, matching the window's `q.desc` nulls-last), not a
+    * `row_number` window: the window SORTS each component in one task,
+    * and the mega-component of boilerplate near-dups is precisely the
+    * case this operator exists for. Map-side partials keep one struct
+    * per component per partition; the flag join re-keys without sorting.
+    * Isolated nodes survive trivially.
     *
     * @param components (id, component) relation from [[components]]
     * @param quality    relation carrying `id` plus the quality column(s)
@@ -936,7 +957,11 @@ object Dedup {
   def survivors(components: DataFrame, quality: DataFrame,
       q: Column): DataFrame = {
     val joined = components.join(quality, "id")
-    val w = Window.partitionBy(col("component")).orderBy(q.desc, col("id"))
-    joined.withColumn("is_survivor", row_number().over(w) === 1)
+    val best = joined.groupBy(col("component"))
+      .agg(max(struct(q.as("q"), (-col("id")).as("nid"))).as("__b"))
+      .select(col("component"), (-col("__b.nid")).as("__best"))
+    joined.join(best, Seq("component"))
+      .select(joined.columns.map(col) :+
+        (col("id") === col("__best")).as("is_survivor"): _*)
   }
 }
