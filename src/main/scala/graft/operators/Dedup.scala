@@ -560,13 +560,16 @@ object Dedup {
 
   private def crossCandidatesFromBanded(baseBanded0: DataFrame,
       batchBanded: DataFrame, maxBucketSize: Int): DataFrame = {
+    // lowest-`cap` representatives via the bounded heap, not a
+    // row_number window: the over-cap bucket this fuse exists for is
+    // exactly the partition the window would sort in one task (the
+    // oracle's ranked-CTE replay selects the identical ids)
     val baseBanded =
       if (maxBucketSize == Int.MaxValue) baseBanded0
-      else baseBanded0
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("band"), col("bucket"))
-            .orderBy(col("doc_id"))))
-        .filter(col("__rn") <= maxBucketSize).drop("__rn")
+      else TopK.perGroup(baseBanded0, Seq("band", "bucket"),
+          struct(col("doc_id")), payload = Seq("doc_id"),
+          k = maxBucketSize, largest = false)
+        .select(col("doc_id"), col("band"), col("bucket"))
     baseBanded.as("a").join(batchBanded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket"))
