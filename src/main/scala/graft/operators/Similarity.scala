@@ -731,6 +731,45 @@ object Similarity {
         col("adc_score"), col("score"))
   }
 
+  /** Exact hard-negative mining for contrastive training: for each query
+    * `(query_id, qv, qlabel)`, the top-`k` corpus vectors by cosine whose
+    * `label` DIFFERS from the query's — the closest-in-space,
+    * different-class examples a contrastive loss actually learns from.
+    * Self-pairs are excluded by id; a NULL corpus label is excluded by
+    * the `label <> qlabel` null semantics (unknown class ⇒ not a safe
+    * negative), mirrored verbatim in the q112 oracle.
+    *
+    * Scale shape: ONE corpus scan serves the whole query batch (the
+    * queries broadcast into a nested-loop map — the corpus itself never
+    * shuffles), the label exclusion prunes candidates before any scoring
+    * row is emitted, and the per-query top-k runs on [[TopK.perGroup]]'s
+    * bounded heap: at most `k` rows per query per input partition enter
+    * the only exchange. NULL (zero-norm) cosines rank last. This is the
+    * exact path — the recall oracle; at retrieval scale the same
+    * selection composes from [[ivfPqSearchBatchRerank]]'s shortlist with
+    * the label filter applied before the rerank.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      roundDp: Int = 4): DataFrame = {
+    val np = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // explicit spread: the broadcast NLJ's parallelism equals the probe
+    // side's partition count (a cached table arrives in one partition)
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .repartition(np, col("vec_id"))
+      .crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qv")), roundDp).as("cos"))
+    TopK.perGroup(scored, Seq("query_id"),
+        TopK.descByWithIdTieBreak(col("cos"), col("vec_id")),
+        payload = Seq("vec_id", "label", "cos"), k = k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        col("cos"))
+  }
+
   /** Re-assemble [[kmeansStep]]'s exploded (centroid_id, pos, w) rows
     * into (centroid_id, cv: array<double>) — the shape [[ivfAssign]] /
     * [[semanticDedup]] / [[ivfPqSearch]] consume, so trained centroids

@@ -1009,6 +1009,43 @@ object VectorOps {
       FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""),
     doc = "semantic dedup: cell-local above-threshold smaller-id neighbor")
 
+  // --- Hard-negative mining: per query vector, the top-k nearest corpus
+  //     vectors of a DIFFERENT label (contrastive-training negatives).
+  //     Exact cosine, one corpus scan for the whole query batch, bounded-
+  //     heap top-k. Query set = every 97th vec_id (≥1 query at every SF
+  //     including the edge corpus).
+  private val q112_hard_negatives = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(emb, queries, k = 5)
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               label AS qlabel
+        FROM embeddings WHERE vec_id % 97 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id, e.label,
+          CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                            x -> x * x)) = 0
+                 OR list_sum(list_transform(q.qv, x -> x * x)) = 0
+               THEN NULL
+               ELSE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 q.qv), 4) END AS cos
+        FROM embeddings e, q
+        WHERE e.label <> q.qlabel AND e.vec_id <> q.query_id)
+      SELECT query_id, rank, vec_id, label, cos FROM (
+        SELECT query_id, vec_id, label, cos,
+          CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC NULLS LAST, vec_id) AS INT) AS rank
+        FROM scored)
+      WHERE rank <= 5"""),
+    doc = "hard-negative mining: top-k nearest different-label vectors " +
+      "per query, bounded-heap top-k over one corpus scan")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -1028,5 +1065,6 @@ object VectorOps {
     "q108_label_centroids" -> q108_label_centroids,
     "q109_kmeans_step" -> q109_kmeans_step,
     "q110_semdedup_trained" -> q110_semdedup_trained,
-    "q111_ivfpq_batch_rerank" -> q111_ivfpq_batch_rerank)
+    "q111_ivfpq_batch_rerank" -> q111_ivfpq_batch_rerank,
+    "q112_hard_negatives" -> q112_hard_negatives)
 }

@@ -676,6 +676,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got == reshuffled, "marks must not depend on partitioning")
   }
 
+  test("hardNegatives: equals the window form, never returns the query's " +
+      "own label or itself, partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val got = Similarity.hardNegatives(emb, queries, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        col("cos"))
+      .as[(Long, Int, Long, Int, Option[Double])].collect().sorted.toSeq
+    // window-form oracle: rank by (cos desc nulls last, vec_id)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id"))
+    val want = emb.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(Similarity.cosine(col("embedding"), col("qv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        col("cos"))
+      .as[(Long, Int, Long, Int, Option[Double])].collect().sorted.toSeq
+    assert(got.nonEmpty, "hard negatives must exist at every SF")
+    assert(got == want, "bounded-heap form must equal the window form")
+    // no self pairs, no same-label pairs
+    val qlab = queries.select(col("query_id"), col("qlabel"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (qid, _, vid, lab, _) =>
+      assert(vid != qid, s"self pair for query $qid")
+      assert(lab != qlab(qid), s"same-label negative for query $qid")
+    }
+    val reshuffled = Similarity
+      .hardNegatives(emb.repartition(7, col("label")), queries, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        col("cos"))
+      .as[(Long, Int, Long, Int, Option[Double])].collect().sorted.toSeq
+    assert(got == reshuffled, "results must not depend on partitioning")
+  }
+
   test("autoCells: power-of-two in [8, 4096], mean cell stays <= target") {
     assert(Similarity.autoCells(0) == 8)
     assert(Similarity.autoCells(2048) == 8)
