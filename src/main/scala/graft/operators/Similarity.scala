@@ -167,13 +167,82 @@ object Similarity {
   def annPairs(emb: DataFrame, threshold: Double,
       planesPerBand: Int = 0, bands: Int = 4, dims: Int = 64,
       maxBucketSize: Int = 2000, center: Boolean = false): DataFrame = {
-    // planesPerBand ≤ 0 → size to the corpus (see autoPlanesPerBand).
-    // The count() is one metadata-cheap job at plan-build; at cluster
-    // scale it reads parquet footers, not data.
+    val ppb = resolvePpb(emb, planesPerBand)
+    val banded = cappedBanded(emb, bands, ppb, dims, maxBucketSize, center)
+    // Candidates keep their per-band MULTIPLICITY: a pair colliding in k
+    // bands is verified k times and deduped AFTER the threshold filter.
+    // Deduping candidates first looks thriftier but a candidate `distinct`
+    // is a full shuffle + hash-agg of the tens-of-millions-row collision
+    // relation, while a redundant verify is one codegen'd d-wide dot on a
+    // row that is already flowing map-side — measured 3-4× faster at 20k
+    // clustered vectors (the distinct alone was 32 s of a 33 s query).
+    // The survivor set (pairs actually >= threshold) is orders of
+    // magnitude smaller, so ITS distinct is cheap.
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    verifyCosinePairs(emb, candidates, threshold)
+  }
+
+  /** Multi-probe variant of [[annPairs]] (Lv et al. 2007, VLDB: probe
+    * the query's own bucket AND its nearest neighbors in signature
+    * space): each vector additionally probes every HAMMING-1 flip of its
+    * band signature, so a pair is a candidate if any band's signatures
+    * differ in at most one bit. Collision probability per band rises
+    * from s^r to s^r + r·s^(r-1)(1-s) — recall comparable to running
+    * ~2× the bands WITHOUT building more signature tables: the probe
+    * expansion is (r+1)× rows on the probe SIDE of the join only, while
+    * adding bands multiplies the stored/shuffled index itself. Exact
+    * verify + threshold keep precision identical to [[annPairs]] (same
+    * candidates-then-verify contract; only recall changes).
+    *
+    * Scale shape: identical to [[annPairs]] — one (band, sig) equi-join
+    * shuffle; the probe side carries (r+1)× the banded relation (r ~
+    * log₂ n, so ~15× at 1B vectors), each probe row 24 bytes. The
+    * hot-bucket cap bounds the exact side, so a probe row matches ≤
+    * `maxBucketSize` rows.
+    */
+  def annPairsMultiProbe(emb: DataFrame, threshold: Double,
+      planesPerBand: Int = 0, bands: Int = 4, dims: Int = 64,
+      maxBucketSize: Int = 2000, center: Boolean = false): DataFrame = {
+    val ppb = resolvePpb(emb, planesPerBand)
+    val banded = cappedBanded(emb, bands, ppb, dims, maxBucketSize, center)
+    // probe set = identity + every 1-bit flip. Per band a (hamming ≤ 1)
+    // pair matches EXACTLY once — identity hits iff hamming 0, flip i
+    // hits iff the pair differs exactly at bit i, and the a.vec_id <
+    // b.vec_id half keeps only the a-side expansion of the smaller id —
+    // so multiplicity stays one-per-colliding-band, the annPairs
+    // contract.
+    val probes = banded.select(col("vec_id"), col("band"),
+      explode(array(col("sig") +: (0 until ppb).map(i =>
+        col("sig").bitwiseXOR(lit(1L << i))): _*)).as("sig"))
+    val candidates = probes.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    verifyCosinePairs(emb, candidates, threshold)
+  }
+
+  /** planesPerBand ≤ 0 → size to the corpus (see [[autoPlanesPerBand]]).
+    * The count() is one metadata-cheap job at plan-build; at cluster
+    * scale it reads parquet footers, not data.
+    */
+  private def resolvePpb(emb: DataFrame, planesPerBand: Int): Int = {
     val ppb =
       if (planesPerBand > 0) planesPerBand
       else autoPlanesPerBand(emb.count())
     require(ppb <= PlaneStride, s"planesPerBand $ppb > stride $PlaneStride")
+    ppb
+  }
+
+  /** The capped (vec_id, band, sig) banded-signature relation shared by
+    * [[annPairs]] and [[annPairsMultiProbe]] — one definition so the
+    * band layout, quantization staging, and hot-bucket cap cannot drift
+    * between the probe strategies (the q102 shared-helper lesson).
+    */
+  private def cappedBanded(emb: DataFrame, bands: Int, ppb: Int,
+      dims: Int, maxBucketSize: Int, center: Boolean): DataFrame = {
     // `center = true` hashes MEAN-CENTERED vectors (verification below is
     // always exact cosine on the originals, so this changes only which
     // candidates surface, never their scores). Real text-embedding spaces
@@ -202,24 +271,22 @@ object Similarity {
       .select(col("vec_id"),
         posexplode(allBandSignatures(col("qvec"), bands, ppb, dims)))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
-    val banded = raw
+    raw
       .withColumn("__bsz", count(lit(1))
         .over(Window.partitionBy(col("band"), col("sig"))))
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
-    // Candidates keep their per-band MULTIPLICITY: a pair colliding in k
-    // bands is verified k times and deduped AFTER the threshold filter.
-    // Deduping candidates first looks thriftier but a candidate `distinct`
-    // is a full shuffle + hash-agg of the tens-of-millions-row collision
-    // relation, while a redundant verify is one codegen'd d-wide dot on a
-    // row that is already flowing map-side — measured 3-4× faster at 20k
-    // clustered vectors (the distinct alone was 32 s of a 33 s query).
-    // The survivor set (pairs actually >= threshold) is orders of
-    // magnitude smaller, so ITS distinct is cheap.
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  /** Exact-cosine verification of an LSH candidate (vec_a, vec_b) pair
+    * relation: re-fetch both vectors, 4dp-round BEFORE the threshold
+    * filter (the repo-wide cosine contract, same as [[exactCosinePairs]])
+    * so a knife-edge pair can't pass in one engine and fail in the other,
+    * and dedup the (small) survivor set — candidates arrive with per-band
+    * multiplicity by design (see [[annPairs]]'s in-body note).
+    */
+  private def verifyCosinePairs(emb: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
     candidates
@@ -227,9 +294,6 @@ object Similarity {
         col("embedding").as("emb_a"), col("norm").as("norm_a")), Seq("vec_a"))
       .join(vecs.select(col("vec_id").as("vec_b"),
         col("embedding").as("emb_b"), col("norm").as("norm_b")), Seq("vec_b"))
-      // 4dp-rounded BEFORE the threshold filter (the repo-wide cosine
-      // contract, same as exactCosinePairs) so a knife-edge pair can't
-      // pass in one engine and fail in the other.
       .select(col("vec_a"), col("vec_b"),
         round(try_divide(dot(col("emb_a"), col("emb_b")),
           col("norm_a") * col("norm_b")), 4).as("cos"))

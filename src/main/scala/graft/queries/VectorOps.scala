@@ -64,7 +64,7 @@ object VectorOps {
   // contract). Threshold 0.4 ≈ the top decile-of-similarity on the
   // synthetic embeddings so the query yields real rows at every SF.
   private def annOracle(threshold: Double, bands: Int,
-      dims: Int, maxBucketSize: Int): String = {
+      dims: Int, maxBucketSize: Int, multiProbe: Boolean = false): String = {
     def plane(p: Int): String = (0 until dims)
       .map(i => if (Similarity.radWeight(p, i) > 0) "1.0" else "-1.0")
       .mkString("[", ",", "]")
@@ -99,10 +99,17 @@ object VectorOps {
         SELECT vec_id, band, sig FROM (
           SELECT vec_id, band, sig,
                  count(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs)
-        WHERE bsz <= $maxBucketSize),
+        WHERE bsz <= $maxBucketSize),${if (multiProbe) s"""
+      probes AS (
+        SELECT vec_id, band, sig FROM banded
+        UNION ALL
+        SELECT vec_id, band, xor(sig, CAST(1 AS BIGINT) << g) AS sig
+        FROM banded, params p,
+             generate_series(0, ${stride - 1}) AS t(g)
+        WHERE g < p.r),""" else ""}
       cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM banded a JOIN banded b
+        FROM ${if (multiProbe) "probes" else "banded"} a JOIN banded b
           ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
       SELECT c.vec_a, c.vec_b,
         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
@@ -122,6 +129,19 @@ object VectorOps {
     oracle = Some(annOracle(threshold = 0.4, bands = 4,
       dims = 64, maxBucketSize = 2000)),
     doc = "banded random-hyperplane LSH near-dup pairs (scale path)")
+
+  // Multi-probe LSH at HALF q41's bands: each vector also probes every
+  // hamming-1 flip of its band signature, recovering the recall the
+  // dropped bands cost without storing/shuffling more signature tables.
+  private val q113_ann_multiprobe = Q(
+    run = (s, d) =>
+      Similarity.annPairsMultiProbe(Tables.embeddings(s, d),
+          threshold = 0.4, bands = 2)
+        .select(col("vec_a"), col("vec_b"), col("cos")),
+    oracle = Some(annOracle(threshold = 0.4, bands = 2,
+      dims = 64, maxBucketSize = 2000, multiProbe = true)),
+    doc = "multi-probe LSH near-dup pairs: hamming-1 probe expansion, " +
+      "half the signature tables")
 
   // Exact all-pairs similarity join — the oracle-checked baseline the LSH
   // path approximates. Cosines rounded to 4dp on both engines before the
@@ -1066,5 +1086,6 @@ object VectorOps {
     "q109_kmeans_step" -> q109_kmeans_step,
     "q110_semdedup_trained" -> q110_semdedup_trained,
     "q111_ivfpq_batch_rerank" -> q111_ivfpq_batch_rerank,
-    "q112_hard_negatives" -> q112_hard_negatives)
+    "q112_hard_negatives" -> q112_hard_negatives,
+    "q113_ann_multiprobe" -> q113_ann_multiprobe)
 }

@@ -676,6 +676,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == reshuffled, "marks must not depend on partitioning")
   }
 
+  test("annPairsMultiProbe: recall superset of same-params annPairs, " +
+      "subset of exact pairs, identical scores, no duplicate pairs") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val single = Similarity.annPairs(emb, 0.4, bands = 2)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    val multi = Similarity.annPairsMultiProbe(emb, 0.4, bands = 2)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(multi.nonEmpty)
+    assert(multi.length == multi.map(p => (p._1, p._2)).distinct.length,
+      "no duplicate pairs")
+    assert(single.map(p => (p._1, p._2)).toSet
+        .subsetOf(multi.map(p => (p._1, p._2)).toSet),
+      "hamming-1 probing can only ADD candidate pairs")
+    val exact = Similarity.exactCosinePairs(emb, 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    multi.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c),
+        s"pair ($a,$b) must appear in the exact join with the same score")
+    }
+  }
+
   test("hardNegatives: equals the window form, never returns the query's " +
       "own label or itself, partitioning-invariant") {
     import org.apache.spark.sql.expressions.Window
