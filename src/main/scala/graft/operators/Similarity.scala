@@ -730,6 +730,37 @@ object Similarity {
           (col("__nx").cast("double") * lit(1e6))).as("centroid"))
   }
 
+  /** Embedding-space OUTLIER flags for data cleaning: each vector's
+    * cosine to its own group's mean embedding ([[groupCentroids]]' exact
+    * accumulation, re-assembled per group), cut at the group's exact
+    * `p`-quantile of that cosine — an adaptive per-group threshold, the
+    * grouped sibling of the q100 global quality cut. `is_outlier` =
+    * `cos < cut`; NULL-propagating by contract (zero-norm/NULL vectors
+    * and groups whose cosines are all NULL yield NULL, never a guess).
+    *
+    * Scale shape: the centroid aggregation is one (group, pos)-partials
+    * exchange (the corpus never shuffles — see [[groupCentroids]]), the
+    * assembled centroids and the per-group cuts are both group-count-
+    * sized broadcasts, and the quantile runs on [[Stats.gridPercentiles]]
+    * over the 4dp cosine GRID (≤ 20001 distinct values per group), never
+    * the rows.
+    */
+  def centroidOutliers(emb: DataFrame, key: String, p: Double = 0.05,
+      roundDp: Int = 4): DataFrame = {
+    val cents = groupCentroids(emb, key)
+      .groupBy(col(key))
+      .agg(transform(sort_array(collect_list(struct(col("pos"),
+        col("centroid")))), e => e("centroid")).as("cv"))
+    val scored = emb.join(broadcast(cents), Seq(key), "left")
+      .select(col("vec_id"), col(key),
+        round(cosine(col("embedding").cast("array<double>"), col("cv")),
+          roundDp).as("cos"))
+    val cuts = Stats.gridPercentiles(scored, key, "cos", Seq("cut" -> p))
+    scored.join(broadcast(cuts), Seq(key), "left")
+      .select(col("vec_id"), col(key), col("cos"),
+        (col("cos") < col("cut")).as("is_outlier"))
+  }
+
   /** One k-MEANS Lloyd iteration over the embedding corpus: assign every
     * vector to its nearest centroid ([[ivfAssign]], cosine, 4dp, id
     * tie-breaks) and move each centroid to the element-wise MEAN of its

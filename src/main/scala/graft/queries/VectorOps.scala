@@ -1066,6 +1066,69 @@ object VectorOps {
     doc = "hard-negative mining: top-k nearest different-label vectors " +
       "per query, bounded-heap top-k over one corpus scan")
 
+  // --- Embedding outlier detection: cosine to the own-label mean
+  //     embedding (the q108 exact-accumulation contract), cut at the
+  //     label's exact p05 of that cosine (the q20 grid-percentile
+  //     contract). NULL-propagating: zero-norm vectors and labels with
+  //     no measurable cosine yield NULL, never a guess.
+  private val q114_embed_outliers = Q(
+    run = (s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d), "label",
+        p = 0.05),
+    oracle = Some("""
+      WITH ec AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+      x AS (
+        SELECT label, CAST(g - 1 AS INTEGER) AS pos,
+               CASE WHEN v[CAST(g AS INTEGER)] IS NOT NULL
+                      AND NOT isnan(v[CAST(g AS INTEGER)])
+                      AND NOT isinf(v[CAST(g AS INTEGER)])
+                    THEN floor(least(greatest(v[CAST(g AS INTEGER)],
+                                              -1e9), 1e9) * 1e6 + 0.5)
+               END AS qx
+        FROM ec, unnest(generate_series(1, len(v))) AS t(g)),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS cv
+        FROM (SELECT label, pos,
+                CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE)
+                  / (count(qx) * 1e6) AS c
+              FROM x GROUP BY label, pos)
+        GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label,
+          CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                            y -> y * y)) = 0
+                 OR list_sum(list_transform(c.cv, y -> y * y)) = 0
+               THEN NULL
+               ELSE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cv), 4) END AS cos
+        FROM embeddings e LEFT JOIN cent c ON e.label = c.label),
+      hist AS (
+        SELECT label, cos AS val, count(*) AS cnt
+        FROM scored WHERE cos IS NOT NULL GROUP BY 1, 2),
+      cum AS (
+        SELECT label, val,
+          sum(cnt) OVER (PARTITION BY label ORDER BY val) AS cum,
+          sum(cnt) OVER (PARTITION BY label) AS n
+        FROM hist),
+      qa AS (
+        SELECT label, CAST(max(n) AS DOUBLE) AS n,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.05)+1 THEN val END)
+            AS DOUBLE) AS lo,
+          CAST(min(CASE WHEN cum >= floor((n-1)*0.05)+2 THEN val END)
+            AS DOUBLE) AS hi
+        FROM cum GROUP BY label),
+      cut AS (
+        SELECT label, round(CASE WHEN (n-1)*0.05 = floor((n-1)*0.05)
+            THEN lo
+            ELSE lo + ((n-1)*0.05 - floor((n-1)*0.05)) * (hi - lo) END, 6)
+          AS cut
+        FROM qa)
+      SELECT s.vec_id, s.label, s.cos, (s.cos < m.cut) AS is_outlier
+      FROM scored s LEFT JOIN cut m ON s.label = m.label"""),
+    doc = "embedding outliers: cosine to own-label centroid below the " +
+      "label's exact p05")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -1087,5 +1150,6 @@ object VectorOps {
     "q110_semdedup_trained" -> q110_semdedup_trained,
     "q111_ivfpq_batch_rerank" -> q111_ivfpq_batch_rerank,
     "q112_hard_negatives" -> q112_hard_negatives,
-    "q113_ann_multiprobe" -> q113_ann_multiprobe)
+    "q113_ann_multiprobe" -> q113_ann_multiprobe,
+    "q114_embed_outliers" -> q114_embed_outliers)
 }

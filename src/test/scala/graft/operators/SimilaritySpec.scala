@@ -742,6 +742,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got == reshuffled, "results must not depend on partitioning")
   }
 
+  test("centroidOutliers: ~p fraction flagged per label, NULL for " +
+      "degenerate vectors, partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val got = Similarity.centroidOutliers(emb, "label", p = 0.05)
+      .select(col("vec_id"), col("label"), col("cos"), col("is_outlier"))
+      .as[(Long, Int, Option[Double], Option[Boolean])].collect()
+    assert(got.length == emb.count())
+    // flagged fraction per label stays at ~p: below-cut means strictly
+    // below the p-quantile, so at most ~p of measurable rows per label
+    got.groupBy(_._2).foreach { case (lab, rows) =>
+      val measurable = rows.count(_._3.isDefined)
+      val flagged = rows.count(_._4.contains(true))
+      assert(flagged <= math.max(1, math.ceil(measurable * 0.05).toInt),
+        s"label $lab flags $flagged of $measurable (> p05 fraction)")
+    }
+    // a NULL cosine (degenerate vector) must yield NULL is_outlier
+    got.filter(_._3.isEmpty).foreach { case (vid, _, _, o) =>
+      assert(o.isEmpty, s"vec $vid: NULL cos must give NULL is_outlier")
+    }
+    // every flagged outlier's cosine is strictly below every unflagged
+    // measurable cosine of the same label
+    got.groupBy(_._2).foreach { case (lab, rows) =>
+      val fl = rows.filter(_._4.contains(true)).flatMap(_._3)
+      val un = rows.filter(_._4.contains(false)).flatMap(_._3)
+      if (fl.nonEmpty && un.nonEmpty)
+        assert(fl.max < un.min + 1e-12,
+          s"label $lab: an outlier scores above a kept vector")
+    }
+    val reshuffled = Similarity
+      .centroidOutliers(emb.repartition(7, col("vec_id")), "label", 0.05)
+      .select(col("vec_id"), col("label"), col("cos"), col("is_outlier"))
+      .as[(Long, Int, Option[Double], Option[Boolean])].collect()
+    assert(got.sortBy(_._1).toSeq == reshuffled.sortBy(_._1).toSeq,
+      "flags must not depend on partitioning")
+  }
+
   test("autoCells: power-of-two in [8, 4096], mean cell stays <= target") {
     assert(Similarity.autoCells(0) == 8)
     assert(Similarity.autoCells(2048) == 8)
