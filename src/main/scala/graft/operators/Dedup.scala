@@ -123,7 +123,47 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column,
       threshold: Double, len: Int = 16, stride: Int = 4,
-      maxDf: Int = 50): DataFrame = {
+      maxDf: Int = 50): DataFrame =
+    shinglePairStats(docs, id, text, len, stride, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+
+  /** Directed CONTAINMENT pairs over the same shingle statistics:
+    * `cont_a = |A∩B|/|A|` (how much of doc a lives inside doc b) and the
+    * mirror `cont_b`; a pair survives when EITHER direction clears
+    * `threshold`. Containment is what Jaccard misses at unequal sizes —
+    * a tweet quoted whole inside a long article has near-zero Jaccard
+    * (the union is article-sized) but containment ~1 for the tweet — so
+    * this is the sub-document/boilerplate-inclusion dedup signal
+    * (Broder's containment coefficient, the original resemblance paper's
+    * second measure). Same df-capped shingle relation, same single
+    * shuffle shape as [[jaccardPairs]] (shared core, so the cap and join
+    * key cannot drift).
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, len: Int = 16, stride: Int = 4,
+      maxDf: Int = 50): DataFrame =
+    shinglePairStats(docs, id, text, len, stride, maxDf)
+      .withColumn("cont_a",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b",
+        col("inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("cont_a"), col("cont_b"))
+
+  /** Shared pair-statistics core of [[jaccardPairs]] /
+    * [[containmentPairs]]: df-capped shingle self-join → one row per
+    * colliding doc pair with the intersection size and both (capped)
+    * set sizes. See the in-body notes for why the cap is a window and
+    * the sizes ride the join.
+    */
+  private def shinglePairStats(docs: DataFrame, id: Column, text: Column,
+      len: Int, stride: Int, maxDf: Int): DataFrame = {
     // cache the raw shingle relation: it backs both the df computation and
     // the join, and its plan is shared with fingerprint/minhash queries
     // (Spark's cacheManager dedups by plan equality across queries).
@@ -148,18 +188,11 @@ object Dedup {
     // size relation is one row per DOC (corpus-sized at 100 TB), so AQE
     // broadcasts it at test SF and shuffle-joins past broadcast scale.
     val shN = sh.join(sizes, "doc_id")
-    val inter = shN.as("a").join(shN.as("b"),
+    shN.as("a").join(shN.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"), max(col("a.n_sh")).as("n_a"),
         max(col("b.n_sh")).as("n_b"))
-    inter
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
-        col("n_b"), col("jaccard"))
   }
 
   /** MDM-style blocked fuzzy match: pairs within one blocking-key group

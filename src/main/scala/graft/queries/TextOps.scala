@@ -1062,6 +1062,39 @@ object TextOps {
       WHERE rank <= 3"""),
     doc = "bounded-heap top-k per (lang, source): O(k) state, no window sort")
 
+  // --- Directed shingle CONTAINMENT (|A∩B|/|A|): the sub-document
+  //     inclusion signal Jaccard misses at unequal sizes (a doc quoted
+  //     whole inside a much longer one). Same df-capped shingle relation
+  //     as q34; either direction above the threshold keeps the pair.
+  private val q115_containment = Q(
+    run = (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), threshold = 0.6),
+    oracle = Some("""
+      WITH sh0 AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 16) AS sh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM documents)),
+      rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+      sh AS (SELECT doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        CAST(inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS cont_a,
+        CAST(inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS cont_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE),
+                     CAST(inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE))
+            >= 0.6"""),
+    doc = "directed shingle containment pairs: sub-document inclusion " +
+      "dedup signal")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1087,5 +1120,6 @@ object TextOps {
     "q102_incremental_dedup" -> q102_incremental_dedup,
     "q103_range_shards" -> q103_range_shards,
     "q104_repeated_passages" -> q104_repeated_passages,
-    "q107_topk_pergroup" -> q107_topk_pergroup)
+    "q107_topk_pergroup" -> q107_topk_pergroup,
+    "q115_containment" -> q115_containment)
 }

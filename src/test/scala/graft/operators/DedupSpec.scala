@@ -40,6 +40,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment pairs catch the unequal-size inclusion jaccard " +
+      "misses, and agree with jaccard on the symmetric near-dup") {
+    val small = "the quick brown fox jumps over the lazy dog again and again"
+    val big = small + " " + (1 to 40).map(i =>
+      s"unrelated filler sentence number $i about engines").mkString(" ")
+    val d = Seq(
+      (1L, small),              // contained whole in 2
+      (2L, big),                // contains 1, much longer
+      (3L, small + " tail!"),   // symmetric near-dup of 1
+      (4L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, col("doc_id"), col("text"),
+        threshold = 0.8, maxDf = 100)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+      .as[(Long, Long, Double, Double)].collect()
+    val jac = Dedup.jaccardPairs(d, col("doc_id"), col("text"),
+        threshold = 0.5, maxDf = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the quoted-inside pair: high containment (1 ⊂ 2), invisible to
+    // jaccard at any symmetric threshold (union is big-doc-sized)
+    val incl = cont.find(p => p._1 == 1L && p._2 == 2L)
+    assert(incl.isDefined, "containment must surface the inclusion pair")
+    assert(incl.get._3 >= 0.8, "cont_a = |A∩B|/|A| ~ 1 for the quoted doc")
+    assert(!jac.contains((1L, 2L)), "jaccard misses the inclusion pair")
+    // the symmetric near-dup surfaces in both
+    assert(cont.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(jac.contains((1L, 3L)))
+    // the unrelated doc appears in neither
+    assert(!cont.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("minhash LSH recall vs exact jaccard ground truth on real corpus") {
     val d = Tables.documents(spark, sf())
     val exact = Dedup.jaccardPairs(d, col("doc_id"), col("text"),
