@@ -427,4 +427,63 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"assignment must stay the array_max map on both passes:\n$p")
   }
+
+  test("q112_hard_negatives: queries broadcast into one corpus scan, " +
+      "per-query top-k on the bounded heap (no Window), corpus never " +
+      "shuffles except the k-per-partition aggregate") {
+    val p = plan("q112_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the query batch to broadcast:\n$p")
+    assert(p.contains("partial_collect_top_k"),
+      s"expected map-side bounded-heap top-k:\n$p")
+    assert(!p.contains("Window"), s"must not fall back to a window:\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 2,
+      s"expected only the spread + heap exchanges ($nonBroadcast):\n$p")
+  }
+
+  test("q113_ann_multiprobe: fused one-loop signatures, probe expansion " +
+      "joins as a (band, sig) equi-join — never a cartesian — and " +
+      "verify sees candidates without an intermediate distinct") {
+    val p = plan("q113_ann_multiprobe")
+    assert(p.contains("rhp_signatures"),
+      s"expected the fused signature expression:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) &&
+        l.contains("band") && l.contains("sig")),
+      s"expected a (band, sig)-keyed candidate equi-join:\n$p")
+    // the survivor distinct is the ONLY aggregate over pair ids — the
+    // candidate relation itself must not hash-aggregate before verify
+    val verifyJoins = p.linesIterator.count(l =>
+      l.contains("Join") && l.contains("vec_a"))
+    assert(verifyJoins >= 1, s"expected vec re-fetch joins:\n$p")
+  }
+
+  test("q114_embed_outliers: centroids and cuts broadcast back into the " +
+      "corpus scan; the only windows run over the per-label cosine GRID, " +
+      "never corpus rows") {
+    val p = plan("q114_embed_outliers")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for centroids/cuts:\n$p")
+    // grid windows partition by (label) AFTER a (label, cos) aggregate —
+    // the aggregate bounds window input at the distinct-value grid
+    assert(p.contains("Window"), s"expected the grid cumulative window:\n$p")
+    assert(p.contains("partial_"),
+      s"grid aggregation must have map-side partials:\n$p")
+  }
+
+  test("q115_containment: shared q34 core — df cap via window on the " +
+      "SAME shh clustering the self-join uses, no cartesian, scan " +
+      "pruned to (doc_id, text)") {
+    val p = plan("q115_containment")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("shh")),
+      s"expected the shh-partitioned df-cap window:\n$p")
+    assert(!p.contains("lang#"), s"scan must not read unused columns:\n$p")
+  }
 }
