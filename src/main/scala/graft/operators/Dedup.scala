@@ -429,6 +429,48 @@ object Dedup {
       .distinct()
   }
 
+  /** ESTIMATE-ONLY MinHash near-dup pairs: LSH-banded candidates scored
+    * by the SIGNATURE-estimated Jaccard (matching components / k) instead
+    * of the exact shingle-intersection verify — the 100 TB fast path,
+    * where re-shuffling the shingle relation to verify every candidate
+    * costs more than the estimate's error (stderr ≈ √(s(1−s)/k) ≈ 0.12
+    * at k = 16; raise k to tighten). Emits (doc_a, doc_b, n_match,
+    * est_jaccard) for pairs with at least `ceil(threshold·k)` matching
+    * components — an integer decision both engines make identically.
+    *
+    * Scale shape: signatures are ONE shuffle of the shingle relation
+    * (map-side partial min); candidates shuffle on (band, bucket) with
+    * [[minhashCandidates]]' star-cap available; scoring joins the
+    * doc-sized signature frame (k ints per doc) twice on doc_id — never
+    * the shingle relation. The signature frame is cached because three
+    * subtrees reference it (banding + both pair sides).
+    */
+  def minhashEstimatedPairs(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, k: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"minhashEstimatedPairs: need 0 < threshold <= 1, got $threshold")
+    val minMatch = math.ceil(threshold * k).toInt
+    // cache-manager plan matching lets minhashCandidates' internal
+    // signature build hit this cache (same logical plan)
+    val sig = minhashSignatures(docs, id, text, k).cache()
+    val cands = minhashCandidates(docs, id, text, k, bands, maxBucketSize)
+    val aSide = sig.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"sig_$i").as(s"__a_$i")): _*)
+    val bSide = sig.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"sig_$i").as(s"__b_$i")): _*)
+    // k inline equality terms, codegen'd (no per-element HOF; 16 trivial
+    // expressions sits far under the JIT method-size cliff)
+    val nMatch = (0 until k)
+      .map(i => (col(s"__a_$i") === col(s"__b_$i")).cast("int"))
+      .reduce(_ + _)
+    cands.join(aSide, "doc_a").join(bSide, "doc_b")
+      .withColumn("n_match", nMatch)
+      .filter(col("n_match") >= minMatch)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast("double") / lit(k.toDouble)).as("est_jaccard"))
+  }
+
   /** CONTINUOUS-INGESTION dedup: flag each BATCH document against an
     * existing BASE corpus — the shape a production pipeline runs on every
     * new crawl drop, where re-deduping the whole corpus is off the table.

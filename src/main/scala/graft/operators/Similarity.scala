@@ -865,6 +865,43 @@ object Similarity {
         col("cos"))
   }
 
+  /** Semantic decontamination: flag corpus vectors whose cosine to ANY
+    * benchmark vector reaches `threshold` — the embedding-space analog of
+    * the n-gram contamination check (q83), catching paraphrased /
+    * reformatted eval leakage that exact n-grams miss. Emits one row per
+    * contaminated corpus vector: how many benchmark vectors it matched
+    * and its best match (cosine DESC, bench_id ASC tie-break).
+    *
+    * Scale shape: the benchmark set (an eval suite — thousands of rows,
+    * not corpus-sized) broadcasts; scoring is a broadcast NLJ over the
+    * corpus scan, so the corpus never shuffles for scoring. Cosines are
+    * rounded to `roundDp` BEFORE the threshold filter (the cross-engine
+    * comparability contract); zero-norm vectors cosine NULL and fail the
+    * filter on both engines. The only exchange is the final per-vector
+    * aggregate, whose map-side partials collapse each partition to at
+    * most one row per corpus vector before the shuffle.
+    */
+  def benchmarkContamination(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, roundDp: Int = 4): DataFrame = {
+    val np = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // explicit spread: the broadcast NLJ's parallelism equals the probe
+    // side's partition count (a cached table arrives in one partition)
+    val hits = corpus
+      .select(col("vec_id"), col("embedding"))
+      .repartition(np, col("vec_id"))
+      .crossJoin(broadcast(benchmark))
+      .select(col("vec_id"), col("bench_id"),
+        round(cosine(col("embedding"), col("bv")), roundDp).as("cos"))
+      .filter(col("cos") >= threshold)
+    hits.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("__best"))
+      .select(col("vec_id"), col("n_hits"),
+        (-col("__best")("nb")).as("best_bench_id"),
+        col("__best")("cos").as("best_cos"))
+  }
+
   /** Re-assemble [[kmeansStep]]'s exploded (centroid_id, pos, w) rows
     * into (centroid_id, cv: array<double>) — the shape [[ivfAssign]] /
     * [[semanticDedup]] / [[ivfPqSearch]] consume, so trained centroids

@@ -210,6 +210,68 @@ object TextAnalysis {
   def normalizedHash(text: Column): Column =
     normalizedHashFrom(tokens(text))
 
+  /** Boilerplate-line stats — the CCNet/RefinedWeb line-level cleanup
+    * signal: a (trimmed, non-empty) line occurring in at least
+    * `boilerPct`% of its source's documents (and in at least `minDf` of
+    * them) is boilerplate (nav bars, cookie banners, footers), and every
+    * occurrence of it is dropped. Emits per-document totals: non-empty
+    * line occurrences, boilerplate occurrences among them, and characters
+    * kept after stripping — the inputs a cleanup pass needs to rewrite or
+    * score documents.
+    *
+    * Scale shape: lines are a pure explode off the scan; every shuffle
+    * key is the 60-bit portable line hash (never the line text). The
+    * boilerplate SET is broadcast — safe by construction, not by hope:
+    * each boilerplate line appears in ≥ `boilerPct`% of its source's
+    * docs, so a source with L line-occurrences per doc has at most
+    * L · 100/boilerPct boilerplate lines regardless of corpus size (the
+    * set scales with sources × lines-per-doc, not with documents). The
+    * per-source doc counts are likewise source-cardinality-sized. The
+    * threshold test is pure integer math (`df·100 ≥ boilerPct·n_docs`) so
+    * both engines decide identically on every boundary.
+    *
+    * Contracts (pinned in the q116 oracle): lines split on '\n' only;
+    * trim strips ASCII spaces (CR survives, consistently on both
+    * engines); empty trimmed lines are not lines; NULL / line-less text
+    * yields no output row for the document; a line repeated within one
+    * document counts once toward its df but every occurrence toward the
+    * document's totals.
+    */
+  def boilerplateLineStats(docs: DataFrame, id: Column, source: Column,
+      text: Column, boilerPct: Int = 30, minDf: Int = 2): DataFrame = {
+    require(boilerPct >= 1 && boilerPct <= 100,
+      s"boilerplateLineStats: need 1 <= boilerPct <= 100, got $boilerPct")
+    require(minDf >= 1,
+      s"boilerplateLineStats: minDf must be >= 1, got $minDf")
+    val lines = docs
+      .select(id.as("doc_id"), source.as("source"),
+        explode(split(text, "\n", -1)).as("__raw"))
+      .select(col("doc_id"), col("source"), trim(col("__raw")).as("__line"))
+      .filter(col("__line") =!= "")
+      .select(col("doc_id"), col("source"),
+        Dedup.portableHash64(col("__line")).as("lh"),
+        length(col("__line")).cast("long").as("len"))
+    // one row per (source, doc, line): the df unit. Repeats inside a doc
+    // collapse here (counted in n_occ) so the df aggregation below is a
+    // plain count, and map-side partials bound every hot line.
+    val occ = lines.groupBy("source", "doc_id", "lh")
+      .agg(count(lit(1)).as("n_occ"), max("len").as("len"))
+    val docsPerSource = occ.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val lineDf = occ.groupBy("source", "lh").agg(count(lit(1)).as("df"))
+    val boiler = lineDf.join(broadcast(docsPerSource), "source")
+      .filter(col("df") * lit(100L) >= lit(boilerPct.toLong) * col("n_docs")
+        && col("df") >= minDf)
+      .select(col("source"), col("lh"), lit(true).as("__boiler"))
+    occ.join(broadcast(boiler), Seq("source", "lh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n_occ")).as("n_lines"),
+        sum(when(col("__boiler"), col("n_occ")).otherwise(lit(0L)))
+          .as("n_boiler"),
+        sum(when(col("__boiler").isNull, col("n_occ") * col("len"))
+          .otherwise(lit(0L))).as("kept_chars"))
+  }
+
   /** [[normalizedHash]] off a staged token array — for projections that
     * already materialized [[tokens]] for other features.
     */

@@ -198,6 +198,55 @@ object TextOps {
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.5"""
   }
 
+  // q118's oracle: the same signature/band replay as q36, but scored by
+  // the SIGNATURE-estimated Jaccard (matching components / k) with an
+  // integer minimum-match cut — no shingle-verify join at all.
+  private val estimatedPairsOracleSql: String = {
+    val k = 16
+    val bands = 4
+    val threshold = 0.5
+    val minMatch = math.ceil(threshold * k).toInt
+    val rowsPerBand = k / bands
+    val sigDefs = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((x * $a + $b) % ${Dedup.P}) AS sig_$i"
+    }.mkString(",\n          ")
+    val bandEq = (0 until bands).map { bnd =>
+      (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => s"a.sig_$i = b.sig_$i").mkString("(", " AND ", ")")
+    }.mkString("\n              OR ")
+    val matchTerms = (0 until k)
+      .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" +\n            ")
+    s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id,
+          ${duckHash64("substr(text, CAST(g AS INTEGER), 16)")} AS shh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM documents)),
+      sig AS (
+        SELECT doc_id,
+          $sigDefs
+        FROM (SELECT doc_id, shh % ${Dedup.P} AS x FROM sh)
+        GROUP BY doc_id),
+      scored AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          $matchTerms AS n_match
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          AND ($bandEq))
+      SELECT doc_a, doc_b, CAST(n_match AS INTEGER) AS n_match,
+        CAST(n_match AS DOUBLE) / $k AS est_jaccard
+      FROM scored WHERE n_match >= $minMatch"""
+  }
+
+  private val q118_estimated_pairs = Q(
+    run = (s, d) =>
+      Dedup.minhashEstimatedPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), threshold = 0.5),
+    oracle = Some(estimatedPairsOracleSql),
+    doc = "estimate-only MinHash pairs: signature-component Jaccard, no " +
+      "shingle verify (the 100 TB fast path)")
+
   private val q36_minhash_pairs = Q(
     run = (s, d) =>
       Dedup.minhashDedup(Tables.documents(s, d), col("doc_id"), col("text"),
@@ -1095,6 +1144,45 @@ object TextOps {
     doc = "directed shingle containment pairs: sub-document inclusion " +
       "dedup signal")
 
+  // --- Boilerplate line removal (CCNet/RefinedWeb line-level cleanup):
+  //     lines in >= 30% of a source's docs (df >= 2) are boilerplate;
+  //     per-doc totals of kept/stripped occurrences. All shuffle keys are
+  //     the portable 60-bit line hash; the boilerplate set and per-source
+  //     doc counts are broadcast (bounded by lines-per-doc / 30%, not by
+  //     corpus size). Threshold test is integer math on both engines.
+  private val q116_boilerplate = Q(
+    run = (s, d) => TextAnalysis.boilerplateLineStats(Tables.documents(s, d),
+      col("doc_id"), col("source"), col("text"),
+      boilerPct = 30, minDf = 2),
+    oracle = Some(s"""
+      WITH ln AS (
+        SELECT doc_id, source, trim(l) AS line
+        FROM (SELECT doc_id, source,
+                unnest(string_split(text, chr(10))) AS l
+              FROM documents)
+        WHERE trim(l) <> ''),
+      occ AS (
+        SELECT source, doc_id, ${duckHash64("line")} AS lh,
+          count(*) AS n_occ, max(length(line)) AS len
+        FROM ln GROUP BY 1, 2, 3),
+      dps AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+              FROM occ GROUP BY 1),
+      ldf AS (SELECT source, lh, count(*) AS df FROM occ GROUP BY 1, 2),
+      bl AS (SELECT ldf.source, ldf.lh
+             FROM ldf JOIN dps USING (source)
+             WHERE ldf.df * 100 >= 30 * dps.n_docs AND ldf.df >= 2)
+      SELECT o.doc_id, o.source,
+        CAST(sum(o.n_occ) AS BIGINT) AS n_lines,
+        CAST(sum(CASE WHEN b.lh IS NOT NULL THEN o.n_occ ELSE 0 END)
+          AS BIGINT) AS n_boiler,
+        CAST(sum(CASE WHEN b.lh IS NULL THEN o.n_occ * o.len ELSE 0 END)
+          AS BIGINT) AS kept_chars
+      FROM occ o
+      LEFT JOIN bl b ON o.source = b.source AND o.lh = b.lh
+      GROUP BY 1, 2"""),
+    doc = "boilerplate line removal stats: per-source line df threshold, " +
+      "per-doc kept/stripped totals")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1121,5 +1209,7 @@ object TextOps {
     "q103_range_shards" -> q103_range_shards,
     "q104_repeated_passages" -> q104_repeated_passages,
     "q107_topk_pergroup" -> q107_topk_pergroup,
-    "q115_containment" -> q115_containment)
+    "q115_containment" -> q115_containment,
+    "q116_boilerplate" -> q116_boilerplate,
+    "q118_estimated_pairs" -> q118_estimated_pairs)
 }

@@ -1129,6 +1129,48 @@ object VectorOps {
     doc = "embedding outliers: cosine to own-label centroid below the " +
       "label's exact p05")
 
+  // --- Semantic decontamination: corpus vectors within cosine >= 0.35 of
+  //     ANY benchmark vector (vec_id % 7 == 0 plays the eval suite;
+  //     the synthetic embeddings are near-orthogonal, so the threshold
+  //     sits where real cross-vector similarity lives).
+  //     Benchmark broadcasts (eval-suite-sized); the corpus never
+  //     shuffles for scoring — the embedding-space analog of q83's
+  //     n-gram contamination check. Cosines rounded 4dp BEFORE the
+  //     threshold (cross-engine contract); zero-norm => NULL => clean.
+  private val q117_semantic_decontam = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.benchmarkContamination(
+        emb.filter(col("vec_id") % 7 =!= 0),
+        emb.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id").as("bench_id"), col("embedding").as("bv")),
+        threshold = 0.35)
+    },
+    oracle = Some("""
+      WITH b AS (
+        SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+        FROM embeddings WHERE vec_id % 7 = 0),
+      scored AS (
+        SELECT e.vec_id, b.bench_id,
+          CASE WHEN list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                            x -> x * x)) = 0
+                 OR list_sum(list_transform(b.bv, x -> x * x)) = 0
+               THEN NULL
+               ELSE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 b.bv), 4) END AS cos
+        FROM embeddings e, b
+        WHERE e.vec_id % 7 <> 0),
+      hits AS (
+        SELECT vec_id, bench_id, cos,
+          CAST(row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, bench_id) AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_hits
+        FROM scored WHERE cos >= 0.35)
+      SELECT vec_id, n_hits, bench_id AS best_bench_id, cos AS best_cos
+      FROM hits WHERE rn = 1"""),
+    doc = "semantic decontamination: corpus vectors within cosine 0.35 of " +
+      "any broadcast benchmark vector, with best-match attribution")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -1151,5 +1193,6 @@ object VectorOps {
     "q111_ivfpq_batch_rerank" -> q111_ivfpq_batch_rerank,
     "q112_hard_negatives" -> q112_hard_negatives,
     "q113_ann_multiprobe" -> q113_ann_multiprobe,
-    "q114_embed_outliers" -> q114_embed_outliers)
+    "q114_embed_outliers" -> q114_embed_outliers,
+    "q117_semantic_decontam" -> q117_semantic_decontam)
 }

@@ -468,4 +468,24 @@ class DedupSpec extends SparkSpec {
     assert((1L until 80L by 2).forall(got(_)), "cluster members flagged")
     assert(!got(101L), "novel doc clean")
   }
+
+  test("estimated pairs: exact dup scores 16/16, unrelated doc excluded, " +
+      "and the estimate agrees with the signature overlap") {
+    val est = Dedup.minhashEstimatedPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.5)
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+      .as[(Long, Long, Int, Double)].collect()
+    val byPair = est.map(r => (r._1, r._2) -> r).toMap
+    // byte-identical docs 1/2 share every shingle => identical signatures
+    assert(byPair((1L, 2L))._3 == 16 && byPair((1L, 2L))._4 == 1.0)
+    // doc 4 shares no shingles with the dup cluster
+    assert(!est.exists(r => r._1 == 4L || r._2 == 4L))
+    // est_jaccard is exactly n_match / k and the cut is >= 8/16
+    assert(est.forall(r => r._4 == r._3.toDouble / 16.0 && r._3 >= 8))
+    // estimated pairs are a SUBSET of the banded candidates (the
+    // estimate filters candidates, never invents pairs)
+    val cands = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(est.forall(r => cands.contains((r._1, r._2))))
+  }
 }

@@ -778,6 +778,29 @@ class SimilaritySpec extends SparkSpec {
       "flags must not depend on partitioning")
   }
 
+  test("benchmarkContamination: threshold hit flagged with best-match " +
+      "attribution; orthogonal and zero-norm vectors stay clean") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // exact match of bench 10 and 12
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to every benchmark
+      (3L, Array(0.0f, 0.0f)),   // zero-norm => NULL cosine => clean
+      (4L, Array(0.9f, 0.1f))    // near bench 10/12, one hit over 0.8
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (12L, Array(1.0f, 0.0f)),  // duplicate benchmark: tie on cosine
+      (14L, Array(0.0f, -1.0f))
+    ).toDF("bench_id", "bv")
+    val got = Similarity.benchmarkContamination(corpus, bench,
+        threshold = 0.8)
+      .select("vec_id", "n_hits", "best_bench_id", "best_cos")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // vec 1 ties bench 10/12 at cos 1.0 => lowest bench_id wins
+    assert(got(1L) == ((1L, 2L, 10L, 1.0)))
+    assert(got(4L)._2 == 2L && got(4L)._3 == 10L && got(4L)._4 >= 0.8)
+    assert(!got.contains(2L) && !got.contains(3L))
+  }
+
   test("autoCells: power-of-two in [8, 4096], mean cell stays <= target") {
     assert(Similarity.autoCells(0) == 8)
     assert(Similarity.autoCells(2048) == 8)

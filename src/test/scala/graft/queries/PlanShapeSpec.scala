@@ -486,4 +486,52 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the shh-partitioned df-cap window:\n$p")
     assert(!p.contains("lang#"), s"scan must not read unused columns:\n$p")
   }
+
+  test("q116_boilerplate: boilerplate set and per-source doc counts " +
+      "broadcast; every non-broadcast exchange keys on the line hash or " +
+      "doc id, never line text; scan pruned to (doc_id, source, text)") {
+    val p = plan("q116_boilerplate")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boilerplate set + doc counts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join of the line relation:\n$p")
+    assert(!p.contains("lang#") && !p.contains("n_chars#"),
+      s"scan must not read unused columns:\n$p")
+    // the line TEXT never enters a shuffle: every hashpartitioning keys
+    // on compact attributes (source/doc_id/lh)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__line")),
+      s"line text must not be a shuffle key:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("q117_semantic_decontam: benchmark broadcasts into one corpus " +
+      "scan (no corpus shuffle for scoring); best-match pick is an " +
+      "aggregate with partials, not a window") {
+    val p = plan("q117_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the benchmark set to broadcast:\n$p")
+    assert(!p.contains("Window"), s"must not fall back to a window:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partial aggregation:\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 2,
+      s"expected only the spread + final-agg exchanges ($nonBroadcast):\n$p")
+  }
+
+  test("q118_estimated_pairs: no shingle-verify join — the pair relation " +
+      "joins only the doc-sized signature frame; cached signatures reused " +
+      "across banding and both pair sides") {
+    val p = plan("q118_estimated_pairs")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    // the estimate path must NOT re-touch the shingle relation after
+    // signatures: no join keyed on the shingle hash
+    assert(!p.linesIterator.exists(l => l.contains("Join") &&
+      l.contains("shh")), s"no shingle-verify join in the estimate path:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"signature frame must come from the cache:\n$p")
+  }
 }
