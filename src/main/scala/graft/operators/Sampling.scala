@@ -63,4 +63,59 @@ object Sampling {
     }
     df.filter(hashBucket(key) < cut)
   }
+
+  /** Proportional-allocation stratified sample: apportion a GLOBAL doc
+    * budget across strata proportional to each stratum's mass (token
+    * count) with Hamilton's largest-remainder method, then take each
+    * stratum's allocation deterministically by md5 hash priority (the
+    * q87 selection). The full "sample N documents, languages weighted by
+    * their token share" step of a mixture pipeline, end to end.
+    *
+    * Every apportionment decision is INTEGER arithmetic — floor =
+    * `(budget·mass) DIV total`, remainder = `(budget·mass) MOD total`,
+    * leftover seats to the largest remainders (ties: stratum ASC, nulls
+    * last) — so any engine reproduces the allocation exactly; no
+    * floating-point rate ever rounds differently. Requires
+    * budget · total-mass < 2^63 (ANSI throws on the overflow rather than
+    * corrupting the allocation; lift the products to DECIMAL(38,0) for
+    * corpora past ~9e18/budget tokens).
+    *
+    * Scale shape: the mass aggregate is one shuffle with map-side
+    * partials; the apportionment runs on the STRATUM-cardinality frame
+    * (its global window sorts #strata rows, not documents); selection is
+    * [[TopK.perGroup]]'s bounded heap at k = budget (an allocation can
+    * never exceed the global budget, proven by Σfloor ≤ budget), gated by
+    * the broadcast allocation row. NULL strata are excluded BEFORE the
+    * apportionment — otherwise unclassified documents would silently
+    * absorb budget seats that then evaporate at the allocation join.
+    */
+  def proportionalSample(docs: DataFrame, id: Column, stratum: Column,
+      mass: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"proportionalSample: budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val rows = docs.select(id.as("doc_id"), stratum.as("stratum"),
+      mass.as("__m")).filter(col("stratum").isNotNull)
+    val massBy = rows.groupBy("stratum")
+      .agg(coalesce(sum(col("__m")), lit(0L)).as("toks"))
+    val tot = massBy
+      .agg(greatest(coalesce(sum(col("toks")), lit(0L)), lit(1L)).as("tot"))
+    val base = massBy.crossJoin(broadcast(tot))
+      .withColumn("fl", expr(s"(${budget}L * toks) DIV tot"))
+      .withColumn("rem", pmod(lit(budget.toLong) * col("toks"), col("tot")))
+    val sfl = base.agg(coalesce(sum(col("fl")), lit(0L)).as("sfl"))
+    val alloc = base.crossJoin(broadcast(sfl))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum").asc_nulls_last)))
+      .select(col("stratum"),
+        (col("fl") + when(col("rn") <= lit(budget.toLong) - col("sfl"),
+          lit(1L)).otherwise(lit(0L))).as("alloc"))
+    val pri = md5(col("doc_id").cast("string").cast("binary"))
+    TopK.perGroup(rows.select(col("doc_id"), col("stratum")),
+        Seq("stratum"), struct(pri.as("p"), col("doc_id").as("i")),
+        payload = Seq("doc_id"), k = budget, largest = false)
+      .join(broadcast(alloc), Seq("stratum"))
+      .filter(col("rank") <= col("alloc"))
+      .select(col("doc_id"), col("stratum"), col("rank").cast("long").as("rk"),
+        col("alloc"))
+  }
 }

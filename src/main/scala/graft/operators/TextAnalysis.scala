@@ -210,6 +210,38 @@ object TextAnalysis {
   def normalizedHash(text: Column): Column =
     normalizedHashFrom(tokens(text))
 
+  /** Vocabulary coverage report: the top-`v` tokens by corpus frequency
+    * with each prefix's cumulative share of ALL token occurrences — the
+    * tokenizer-planning readout ("how much of the corpus do the first V
+    * vocab entries cover"). Deterministic order: count DESC, token ASC.
+    *
+    * Scale shape: ONE shuffle (the token-frequency aggregate, map-side
+    * partials); the top-v cut is TakeOrdered (bounded heap, no global
+    * sort); the cumulative window runs over v rows. `cum_frac` is a plain
+    * double quotient of two longs — IEEE division is correctly rounded on
+    * every engine, so the unrounded value is bit-identical and needs no
+    * round() (whose decimal-boundary behavior splits engines).
+    */
+  def vocabCoverage(docs: DataFrame, text: Column, v: Int): DataFrame = {
+    require(v >= 1, s"vocabCoverage: v must be >= 1, got $v")
+    val toks = docs
+      .select(explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(coalesce(sum(col("cnt")), lit(0L)).as("tot"))
+    val ord = Seq(col("cnt").desc, col("tok").asc)
+    import org.apache.spark.sql.expressions.Window
+    freq.orderBy(ord: _*).limit(v)
+      .withColumn("rk", row_number().over(Window.orderBy(ord: _*))
+        .cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rk"), col("tok"), col("cnt"),
+        (col("cum").cast("double") / col("tot").cast("double"))
+          .as("cum_frac"))
+  }
+
   /** Boilerplate-line stats — the CCNet/RefinedWeb line-level cleanup
     * signal: a (trimmed, non-empty) line occurring in at least
     * `boilerPct`% of its source's documents (and in at least `minDf` of

@@ -1183,6 +1183,86 @@ object TextOps {
     doc = "boilerplate line removal stats: per-source line df threshold, " +
       "per-doc kept/stripped totals")
 
+  // --- Proportional-allocation sampling: a GLOBAL budget of 50 docs
+  //     apportioned across languages by token mass (Hamilton largest-
+  //     remainder, pure integer arithmetic), each stratum then taking its
+  //     allocation by md5 hash priority (the q87 selection). The entire
+  //     allocation decision is integer DIV/MOD — no floating-point rate
+  //     can round differently across engines.
+  private val q119_proportional_sample = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Sampling.proportionalSample(
+          docs.withColumn("__tk", TextAnalysis.tokens(col("text")))
+            .select(col("doc_id"), col("lang"),
+              TextAnalysis.tokenCountFrom(col("text"), col("__tk"))
+                .as("__m")),
+          col("doc_id"), col("lang"), col("__m"), budget = 50)
+        .withColumnRenamed("stratum", "lang")
+    },
+    oracle = Some("""
+      WITH tk AS (
+        SELECT doc_id, lang,
+          CASE WHEN text IS NULL THEN NULL
+               WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+          END AS tc
+        FROM documents WHERE lang IS NOT NULL),
+      mass AS (SELECT lang, coalesce(sum(tc), 0) AS toks
+               FROM tk GROUP BY lang),
+      tot AS (SELECT greatest(coalesce(sum(toks), 0), 1) AS tot FROM mass),
+      base AS (SELECT lang, toks, (50 * toks) // tot AS fl,
+                      (50 * toks) % tot AS rem
+               FROM mass, tot),
+      sfl AS (SELECT coalesce(sum(fl), 0) AS sfl FROM base),
+      alloc AS (
+        SELECT lang,
+          CAST(fl + (CASE WHEN rn <= 50 - sfl THEN 1 ELSE 0 END)
+            AS BIGINT) AS alloc
+        FROM (SELECT lang, fl,
+                row_number() OVER (ORDER BY rem DESC, lang ASC NULLS LAST)
+                  AS rn
+              FROM base), sfl),
+      sel AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents WHERE lang IS NOT NULL)
+      SELECT s.doc_id, s.lang, CAST(s.rk AS BIGINT) AS rk, a.alloc
+      FROM sel s JOIN alloc a ON s.lang = a.lang
+      WHERE s.rk <= a.alloc"""),
+    doc = "proportional-allocation sample: Hamilton integer apportionment " +
+      "of a global budget by token mass, hash-priority selection")
+
+  // --- Vocabulary coverage: top-100 tokens by corpus frequency with the
+  //     prefix's cumulative share of all token occurrences — tokenizer
+  //     vocab planning. cum_frac is an UNROUNDED double quotient of two
+  //     longs (IEEE division is correctly rounded on every engine;
+  //     round() on decimal boundaries is what splits them).
+  private val q120_vocab_coverage = Q(
+    run = (s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d),
+      col("text"), v = 100),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT t AS tok
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                '\s+')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      total AS (SELECT coalesce(sum(cnt), 0) AS tot FROM freq),
+      top AS (
+        SELECT tok, cnt,
+          CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk,
+          sum(cnt) OVER (ORDER BY cnt DESC, tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM freq)
+      SELECT rk, tok, CAST(cnt AS BIGINT) AS cnt,
+        CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_frac
+      FROM top, total
+      WHERE rk <= 100"""),
+    doc = "vocab coverage: top-100 tokens, cumulative occurrence share")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1211,5 +1291,7 @@ object TextOps {
     "q107_topk_pergroup" -> q107_topk_pergroup,
     "q115_containment" -> q115_containment,
     "q116_boilerplate" -> q116_boilerplate,
-    "q118_estimated_pairs" -> q118_estimated_pairs)
+    "q118_estimated_pairs" -> q118_estimated_pairs,
+    "q119_proportional_sample" -> q119_proportional_sample,
+    "q120_vocab_coverage" -> q120_vocab_coverage)
 }

@@ -54,4 +54,50 @@ class SamplingSpec extends SparkSpec {
       .select("s").distinct().as[String].collect()
     assert(got.toSeq == Seq("A"))
   }
+
+  test("proportionalSample: Hamilton allocation sums to the budget, " +
+      "tracks mass shares, and is partitioning-independent") {
+    // masses 60/30/10 over ample docs: budget 10 should split 6/3/1
+    val docs = ((1L to 30L).map(i => (i, "en", 20L)) ++
+      (31L to 60L).map(i => (i, "es", 10L)) ++
+      (61L to 90L).map(i => (i, "de", 333L / 100)))
+      .toDF("doc_id", "lang", "m")
+      // integer masses: en 600, es 300, de 90 of 990
+    val got = Sampling.proportionalSample(docs, col("doc_id"), col("lang"),
+        col("m"), budget = 10)
+      .select("doc_id", "stratum", "rk", "alloc")
+      .as[(Long, String, Long, Long)].collect()
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(got.length == 10, s"budget not exhausted: ${got.length}")
+    // exact Hamilton: floors 6/3/0 (de 900/990 -> 0), remainders give the
+    // leftover seat to de (rem 900) over es (rem 30) and en (rem 60)...
+    // verify against a direct computation instead of hand-arithmetic:
+    val masses = Map("en" -> 600L, "es" -> 300L, "de" -> 90L)
+    val tot = masses.values.sum
+    val fl = masses.view.mapValues(m => 10L * m / tot).toMap
+    val left = (10L - fl.values.sum).toInt
+    val order = masses.keys.toSeq
+      .sortBy(l => (-(10L * masses(l) % tot), l))
+    val expect = fl ++ order.take(left).map(l => l -> (fl(l) + 1L)).toMap
+    assert(byLang == expect.filter(_._2 > 0).map { case (k, v) =>
+      k -> v.toInt }, s"allocation $byLang != $expect")
+    // partitioning independence: same selected set after a reshuffle
+    val got2 = Sampling.proportionalSample(docs.repartition(7, col("m")),
+        col("doc_id"), col("lang"), col("m"), budget = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == got2)
+  }
+
+  test("proportionalSample: NULL strata neither receive budget nor " +
+      "appear in the sample; an under-populated stratum just exhausts") {
+    // the null stratum's huge mass must NOT absorb seats: without the
+    // up-front exclusion it would take 4 of 5 and evaporate
+    val docs = Seq((1L, "en", 100L), (2L, "en", 100L),
+      (3L, null.asInstanceOf[String], 1000L)).toDF("doc_id", "lang", "m")
+    val got = Sampling.proportionalSample(docs, col("doc_id"), col("lang"),
+        col("m"), budget = 5)
+      .select("doc_id", "stratum").as[(Long, String)].collect()
+    assert(got.forall(_._2 == "en"), s"null stratum leaked: ${got.toSeq}")
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+  }
 }

@@ -522,6 +522,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected only the spread + final-agg exchanges ($nonBroadcast):\n$p")
   }
 
+  test("q119_proportional_sample: selection rides the bounded heap (no " +
+      "corpus window); apportionment frame + allocation broadcast; the " +
+      "only corpus exchanges are the mass partials and the heap") {
+    val p = plan("q119_proportional_sample")
+    assert(p.contains("partial_collect_top_k"),
+      s"expected map-side bounded-heap selection:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"allocation must broadcast into the selection:\n$p")
+    // windows only on the stratum-cardinality apportionment frame: no
+    // window may consume the documents scan directly
+    assert(!p.linesIterator.exists(l => l.contains("Window") &&
+      l.contains("doc_id")), s"no corpus-row windows:\n$p")
+  }
+
+  test("q120_vocab_coverage: ONE corpus exchange (token partials); " +
+      "top-v cut is TakeOrdered, not a global sort") {
+    val p = plan("q120_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded top-v cut:\n$p")
+    assert(p.contains("partial_count"),
+      s"expected map-side token-count partials:\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    // token agg + the single-partition v-row window/total exchanges; the
+    // corpus-sized relation crosses only the first
+    assert(nonBroadcast <= 3,
+      s"too many exchanges ($nonBroadcast):\n$p")
+  }
+
   test("q118_estimated_pairs: no shingle-verify join — the pair relation " +
       "joins only the doc-sized signature frame; cached signatures reused " +
       "across banding and both pair sides") {
