@@ -227,7 +227,10 @@ object TextAnalysis {
     val toks = docs
       .select(explode(tokens(text)).as("tok"))
       .filter(col("tok") =!= "")
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // cached: the total and the top-v cut both consume the vocab-sized
+    // frequency frame — without the cache the corpus token aggregate
+    // runs twice (once under the broadcast total subtree)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).cache()
     val total = freq.agg(coalesce(sum(col("cnt")), lit(0L)).as("tot"))
     val ord = Seq(col("cnt").desc, col("tok").asc)
     import org.apache.spark.sql.expressions.Window

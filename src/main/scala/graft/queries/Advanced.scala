@@ -353,6 +353,79 @@ object Advanced {
       GROUP BY band"""),
     doc = "inequality range join onto a band dimension")
 
+  // --- Ordered funnel: view -> click -> purchase, each stage STRICTLY
+  //     after the previous one's first completion. Stage n is a
+  //     filtered-scan aggregate joined to stage n-1 — event_type filters
+  //     reach the parquet scan, every shuffle keys on user_id (AQE
+  //     reuses the layout), and no per-user event sort happens anywhere
+  //     (the window formulation would sort every user's full history).
+  //     NULL ts rows are excluded up front (the event-time contract).
+  private val q122_funnel = Q(
+    run = (s, d) => {
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, ts FROM events
+                 WHERE ts IS NOT NULL),
+      v AS (SELECT user_id, min(ts) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY 1)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      FROM v
+      LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id"""),
+    doc = "ordered conversion funnel: per-user first view -> first " +
+      "later click -> first later purchase")
+
+  // --- Retention cohorts: users grouped by first-active DATE, counted
+  //     on each later day they return. One distinct over (user, day
+  //     offset) bounds the aggregate at users x active-days; every
+  //     shuffle keys on user_id until the final (cohort, offset) rollup
+  //     whose cardinality is calendar-sized.
+  private val q123_retention = Q(
+    run = (s, d) => {
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val f = e.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      e.join(f, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).as("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+                 WHERE ts IS NOT NULL),
+      f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+      act AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+          date_diff('day', f.cohort_day, e.d) AS day_offset
+        FROM e JOIN f ON e.user_id = f.user_id)
+      SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+        count(*) AS n_users
+      FROM act GROUP BY 1, 2"""),
+    doc = "retention cohorts: first-active-day cohort x day-offset " +
+      "returning-user counts")
+
   val all: Seq[(String, Q)] = Seq(
     "q42_lag_delta" -> q42_lag_delta,
     "q43_sessionize" -> q43_sessionize,
@@ -364,5 +437,7 @@ object Advanced {
     "q49_distinct_agg" -> q49_distinct_agg,
     "q50_strings" -> q50_strings,
     "q51_asof_attribution" -> q51_asof_attribution,
-    "q52_range_join" -> q52_range_join)
+    "q52_range_join" -> q52_range_join,
+    "q122_funnel" -> q122_funnel,
+    "q123_retention" -> q123_retention)
 }

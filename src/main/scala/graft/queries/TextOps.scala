@@ -1263,6 +1263,77 @@ object TextOps {
       WHERE rk <= 100"""),
     doc = "vocab coverage: top-100 tokens, cumulative occurrence share")
 
+  // --- Corpus drift report: token-distribution shift between the BASE
+  //     corpus (even doc_ids) and a NEW batch (odd doc_ids) — the
+  //     continuous-ingestion QA readout that catches a crawl drop whose
+  //     language/spam mix moved. Per-token rates are IEEE quotients of
+  //     exact longs (no rounding); the report is the top-50 tokens by
+  //     absolute rate shift (ties: token ASC) — per-token OUTPUT rows,
+  //     never a floating-point accumulation across tokens (order-
+  //     dependent double sums are the cross-engine hazard).
+  //     Scale: ONE corpus exchange (the conditional-sum token aggregate);
+  //     totals broadcast; top-50 is TakeOrdered.
+  private val q121_corpus_drift = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select((pmod(col("doc_id"), lit(2)) === 0).as("__is_base"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      // cached: totals and the report both consume the vocab-sized
+      // frequency frame — without the cache the corpus token aggregate
+      // runs TWICE (once under the broadcast totals subtree)
+      val freq = toks.groupBy("tok")
+        .agg(sum(when(col("__is_base"), lit(1L)).otherwise(lit(0L)))
+          .as("cnt_base"),
+          sum(when(!col("__is_base"), lit(1L)).otherwise(lit(0L)))
+            .as("cnt_batch"))
+        .cache()
+      val totals = freq.agg(
+        greatest(coalesce(sum(col("cnt_base")), lit(0L)), lit(1L)).as("tb"),
+        greatest(coalesce(sum(col("cnt_batch")), lit(0L)), lit(1L)).as("tn"))
+      freq.crossJoin(broadcast(totals))
+        .select(col("tok"), col("cnt_base"), col("cnt_batch"),
+          (col("cnt_base").cast("double") / col("tb").cast("double"))
+            .as("p_base"),
+          (col("cnt_batch").cast("double") / col("tn").cast("double"))
+            .as("p_batch"))
+        .withColumn("drift", abs(col("p_base") - col("p_batch")))
+        .orderBy(col("drift").desc, col("tok").asc)
+        .limit(50)
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT (doc_id % 2 = 0) AS is_base, t AS tok
+        FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      freq AS (
+        SELECT tok,
+          CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+            AS cnt_base,
+          CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+            AS cnt_batch
+        FROM toks GROUP BY tok),
+      totals AS (
+        SELECT greatest(coalesce(sum(cnt_base), 0), 1) AS tb,
+               greatest(coalesce(sum(cnt_batch), 0), 1) AS tn
+        FROM freq),
+      scored AS (
+        SELECT tok, cnt_base, cnt_batch,
+          CAST(cnt_base AS DOUBLE) / CAST(tb AS DOUBLE) AS p_base,
+          CAST(cnt_batch AS DOUBLE) / CAST(tn AS DOUBLE) AS p_batch,
+          abs(CAST(cnt_base AS DOUBLE) / CAST(tb AS DOUBLE) -
+              CAST(cnt_batch AS DOUBLE) / CAST(tn AS DOUBLE)) AS drift
+        FROM freq, totals)
+      SELECT tok, cnt_base, cnt_batch, p_base, p_batch, drift
+      FROM scored
+      ORDER BY drift DESC, tok
+      LIMIT 50"""),
+    doc = "corpus drift: top-50 token-rate shifts between base corpus " +
+      "and new batch")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1293,5 +1364,6 @@ object TextOps {
     "q116_boilerplate" -> q116_boilerplate,
     "q118_estimated_pairs" -> q118_estimated_pairs,
     "q119_proportional_sample" -> q119_proportional_sample,
-    "q120_vocab_coverage" -> q120_vocab_coverage)
+    "q120_vocab_coverage" -> q120_vocab_coverage,
+    "q121_corpus_drift" -> q121_corpus_drift)
 }

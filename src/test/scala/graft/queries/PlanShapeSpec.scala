@@ -543,12 +543,61 @@ class PlanShapeSpec extends SparkSpec {
       s"expected bounded top-v cut:\n$p")
     assert(p.contains("partial_count"),
       s"expected map-side token-count partials:\n$p")
+    // top-v and total both read the CACHED frequency frame (count
+    // DISTINCT exchange plan ids — the cached subtree prints per reader)
+    assert(p.contains("InMemoryTableScan"),
+      s"frequency frame must come from the cache:\n$p")
     val nonBroadcast = p.linesIterator
-      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast"))
+      .map(_.replaceAll(".*plan_id=", "")).toSet.size
     // token agg + the single-partition v-row window/total exchanges; the
     // corpus-sized relation crosses only the first
     assert(nonBroadcast <= 3,
       s"too many exchanges ($nonBroadcast):\n$p")
+  }
+
+  test("q121_corpus_drift: ONE corpus exchange (conditional-sum token " +
+      "aggregate), totals broadcast, top-50 via TakeOrdered") {
+    val p = plan("q121_corpus_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected bounded top-50 cut:\n$p")
+    assert(p.contains("partial_sum"),
+      s"expected map-side conditional-sum partials:\n$p")
+    // the report and totals both read the CACHED frequency frame — the
+    // corpus token aggregate must run once (its exchange appears under
+    // every InMemoryRelation print, so count DISTINCT plan ids)
+    assert(p.contains("InMemoryTableScan"),
+      s"frequency frame must come from the cache:\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast"))
+      .map(_.replaceAll(".*plan_id=", "")).toSet.size
+    assert(nonBroadcast <= 2,
+      s"expected token agg (+ total) exchanges only ($nonBroadcast):\n$p")
+    assert(!p.contains("Window"), s"no windows in the drift path:\n$p")
+  }
+
+  test("q122_funnel: event_type stage filters reach the scan; every " +
+      "join is a user_id equi-join; no per-user event sort (window)") {
+    val p = plan("q122_funnel")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type"),
+      s"stage filters must reach the parquet scan:\n$p")
+    assert(!p.contains("Window"),
+      s"funnel must not sort per-user histories:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stage joins must be user_id equi-joins:\n$p")
+  }
+
+  test("q123_retention: scan pruned to (user_id, ts); cohort join keys " +
+      "on user_id; final rollup aggregates with partials") {
+    val p = plan("q123_retention")
+    assert(!p.contains("event_type#") && !p.contains("props#"),
+      s"scan must not read unused event columns:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort join must be a user_id equi-join:\n$p")
   }
 
   test("q118_estimated_pairs: no shingle-verify join — the pair relation " +
