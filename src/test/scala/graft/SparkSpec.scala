@@ -30,6 +30,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (BucketedSpec) land in a per-run temp dir, never
+      // ./spark-warehouse inside the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse")
+          .toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.core.Graft.init(s)
