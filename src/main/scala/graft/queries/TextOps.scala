@@ -1334,6 +1334,93 @@ object TextOps {
     doc = "corpus drift: top-50 token-rate shifts between base corpus " +
       "and new batch")
 
+  // --- Per-source dedup rate: the "which crawl source is most
+  //     duplicated" QA readout — q33's normalized keep-flags rolled up by
+  //     source with doc/char savings. The flag relation re-joins the
+  //     narrow (doc_id, source, n_chars) projection on doc_id; NULL
+  //     fingerprints (null text) group together on both engines (the
+  //     null-safe q33 contract), and a dropped doc with NULL n_chars
+  //     contributes nothing to chars_dropped on either engine.
+  private val q124_source_dedup_rate = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.normalized(docs, col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("is_kept"), lit(1L)).otherwise(lit(0L)))
+            .as("n_dups"),
+          sum(when(!col("is_kept"), col("n_chars")).otherwise(lit(0L)))
+            .as("chars_dropped"))
+        .withColumn("dup_frac",
+          col("n_dups").cast("double") / col("n_docs").cast("double"))
+    },
+    oracle = Some("""
+      WITH fps AS (
+        SELECT doc_id, source, n_chars,
+          md5(array_to_string(list_sort(
+            regexp_split_to_array(lower(trim(text)), '\s+')), ' ')) AS fp
+        FROM documents),
+      fl AS (
+        SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS is_kept
+        FROM fps)
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+        CAST(sum(CASE WHEN is_kept THEN 0 ELSE n_chars END) AS BIGINT)
+          AS chars_dropped,
+        CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS dup_frac
+      FROM fl GROUP BY source"""),
+    doc = "per-source dedup rate: normalized-dup share and chars saved " +
+      "by source")
+
+  // --- Shard integrity manifest: per-shard doc/token counts and an
+  //     ORDER-INDEPENDENT content checksum (bit_xor of a per-doc 60-bit
+  //     content hash covering id + text, with a NULL-text sentinel so
+  //     every doc is accounted). The reproducibility receipt a 100 TB
+  //     export writes next to each shard: re-running the export on any
+  //     partitioning/cluster must reproduce every checksum. XOR commutes,
+  //     so the aggregate needs no ordering — ONE exchange with map-side
+  //     partials.
+  private val q125_shard_manifest = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = Dedup.portableHash64(col("doc_id").cast("string"))
+      val contentHash = Dedup.portableHash64(
+        concat(col("doc_id").cast("string"), lit(":"),
+          coalesce(md5(col("text").cast("binary")), lit("null"))))
+      docs
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(pmod(h, lit(64)).cast("int").as("shard"),
+          TextAnalysis.tokenCountFrom(col("text"), col("__tk")).as("__tc"),
+          contentHash.as("__ch"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__tc")), lit(0L)).as("n_tokens"),
+          expr("bit_xor(__ch)").as("checksum"))
+    },
+    oracle = Some("""
+      WITH b AS (
+        SELECT
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 64 AS INT) AS shard,
+          CASE WHEN text IS NULL THEN NULL
+               WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+          END AS tc,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+               coalesce(md5(text), 'null')), 1, 15) AS BIGINT) AS ch
+        FROM documents)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(tc), 0) AS BIGINT) AS n_tokens,
+        bit_xor(ch) AS checksum
+      FROM b GROUP BY shard"""),
+    doc = "shard integrity manifest: per-shard counts + order-independent " +
+      "XOR content checksum")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1365,5 +1452,7 @@ object TextOps {
     "q118_estimated_pairs" -> q118_estimated_pairs,
     "q119_proportional_sample" -> q119_proportional_sample,
     "q120_vocab_coverage" -> q120_vocab_coverage,
-    "q121_corpus_drift" -> q121_corpus_drift)
+    "q121_corpus_drift" -> q121_corpus_drift,
+    "q124_source_dedup_rate" -> q124_source_dedup_rate,
+    "q125_shard_manifest" -> q125_shard_manifest)
 }

@@ -600,6 +600,31 @@ class PlanShapeSpec extends SparkSpec {
       s"cohort join must be a user_id equi-join:\n$p")
   }
 
+  test("q124_source_dedup_rate: keep-flag join + rollup are equi-joins/" +
+      "aggregates with partials; no window (sort-free keep-flags)") {
+    val p = plan("q124_source_dedup_rate")
+    assert(!p.contains("Window"),
+      s"keep-flags must stay sort-free (aggregate argmin):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"flag/source joins must be equi-joins:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partials:\n$p")
+  }
+
+  test("q125_shard_manifest: pure map + ONE exchange (the shard " +
+      "aggregate with partial bit_xor/sum)") {
+    val p = plan("q125_shard_manifest")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"manifest is scan -> map -> aggregate only:\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast == 1,
+      s"expected exactly the shard-agg exchange ($nonBroadcast):\n$p")
+    assert(p.contains("partial_bit_xor"),
+      s"checksum must combine map-side:\n$p")
+  }
+
   test("q118_estimated_pairs: no shingle-verify join — the pair relation " +
       "joins only the doc-sized signature frame; cached signatures reused " +
       "across banding and both pair sides") {
