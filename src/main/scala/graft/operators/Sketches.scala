@@ -107,17 +107,21 @@ object Sketches {
     * form so both engines agree on the bytes.
     */
   def hllPortable(df: DataFrame, group: Column, value: Column,
-      p: Int = 8): DataFrame = {
+      p: Int = 8): DataFrame =
+    hllEstimateFromRegs(hllRegisters(df, group, value, p), p)
+
+  /** The (grp, bucket, mj) register relation of the portable HLL — one
+    * scan, one m-bounded shuffle (map-side partial max). Registers are
+    * the MERGEABLE form: element-wise max of two sides' registers is the
+    * sketch of their union, which is what [[hllJoinPreflight]] exploits.
+    */
+  private def hllRegisters(df: DataFrame, group: Column, value: Column,
+      p: Int): DataFrame = {
     require(p >= 4 && p <= 14, s"hllPortable: p must be in [4,14], got $p")
-    val m = 1 << p
     val remBits = 60 - p
-    val scale = 1L << (remBits + 1)
-    // numerator alpha_m * m^2 * 2^(remBits+1) as ONE Scala double so the
-    // SQL twin embeds the identical literal (round-trip toString)
-    val numer = hllNumerator(p)
     // stage the hash as an attribute: bucket and rho both read it, and an
     // inlined md5+conv would otherwise be evaluated twice per row
-    val regs = df.filter(value.isNotNull)
+    df.filter(value.isNotNull)
       .select(group.as("grp"),
         Dedup.portableHash64(value.cast("string")).as("h"))
       .select(col("grp"), shiftright(col("h"), remBits).as("bucket"),
@@ -127,6 +131,18 @@ object Sketches {
           .otherwise(lit(remBits + 1) - length(bin(col("rem")))).as("rho"))
       .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("mj"))
+  }
+
+  /** (grp, nd_est) from a register relation — the estimate step of
+    * [[hllPortable]], shared with the merged-register path.
+    */
+  private def hllEstimateFromRegs(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val scale = 1L << (remBits + 1)
+    // numerator alpha_m * m^2 * 2^(remBits+1) as ONE Scala double so the
+    // SQL twin embeds the identical literal (round-trip toString)
+    val numer = hllNumerator(p)
     val perGroup = regs.groupBy(col("grp")).agg(
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${remBits + 1} - mj)"))
         .as("s_present"),
@@ -139,6 +155,35 @@ object Sketches {
       .otherwise(estRaw)
     perGroup.select(col("grp"),
       floor(est + lit(0.5)).cast("long").as("nd_est"))
+  }
+
+  /** Join pre-flight cardinality estimation: ONE scan of each side builds
+    * its HLL registers; the union sketch is the element-wise register
+    * max; the key-overlap estimate follows by inclusion–exclusion
+    * (clamped at 0 — estimates can cross). The planner-aid readout that
+    * decides broadcast vs shuffle vs bloom-prefilter BEFORE touching
+    * 100 TB: every relation after the two m-bounded register aggregates
+    * is sketch-sized.
+    *
+    * Returns one row: (n_left_est, n_right_est, union_est, inter_est).
+    */
+  def hllJoinPreflight(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, p: Int = 8): DataFrame = {
+    // cached: each side's registers feed its own estimate AND the merged
+    // sketch (tiny: <= 2^p rows)
+    val rl = hllRegisters(left, lit("L"), leftKey, p).cache()
+    val rr = hllRegisters(right, lit("R"), rightKey, p).cache()
+    val merged = rl.unionAll(rr)
+      .select(lit("U").as("grp"), col("bucket"), col("mj"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("mj")).as("mj"))
+    val ests = hllEstimateFromRegs(rl.unionAll(rr).unionAll(merged), p)
+    ests.groupBy().agg(
+        max(when(col("grp") === "L", col("nd_est"))).as("n_left_est"),
+        max(when(col("grp") === "R", col("nd_est"))).as("n_right_est"),
+        max(when(col("grp") === "U", col("nd_est"))).as("union_est"))
+      .select(col("n_left_est"), col("n_right_est"), col("union_est"),
+        greatest(col("n_left_est") + col("n_right_est") - col("union_est"),
+          lit(0L)).as("inter_est"))
   }
 
   /** ANSI-SQL text of [[hllPortable]] for the DuckDB oracle — generated
@@ -180,6 +225,58 @@ object Sketches {
                        CAST(s_present + ($m - nb) * $scale AS DOUBLE)
              END + 0.5) AS BIGINT) AS nd_est
     FROM agg"""
+  }
+
+  /** ANSI-SQL twin of [[hllJoinPreflight]] — registers per side, merged
+    * union registers, and the identical estimate formula, all generated
+    * from the same constants.
+    */
+  def hllJoinPreflightSql(leftTable: String, leftKey: String,
+      rightTable: String, rightKey: String, p: Int = 8): String = {
+    val m = 1 << p
+    val remBits = 60 - p
+    val scale = 1L << (remBits + 1)
+    val numer = hllNumerator(p)
+    def regs(name: String, table: String, key: String) = s"""
+      $name AS (
+        SELECT h >> $remBits AS bucket,
+               max(CASE WHEN (h & ${(1L << remBits) - 1}) = 0
+                        THEN ${remBits + 1}
+                        ELSE ${remBits + 1} -
+                             length(bin(h & ${(1L << remBits) - 1})) END)
+                 AS mj
+        FROM (SELECT CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h
+              FROM $table WHERE $key IS NOT NULL)
+        GROUP BY 1)"""
+    def est(name: String, regsName: String) = s"""
+      $name AS (
+        SELECT CAST(floor(
+          CASE WHEN ($numer /
+                     CAST(s_present + ($m - nb) * $scale AS DOUBLE))
+                      <= ${2.5 * m}
+                    AND ($m - nb) > 0
+               THEN $m.0 * ln($m.0 / CAST($m - nb AS DOUBLE))
+               ELSE $numer /
+                    CAST(s_present + ($m - nb) * $scale AS DOUBLE)
+          END + 0.5) AS BIGINT) AS nd
+        FROM (SELECT sum(CAST(1 AS BIGINT) << (${remBits + 1} - mj))
+                       AS s_present,
+                     count(*) AS nb
+              FROM $regsName))"""
+    s"""
+    WITH ${regs("rl", leftTable, leftKey)},
+    ${regs("rr", rightTable, rightKey)},
+    ru AS (
+      SELECT bucket, max(mj) AS mj
+      FROM (SELECT * FROM rl UNION ALL SELECT * FROM rr)
+      GROUP BY bucket),
+    ${est("el", "rl")},
+    ${est("er", "rr")},
+    ${est("eu", "ru")}
+    SELECT el.nd AS n_left_est, er.nd AS n_right_est, eu.nd AS union_est,
+           greatest(el.nd + er.nd - eu.nd, 0) AS inter_est
+    FROM el, er, eu"""
   }
 
   /** alpha_m * m^2 * 2^(60-p+1): the shared double constant of

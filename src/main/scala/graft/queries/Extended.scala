@@ -415,6 +415,21 @@ object Extended {
   // --- portable HLL: the same sketch re-built over the md5-fold hash so
   //     (unlike q70's engine-private HLL++) every register and the final
   //     estimate are bit-identical across engines — fully hash-oracled
+  // --- Join pre-flight: HLL cardinalities of both key sides + union +
+  //     inclusion-exclusion overlap — one scan per side, everything after
+  //     the m-bounded register aggregates is sketch-sized. The "should
+  //     this join broadcast / bloom-prefilter" readout, estimated BEFORE
+  //     touching the fact table.
+  private val q126_join_preflight = Q(
+    run = (s, d) =>
+      Sketches.hllJoinPreflight(
+        Tables.customer(s, d), col("c_custkey"),
+        Tables.orders(s, d), col("o_custkey")),
+    oracle = Some(Sketches.hllJoinPreflightSql(
+      "customer", "c_custkey", "orders", "o_custkey")),
+    doc = "join pre-flight: HLL per-side/union/overlap key cardinality " +
+      "estimates (mergeable registers)")
+
   private val q91_hll_portable = Q(
     run = (s, d) =>
       Sketches.hllPortable(Tables.lineitem(s, d), col("l_returnflag"),
@@ -653,5 +668,6 @@ object Extended {
     "q77_grouping_sets" -> q77_grouping_sets,
     "q78_salted_agg" -> q78_salted_agg,
     "q91_hll_portable" -> q91_hll_portable,
-    "q97_bloom_semi" -> q97_bloom_semi)
+    "q97_bloom_semi" -> q97_bloom_semi,
+    "q126_join_preflight" -> q126_join_preflight)
 }

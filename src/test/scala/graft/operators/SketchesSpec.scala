@@ -93,6 +93,28 @@ class SketchesSpec extends SparkSpec {
     assert(rel <= 0.20, s"portable HLL ${a("g")} vs 300 ($rel)")
   }
 
+  test("hllJoinPreflight: per-side, union and overlap estimates track " +
+      "truth; disjoint sides estimate ~zero overlap") {
+    import org.apache.spark.sql.DataFrame
+    def prefl(l: DataFrame, r: DataFrame) =
+      Sketches.hllJoinPreflight(l, col("k"), r, col("k"))
+        .as[(Long, Long, Long, Long)].head()
+    // 600 shared keys + 400 left-only + 400 right-only
+    val left = ((1 to 600) ++ (1001 to 1400)).map(_.toLong).toDF("k")
+    val right = ((1 to 600) ++ (2001 to 2400)).map(_.toLong).toDF("k")
+    val (nl, nr, un, in_) = prefl(left, right)
+    def rel(got: Long, want: Long) =
+      math.abs(got - want).toDouble / want
+    assert(rel(nl, 1000) <= 0.15, s"left $nl vs 1000")
+    assert(rel(nr, 1000) <= 0.15, s"right $nr vs 1000")
+    assert(rel(un, 1400) <= 0.15, s"union $un vs 1400")
+    assert(rel(in_, 600) <= 0.35, s"overlap $in_ vs 600")
+    // disjoint sides: overlap estimate collapses toward 0 (clamped)
+    val (_, _, _, dj) = prefl(left,
+      (5001 to 6000).map(_.toLong).toDF("k"))
+    assert(dj <= 120, s"disjoint overlap too high: $dj")
+  }
+
   test("heavy hitters finds the dominant keys with shares") {
     val df = (Seq.fill(80)("hot") ++ (1 to 20).map(i => s"cold$i")).toDF("k")
     val hh = Sketches.heavyHitters(df, col("k"), minShare = 0.5)

@@ -625,6 +625,17 @@ class PlanShapeSpec extends SparkSpec {
       s"checksum must combine map-side:\n$p")
   }
 
+  test("q126_join_preflight: both sides reduce to cached m-bounded " +
+      "registers before any combination — no raw-table join anywhere") {
+    val p = plan("q126_join_preflight")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"raw sides must never join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"register relations must come from the cache:\n$p")
+    assert(p.contains("partial_max"),
+      s"register build must combine map-side:\n$p")
+  }
+
   test("q118_estimated_pairs: no shingle-verify join — the pair relation " +
       "joins only the doc-sized signature frame; cached signatures reused " +
       "across banding and both pair sides") {
