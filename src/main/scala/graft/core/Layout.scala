@@ -25,12 +25,16 @@ object Layout {
     * answer to "this shuffle becomes the bottleneck at 1000×".
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      bucketCols: Seq[String]): Unit =
+      bucketCols: Seq[String]): Unit = {
+    // drop first: overwrite replaces a CATALOG-known table, but cannot
+    // adopt a stale location left by a dropped/crashed writer
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

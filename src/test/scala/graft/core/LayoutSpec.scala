@@ -36,10 +36,27 @@ class LayoutSpec extends SparkSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle either side:\n$plan")
+      // sortBy'd buckets satisfy the merge-join ordering too: the fully
+      // exchange-free AND sort-free join
+      assert(!plan.linesIterator.exists(_.trim.startsWith("Sort ")),
+        s"sorted buckets must satisfy the merge-join ordering:\n$plan")
       assert(joined.count() == 1000)
+      // bucket-key aggregation also rides the layout: no exchange
+      val aggPlan = spark.table("bk_facts").groupBy("key")
+        .agg(count(lit(1))).queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"bucket-key aggregate must not shuffle:\n$aggPlan")
     }
+    // mismatched bucket counts still join CORRECTLY (one side re-shuffles)
+    Layout.writeBucketed(dims, "bk_dims4", buckets = 4, Seq("key"))
+    assert(spark.table("bk_facts")
+      .join(spark.table("bk_dims4"), "key").count() == 1000)
+    // overwrite survives a stale warehouse location (catalog drop + dir
+    // left behind): the DROP-first path must not LOCATION_ALREADY_EXISTS
+    Layout.writeBucketed(facts, "bk_facts", buckets = 8, Seq("key"))
     spark.sql("DROP TABLE IF EXISTS bk_facts")
     spark.sql("DROP TABLE IF EXISTS bk_dims")
+    spark.sql("DROP TABLE IF EXISTS bk_dims4")
   }
 
   test("salted join spreads a hot key and preserves results") {
