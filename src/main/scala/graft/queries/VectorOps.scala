@@ -886,6 +886,81 @@ object VectorOps {
         AND m.pos = s.pos"""),
     doc = "k-means Lloyd iteration: map-only assign, exact-sum mean move")
 
+  // One Lloyd iteration as a reusable oracle CTE chain: assignment
+  // (cosine 4dp, ccos DESC + centroid_id ties) + exact-quantized mean
+  // move + empty-cell seed keep — the q109 contract, parameterized by
+  // the input-centroid CTE so iterations CHAIN (q127). Requires an `e`
+  // CTE (vec_id, v) of non-null embeddings in scope.
+  private def lloydStepSql(cin: String, p: String): String = s"""
+      scored$p AS (
+        SELECT x.vec_id, c.centroid_id,
+               CASE WHEN list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), y -> y * y)) = 0
+                      OR list_sum(list_transform(c.cv, y -> y * y)) = 0
+                    THEN NULL
+                    ELSE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                      c.cv), 4) END AS ccos
+        FROM embeddings x, $cin c),
+      assigned$p AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, centroid_id) AS rn
+              FROM scored$p)
+        WHERE rn = 1),
+      x$p AS (
+        SELECT a.centroid_id, CAST(g - 1 AS INTEGER) AS pos,
+               CASE WHEN e.v[CAST(g AS INTEGER)] IS NOT NULL
+                      AND NOT isnan(e.v[CAST(g AS INTEGER)])
+                      AND NOT isinf(e.v[CAST(g AS INTEGER)])
+                    THEN floor(least(greatest(e.v[CAST(g AS INTEGER)],
+                                              -1e9), 1e9) * 1e6 + 0.5)
+               END AS qx
+        FROM assigned$p a
+        JOIN e ON e.vec_id = a.vec_id,
+        unnest(generate_series(1, len(e.v))) AS t(g)),
+      means$p AS (
+        SELECT centroid_id, pos,
+               CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE)
+                 / (count(qx) * 1e6) AS m
+        FROM x$p GROUP BY centroid_id, pos),
+      seed$p AS (
+        SELECT centroid_id, CAST(g - 1 AS INTEGER) AS pos,
+               cv[CAST(g AS INTEGER)] AS w0
+        FROM $cin, unnest(generate_series(1, len(cv))) AS t(g)),
+      stepped$p AS (
+        SELECT s.centroid_id, s.pos, coalesce(m.m, s.w0) AS w
+        FROM seed$p s
+        LEFT JOIN means$p m ON m.centroid_id = s.centroid_id
+          AND m.pos = s.pos)"""
+
+  // --- TWO chained Lloyd iterations: step 2 assigns against step 1's
+  //     MOVED centroids — the convergence loop a training job runs,
+  //     proven deterministic across engines because every step-1 output
+  //     weight is engine-exact (the q108/q109 quantized-decimal sums),
+  //     so step-2 cosines see bit-identical centroids. Per iteration the
+  //     corpus never shuffles: assignment is a broadcast-centroid map,
+  //     the mean move is one tiny (centroid, pos) exchange.
+  private val q127_kmeans_two_steps = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val c0 = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val c1 = Similarity.assembleCentroids(Similarity.kmeansStep(emb, c0))
+      Similarity.kmeansStep(emb, c1)
+    },
+    oracle = Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE embedding IS NOT NULL),
+      c0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings WHERE vec_id < 8),
+      ${lloydStepSql("c0", "1")},
+      cent1 AS (
+        SELECT centroid_id, list(w ORDER BY pos) AS cv
+        FROM stepped1 GROUP BY centroid_id),
+      ${lloydStepSql("cent1", "2")}
+      SELECT centroid_id, pos, w FROM stepped2"""),
+    doc = "two chained k-means Lloyd iterations: step 2 on step 1's " +
+      "engine-exact moved centroids")
+
   // --- SemDeDup on TRAINED centroids: adaptive seed count (q99's params
   //     contract) → one q109 Lloyd iteration → cell-local semantic dedup
   //     against the MOVED centroids. The full train-then-dedup read path,
@@ -1194,5 +1269,6 @@ object VectorOps {
     "q112_hard_negatives" -> q112_hard_negatives,
     "q113_ann_multiprobe" -> q113_ann_multiprobe,
     "q114_embed_outliers" -> q114_embed_outliers,
-    "q117_semantic_decontam" -> q117_semantic_decontam)
+    "q117_semantic_decontam" -> q117_semantic_decontam,
+    "q127_kmeans_two_steps" -> q127_kmeans_two_steps)
 }

@@ -636,6 +636,24 @@ class PlanShapeSpec extends SparkSpec {
       s"register build must combine map-side:\n$p")
   }
 
+  test("q127_kmeans_two_steps: both iterations are broadcast-centroid " +
+      "maps — the corpus shuffles ZERO times; only the two tiny " +
+      "(centroid, pos) mean exchanges and centroid assembly remain") {
+    val p = plan("q127_kmeans_two_steps")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    // assignment must not window over corpus rows
+    assert(!p.linesIterator.exists(l => l.contains("Window") &&
+      l.contains("vec_id")), s"no corpus-row windows:\n$p")
+    // every non-broadcast exchange carries centroid-sized relations
+    // (mean partials / centroid assembly), never the corpus: none may
+    // partition on vec_id
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("vec_id")),
+      s"corpus must not shuffle:\n$p")
+    assert(p.contains("partial_"),
+      s"mean moves must combine map-side:\n$p")
+  }
+
   test("q118_estimated_pairs: no shingle-verify join — the pair relation " +
       "joins only the doc-sized signature frame; cached signatures reused " +
       "across banding and both pair sides") {
