@@ -52,39 +52,10 @@ object Bench {
     graft.core.Graft.init(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    // Storage-layout normalization (unmeasured, like the cache warm): the
-    // driver fixtures ship each table as ONE parquet row group, and a row
-    // group is Spark's minimum split — so every scan-rooted pure-map
-    // query (PQ encode, chunking, fingerprint…) would execute on a single
-    // core while the DuckDB baseline parallelizes WITHIN the row group.
-    // A real deployment's tables have thousands of row groups; re-laying
-    // the fixture into `cpus` files measures the engine, not a fixture
-    // artifact. Row order changes — every query's determinism contracts
-    // already guarantee partitioning-independence (spec-gated).
-    // Partition count scales with ROWS (per-row compute is what the map
-    // family pays for — shingles, PQ argmin, token HOFs — not bytes), and
-    // tiny tables stay at 1 file: blanket cpus-way splitting of 5-row
-    // dimension tables multiplied every stage's task count and the par=5
-    // concurrent wall drowned in scheduling overhead (measured 22 s vs
-    // 12 s at sf0.1).
-    val benchDir = {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-bench-layout").toString
-      graft.core.Tables.all.foreach { t =>
-        val df = graft.core.Tables.load(spark, sfDir, t)
-        val parts = math.min(cpus.toInt,
-          math.max(1L, df.count() / 2000L)).toInt
-        df.repartition(parts)
-          .write.mode("overwrite").parquet(s"$base/$t.parquet")
-      }
-      base
-    }
-
-    // Cache every base table (all SFs fit comfortably; measures compute,
-    // not cold parquet IO — mirroring the OS page cache DuckDB enjoys).
-    graft.core.Tables.all.foreach { t =>
-      graft.core.Tables.load(spark, benchDir, t).cache().count()
-    }
+    // Storage-layout normalization + cache warm (unmeasured): see
+    // core.Layout.benchLayout — shared with SoloBench so solo plan
+    // tuning measures the same storage environment as the graded bench.
+    val benchDir = graft.core.Layout.benchLayout(spark, sfDir, cpus.toInt)
 
     // optional comma-separated subset for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

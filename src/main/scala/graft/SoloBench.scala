@@ -21,10 +21,14 @@ object SoloBench {
       .getOrCreate()
     graft.core.Graft.init(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    // same storage layout + cache warm as the graded Bench run — the raw
+    // one-row-group fixture runs scan-rooted maps single-core and would
+    // misattribute fixture artifacts to the plan under tuning
+    val benchDir = graft.core.Layout.benchLayout(spark, args(0), cpus.toInt)
     args(1).split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, args(0))
+        SparkEntry.queries(name)(spark, benchDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }

@@ -89,6 +89,26 @@ object Dedup {
         explode(array_distinct(transform(col("shs"), s => hash(s)))).as("shh"))
   }
 
+  /** [[hashedShingles]] with the per-doc set size RIDING the projection:
+    * `size(arr)` is known BEFORE the explode, so (doc_id, shh, n_sh)
+    * costs zero extra exchanges — where sizing the exploded relation is
+    * a groupBy + join-back (two exchanges per side, measured ~1.5 s of
+    * q102's sf1 wall before this). The hashed array is STAGED as its own
+    * attribute (consumed twice: explode + size), per the HOF-staging
+    * rule.
+    */
+  private[graft] def hashedShinglesWithSize(docs: DataFrame, id: Column,
+      text: Column, len: Int = 16, stride: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    val hash: Column => Column = if (portable) portableHash64 else xxhash64(_)
+    docs.select(id.as("doc_id"),
+        array_distinct(transform(
+          TextAnalysis.charShingles(text, len, stride),
+          s => hash(s))).as("__shs"))
+      .select(col("doc_id"), explode(col("__shs")).as("shh"),
+        size(col("__shs")).cast("long").as("n_sh"))
+  }
+
   /** Portable 60-bit hash: the first 15 hex chars of md5, parsed base-16.
     * Both engines spell it exactly — Spark as the fused
     * [[graft.functions.Md5FoldExpr]] (property-gated equal to
@@ -499,13 +519,15 @@ object Dedup {
       bands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val baseFp = base.select(id.as("doc_id"),
       TextAnalysis.normalizedHash(text).as("fp"))
-    // cache the shingle relation: shared (via the cache manager's
-    // subplan matching) by the signature pipeline and the verify stage,
-    // so the charShingles+md5 map runs once. Sizes are computed in the
-    // core AFTER the candidate-doc restriction, never over the corpus.
-    val shB = hashedShingles(base, id, text, portable = true).cache()
+    // verify-side shingles are RECOMPUTED from the candidate docs only
+    // (see restrictedShingles in the core) — re-shingling a few thousand
+    // candidate texts is cheaper than caching the corpus-wide shingle
+    // relation to share it with the signature pipeline (the cache
+    // materialization + sizes agg/join-back cost more than the recompute
+    // at every SF measured).
     incrementalDedupCore(baseFp, bandedSignatures(base, id, text, k, bands),
-      shB, batch, id, text, threshold, k, bands, maxBucketSize)
+      restrictedShingles(base, id, text), batch, id, text, threshold,
+      k, bands, maxBucketSize)
   }
 
   /** The base-side index of [[incrementalDedup]], MATERIALIZED — what a
@@ -527,9 +549,7 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/fp")
     bandedSignatures(base, id, text, k, bands)
       .write.mode("overwrite").parquet(s"$path/banded")
-    val sh = hashedShingles(base, id, text, portable = true).cache()
-    sh.join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
-        "doc_id")
+    hashedShinglesWithSize(base, id, text, portable = true)
       .write.mode("overwrite").parquet(s"$path/sh")
   }
 
@@ -545,29 +565,43 @@ object Dedup {
     incrementalDedupCore(
       spark.read.parquet(s"$indexPath/fp"),
       spark.read.parquet(s"$indexPath/banded"),
-      spark.read.parquet(s"$indexPath/sh"),
+      ids => spark.read.parquet(s"$indexPath/sh")
+        .join(ids, Seq("doc_id"), "left_semi"),
       batch, id, text, threshold, k, bands, maxBucketSize)
   }
 
-  /** Shared verdict pipeline over a (fp, banded, shingles[+sizes]) base
-    * index — computed inline by [[incrementalDedup]], loaded from parquet
-    * by [[incrementalDedupWithIndex]] (whose stored relation carries
-    * `n_sh`; the inline form sizes after restriction).
+  /** Candidate-restricted (doc_id, shh, n_sh) provider for the INLINE
+    * paths: semi-filter the DOCS to the candidate ids, then shingle —
+    * the shingle compute itself runs over candidate texts only, and
+    * n_sh rides the projection ([[hashedShinglesWithSize]]) so the
+    * restriction costs one semi-join exchange and nothing else. The id
+    * set is runtime-sized, so AQE broadcasts it at test SF and falls
+    * back to a shuffle semi-join at corpus scale.
+    */
+  private def restrictedShingles(docs: DataFrame, id: Column,
+      text: Column)(ids: DataFrame): DataFrame =
+    hashedShinglesWithSize(
+      docs.select(id.as("doc_id"), text.as("__text"))
+        .join(ids, Seq("doc_id"), "left_semi"),
+      col("doc_id"), col("__text"), portable = true)
+
+  /** Shared verdict pipeline over a (fp, banded, shingle-provider) base
+    * index — computed inline by [[incrementalDedup]] (`baseShOf` =
+    * restricted recompute from the base TEXT), loaded from parquet by
+    * [[incrementalDedupWithIndex]] (`baseShOf` = semi-filtered scan of
+    * the stored `sh/` relation, which carries `n_sh`).
     *
     * Verify-stage shape: the candidate pair set is MATERIALIZED (it is
     * bounded — the bucket cap fuses it at bands × cap per batch doc —
-    * and its plan embeds both signature pipelines, which three
-    * consumers would otherwise re-run), and both shingle relations are
-    * SEMI-FILTERED to candidate docs before sizing and joining. Without
-    * the restriction the intersection join shuffled the corpus-wide
-    * shingle relations to serve a few thousand candidate pairs — 3 s of
-    * q102's 5.5 s at sf1. The id sets are runtime-sized, so AQE
-    * broadcasts them at test SF and falls back to a shuffle semi-join
-    * at corpus scale (no forced broadcast of an unbounded set).
+    * and its plan embeds both signature pipelines, which three consumers
+    * would otherwise re-run); both verify-side shingle relations are
+    * built over CANDIDATE docs only, with n_sh riding the projection —
+    * no corpus-wide shingle shuffle, cache, or sizes join-back anywhere
+    * in the verify stage.
     */
   private def incrementalDedupCore(baseFp: DataFrame, baseBanded: DataFrame,
-      baseSh: DataFrame, batch: DataFrame, id: Column, text: Column,
-      threshold: Double, k: Int, bands: Int,
+      baseShOf: DataFrame => DataFrame, batch: DataFrame, id: Column,
+      text: Column, threshold: Double, k: Int, bands: Int,
       maxBucketSize: Int): DataFrame = {
     val exactDup = batch
       .select(id.as("doc_id"), TextAnalysis.normalizedHash(text).as("fp"))
@@ -576,23 +610,16 @@ object Dedup {
     val cand = crossCandidatesFromBanded(baseBanded,
       bandedSignatures(batch, id, text, k, bands), maxBucketSize)
       .localCheckpoint(true)
-    val shN = hashedShingles(batch, id, text, portable = true).cache()
-    // restrict to candidate docs, then size: per-doc totals are
-    // unchanged by a doc-granular filter, and the sizes aggregation
-    // runs over the restricted relation, never the corpus
-    def restrict(sh: DataFrame, ids: DataFrame): DataFrame = {
-      val f = sh.join(ids, Seq("doc_id"), "left_semi")
-      if (sh.columns.contains("n_sh")) f
-      else f.join(f.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
-        "doc_id")
-    }
-    val candB = cand.select(col("doc_base").as("doc_id")).distinct()
-    val candN = cand.select(col("doc_new").as("doc_id")).distinct()
+    // no distinct: both consumers are LEFT_SEMI probes, where duplicate
+    // right-side ids are free — a distinct here is a wasted exchange
+    val candB = cand.select(col("doc_base").as("doc_id"))
+    val candN = cand.select(col("doc_new").as("doc_id"))
     val nearDup = cand
-      .join(restrict(baseSh, candB).select(col("doc_id").as("doc_base"),
+      .join(baseShOf(candB).select(col("doc_id").as("doc_base"),
         col("shh"), col("n_sh").as("n_b0")), Seq("doc_base"))
-      .join(restrict(shN, candN).select(col("doc_id").as("doc_new"),
-        col("shh"), col("n_sh").as("n_n0")), Seq("doc_new", "shh"))
+      .join(restrictedShingles(batch, id, text)(candN)
+        .select(col("doc_id").as("doc_new"),
+          col("shh"), col("n_sh").as("n_n0")), Seq("doc_new", "shh"))
       .groupBy(col("doc_base"), col("doc_new"))
       .agg(count(lit(1)).as("inter"), max(col("n_b0")).as("n_b"),
         max(col("n_n0")).as("n_n"))
