@@ -185,38 +185,49 @@ object Similarity {
     verifyCosinePairs(emb, candidates, threshold)
   }
 
-  /** Multi-probe variant of [[annPairs]] (Lv et al. 2007, VLDB: probe
-    * the query's own bucket AND its nearest neighbors in signature
-    * space): each vector additionally probes every HAMMING-1 flip of its
-    * band signature, so a pair is a candidate if any band's signatures
-    * differ in at most one bit. Collision probability per band rises
-    * from s^r to s^r + r·s^(r-1)(1-s) — recall comparable to running
-    * ~2× the bands WITHOUT building more signature tables: the probe
-    * expansion is (r+1)× rows on the probe SIDE of the join only, while
-    * adding bands multiplies the stored/shuffled index itself. Exact
-    * verify + threshold keep precision identical to [[annPairs]] (same
-    * candidates-then-verify contract; only recall changes).
+  /** QUERY-DIRECTED multi-probe variant of [[annPairs]] (Lv et al.
+    * 2007, VLDB: probe the query's own bucket AND its most likely
+    * neighbors in signature space): each vector additionally probes the
+    * `nProbes` hamming-1 flips of its band signature with the SMALLEST
+    * hyperplane margin |dot(v, plane)| — the bits most likely to differ
+    * for a true near neighbor, where a blanket all-flips expansion pays
+    * (r+1)× probe rows for recall that concentrates almost entirely in
+    * the low-margin flips. Exact verify + threshold keep precision
+    * identical to [[annPairs]] (same candidates-then-verify contract;
+    * only recall changes).
     *
     * Scale shape: identical to [[annPairs]] — one (band, sig) equi-join
-    * shuffle; the probe side carries (r+1)× the banded relation (r ~
-    * log₂ n, so ~15× at 1B vectors), each probe row 24 bytes. The
-    * hot-bucket cap bounds the exact side, so a probe row matches ≤
-    * `maxBucketSize` rows.
+    * shuffle; the probe side carries a CONSTANT (nProbes+1)× the banded
+    * relation regardless of corpus size (r grows as log₂ n; the naive
+    * expansion would be ~21× at 1B vectors). The hot-bucket cap bounds
+    * the exact side, so a probe row matches ≤ `maxBucketSize` rows.
+    * Margin ranking is exact integer arithmetic over quantized vectors
+    * ([[graft.functions.RhpProbesExpr]]), so the probe set — and the
+    * output — replays identically in the SQL oracle.
     */
   def annPairsMultiProbe(emb: DataFrame, threshold: Double,
       planesPerBand: Int = 0, bands: Int = 4, dims: Int = 64,
-      maxBucketSize: Int = 2000, center: Boolean = false): DataFrame = {
+      maxBucketSize: Int = 2000, center: Boolean = false,
+      nProbes: Int = 3): DataFrame = {
     val ppb = resolvePpb(emb, planesPerBand)
-    val banded = cappedBanded(emb, bands, ppb, dims, maxBucketSize, center)
-    // probe set = identity + every 1-bit flip. Per band a (hamming ≤ 1)
-    // pair matches EXACTLY once — identity hits iff hamming 0, flip i
-    // hits iff the pair differs exactly at bit i, and the a.vec_id <
+    // materialized once: BOTH join sides consume this relation (probe
+    // expansion + build side), and without the checkpoint each side
+    // re-runs the quantize → probe-signature → cap-window pipeline. The
+    // relation is n·bands rows of (id, band, sig, T+1 longs) — tiny
+    // next to the corpus it indexes.
+    val bandedP =
+      cappedBanded(emb, bands, ppb, dims, maxBucketSize, center, nProbes)
+        .localCheckpoint(true)
+    val banded = bandedP.select(col("vec_id"), col("band"), col("sig"))
+    // probes(0) is the identity signature, so the probe side is exactly
+    // identity + the T low-margin flips. Per band a surviving pair
+    // matches EXACTLY once — identity hits iff hamming 0, flip i hits
+    // iff the pair differs exactly at bit i, and the a.vec_id <
     // b.vec_id half keeps only the a-side expansion of the smaller id —
     // so multiplicity stays one-per-colliding-band, the annPairs
     // contract.
-    val probes = banded.select(col("vec_id"), col("band"),
-      explode(array(col("sig") +: (0 until ppb).map(i =>
-        col("sig").bitwiseXOR(lit(1L << i))): _*)).as("sig"))
+    val probes = bandedP.select(col("vec_id"), col("band"),
+      explode(col("probes")).as("sig"))
     val candidates = probes.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -242,7 +253,8 @@ object Similarity {
     * between the probe strategies (the q102 shared-helper lesson).
     */
   private def cappedBanded(emb: DataFrame, bands: Int, ppb: Int,
-      dims: Int, maxBucketSize: Int, center: Boolean): DataFrame = {
+      dims: Int, maxBucketSize: Int, center: Boolean,
+      nProbes: Int = 0): DataFrame = {
     // `center = true` hashes MEAN-CENTERED vectors (verification below is
     // always exact cosine on the originals, so this changes only which
     // candidates surface, never their scores). Real text-embedding spaces
@@ -267,10 +279,25 @@ object Similarity {
     // is also what makes the signature bits engine-exact (see quantize).
     val quantized = hashSrc.select(col("vec_id"),
       quantize(col("hvec")).as("qvec"))
-    val raw = quantized
-      .select(col("vec_id"),
-        posexplode(allBandSignatures(col("qvec"), bands, ppb, dims)))
-      .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
+    // nProbes > 0: each band row also carries its query-directed probe
+    // array `[sig, low-margin flips…]` (RhpProbesExpr) THROUGH the cap
+    // window, so the probe side of a multi-probe join expands only
+    // rows whose identity bucket survived — a handful of longs riding
+    // a relation that is shuffled on (band, sig) anyway.
+    val raw =
+      if (nProbes <= 0)
+        quantized
+          .select(col("vec_id"),
+            posexplode(allBandSignatures(col("qvec"), bands, ppb, dims)))
+          .select(col("vec_id"), col("pos").as("band"), col("col").as("sig"))
+      else
+        quantized
+          .select(col("vec_id"),
+            posexplode(ExprBridge.column(graft.functions.RhpProbesExpr(
+              ExprBridge.expr(col("qvec")), bands, ppb, dims, PlaneStride,
+              nProbes))))
+          .select(col("vec_id"), col("pos").as("band"),
+            col("col").getItem(0).as("sig"), col("col").as("probes"))
     raw
       .withColumn("__bsz", count(lit(1))
         .over(Window.partitionBy(col("band"), col("sig"))))

@@ -64,7 +64,8 @@ object VectorOps {
   // contract). Threshold 0.4 ≈ the top decile-of-similarity on the
   // synthetic embeddings so the query yields real rows at every SF.
   private def annOracle(threshold: Double, bands: Int,
-      dims: Int, maxBucketSize: Int, multiProbe: Boolean = false): String = {
+      dims: Int, maxBucketSize: Int, multiProbe: Boolean = false,
+      nProbes: Int = 3): String = {
     def plane(p: Int): String = (0 until dims)
       .map(i => if (Similarity.radWeight(p, i) > 0) "1.0" else "-1.0")
       .mkString("[", ",", "]")
@@ -83,6 +84,18 @@ object VectorOps {
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, $bits AS sig FROM q, params p"
     }.mkString("\nUNION ALL\n")
+    // per-(vec, band, plane) margins for query-directed probing: the
+    // same list_dot_product terms as the sig bits, as ROWS — exact
+    // integer sums over quantized vectors, so the (m ASC, i ASC) rank
+    // below reproduces RhpProbesExpr's picks bit for bit. NULLS LAST
+    // pins the NULL-vector case to plane order on both engines.
+    val marginSelects = (0 until bands).flatMap { b =>
+      (0 until stride).map { i =>
+        s"SELECT vec_id, $b AS band, $i AS i, " +
+          s"abs(list_dot_product(qv, ${plane(b * stride + i)})) AS m " +
+          s"FROM q, params p WHERE $i < p.r"
+      }
+    }.mkString("\nUNION ALL\n")
     s"""
       WITH params AS (
         SELECT coalesce(min(t.r), $stride) AS r
@@ -100,13 +113,20 @@ object VectorOps {
           SELECT vec_id, band, sig,
                  count(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs)
         WHERE bsz <= $maxBucketSize),${if (multiProbe) s"""
+      margins AS ($marginSelects),
+      picks AS (
+        SELECT vec_id, band, i FROM (
+          SELECT vec_id, band, i,
+            row_number() OVER (PARTITION BY vec_id, band
+              ORDER BY m ASC NULLS LAST, i) AS rk
+          FROM margins)
+        WHERE rk <= $nProbes),
       probes AS (
         SELECT vec_id, band, sig FROM banded
         UNION ALL
-        SELECT vec_id, band, xor(sig, CAST(1 AS BIGINT) << g) AS sig
-        FROM banded, params p,
-             generate_series(0, ${stride - 1}) AS t(g)
-        WHERE g < p.r),""" else ""}
+        SELECT b.vec_id, b.band,
+               xor(b.sig, CAST(1 AS BIGINT) << k.i) AS sig
+        FROM banded b JOIN picks k USING (vec_id, band)),""" else ""}
       cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM ${if (multiProbe) "probes" else "banded"} a JOIN banded b
@@ -130,9 +150,12 @@ object VectorOps {
       dims = 64, maxBucketSize = 2000)),
     doc = "banded random-hyperplane LSH near-dup pairs (scale path)")
 
-  // Multi-probe LSH at HALF q41's bands: each vector also probes every
-  // hamming-1 flip of its band signature, recovering the recall the
-  // dropped bands cost without storing/shuffling more signature tables.
+  // Query-directed multi-probe LSH at HALF q41's bands: each vector also
+  // probes the 3 lowest-margin hamming-1 flips of its band signature
+  // (Lv et al. 2007), recovering most of the recall the dropped bands
+  // cost at a CONSTANT (T+1)× probe fan-out — margin ranking is exact
+  // integer math over quantized vectors, replayed in the oracle's
+  // (m ASC NULLS LAST, i) window.
   private val q113_ann_multiprobe = Q(
     run = (s, d) =>
       Similarity.annPairsMultiProbe(Tables.embeddings(s, d),
@@ -140,8 +163,8 @@ object VectorOps {
         .select(col("vec_a"), col("vec_b"), col("cos")),
     oracle = Some(annOracle(threshold = 0.4, bands = 2,
       dims = 64, maxBucketSize = 2000, multiProbe = true)),
-    doc = "multi-probe LSH near-dup pairs: hamming-1 probe expansion, " +
-      "half the signature tables")
+    doc = "query-directed multi-probe LSH near-dup pairs: 3 lowest-" +
+      "margin flips, half the signature tables")
 
   // Exact all-pairs similarity join — the oracle-checked baseline the LSH
   // path approximates. Cosines rounded to 4dp on both engines before the

@@ -198,6 +198,62 @@ class SimilaritySpec extends SparkSpec {
     assert(fused == composed)
   }
 
+  test("fused RhpProbesExpr == composed sig + lowest-|margin| flips on " +
+      "real and hostile vectors (null elements, NULL array, short, ties)") {
+    val dims = 64
+    val bands = 2
+    val ppb = 10
+    val t = 3
+    val emb = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val hostile = Seq(
+      (9001L, Seq[java.lang.Double](1.0, -2.0, null, 3.0)), // null element
+      (9002L, Seq[java.lang.Double]()),                     // empty
+      (9003L, null.asInstanceOf[Seq[java.lang.Double]]),    // NULL array
+      (9004L, Seq[java.lang.Double](0.0)),                  // short: all-tie
+      (9005L, Seq[java.lang.Double](0.0, 0.0, 0.0, 0.0))    // zero: all-tie
+    ).toDF("vec_id", "q")
+    val all = emb.unionByName(hostile)
+    val fused = all.select(col("vec_id"),
+        org.apache.spark.sql.graftbridge.ExprBridge.column(
+          graft.functions.RhpProbesExpr(
+          org.apache.spark.sql.graftbridge.ExprBridge.expr(col("q")),
+          bands, ppb, dims, Similarity.PlaneStride, t)).as("p"))
+      .as[(Long, Seq[Seq[Long]])].collect().toMap
+    // composed reference: bandSignature for the identity, per-plane
+    // |dot| margins ranked (margin ASC, plane ASC) for the flips; a
+    // NULL vector has sig 0 and margin 0 everywhere (picks 0..T-1)
+    def w(p: Int): Seq[Double] =
+      (0 until dims).map(i => Similarity.radWeight(p, i))
+    val margined = all.select(
+      col("vec_id") +:
+        (0 until bands).map(b =>
+          Similarity.bandSignature(col("q"), b, ppb, dims).as(s"s$b")) ++:
+        (for (b <- 0 until bands; i <- 0 until ppb) yield
+          abs(coalesce(Similarity.dot(col("q"),
+            array(w(b * Similarity.PlaneStride + i).map(lit): _*)),
+            lit(0.0))).as(s"m${b}_$i")): _*)
+    // NULL array: the composed bandSignature also yields 0 (each dot
+    // NULL -> otherwise-0) and margins coalesce to 0, so the reference
+    // needs no special case.
+    val composed = margined.collect().map { r =>
+      val vid = r.getLong(0)
+      val sigs = (0 until bands).map(b => r.getLong(1 + b))
+      val probes = (0 until bands).map { b =>
+        val sig = sigs(b)
+        val picks = (0 until ppb)
+          .map(i => (r.getDouble(1 + bands + b * ppb + i), i))
+          .sortBy { case (m, i) => (m, i) }
+          .take(t).map(_._2)
+        sig +: picks.map(i => sig ^ (1L << i))
+      }
+      vid -> probes.map(_.toSeq).toSeq
+    }.toMap
+    assert(fused.keySet == composed.keySet)
+    for (k <- fused.keySet)
+      assert(fused(k) == composed(k), s"vec $k: ${fused(k)} vs ${composed(k)}")
+  }
+
   test("LSH bucket sizes stay near the n/2^r mean (skew gate)") {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, sf()).cache()

@@ -447,8 +447,14 @@ class PlanShapeSpec extends SparkSpec {
       "joins as a (band, sig) equi-join — never a cartesian — and " +
       "verify sees candidates without an intermediate distinct") {
     val p = plan("q113_ann_multiprobe")
-    assert(p.contains("rhp_signatures"),
-      s"expected the fused signature expression:\n$p")
+    // the fused rhp_probes expression runs inside the CHECKPOINTED index
+    // build (both join sides consume the one materialized relation), so
+    // the final plan must show the probe explode over the materialized
+    // probes column and NO signature recompute
+    assert(p.contains("explode(probes"),
+      s"expected the probe expansion over the materialized index:\n$p")
+    assert(!p.contains("rhp_"),
+      s"signature pipeline must not recompute past the checkpoint:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
     assert(p.linesIterator.exists(l =>
       (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
