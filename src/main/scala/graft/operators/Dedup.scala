@@ -1069,4 +1069,30 @@ object Dedup {
       .select(joined.columns.map(col) :+
         (col("id") === col("__best")).as("is_survivor"): _*)
   }
+
+  /** Batch-vs-base shingle NOVELTY: per batch doc, the fraction of its
+    * distinct shingles unseen anywhere in the base corpus — the
+    * "how much genuinely new content does this crawl drop add"
+    * admission signal that complements [[incrementalDedup]]'s binary
+    * dup verdicts (a doc can be 40% recycled without being a near-dup
+    * of any single base doc).
+    *
+    * Scale shape: one shuffle of each shingle relation on the 60-bit
+    * portable hash (the base side map-side-partial-distincts first);
+    * per-doc totals come from the join output itself — no second pass
+    * over the batch. novelty = an exact IEEE quotient of two longs.
+    */
+  def noveltyVsBase(base: DataFrame, batch: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val shN = hashedShingles(batch, id, text, portable = true)
+    val seen = hashedShingles(base, id, text, portable = true)
+      .select(col("shh")).distinct()
+    shN.join(seen.withColumn("__seen", lit(true)), Seq("shh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        count(when(col("__seen").isNull, lit(1))).as("n_new"))
+      .select(col("doc_id"), col("n_sh"), col("n_new"),
+        (col("n_new").cast("double") / col("n_sh").cast("double"))
+          .as("novelty"))
+  }
 }

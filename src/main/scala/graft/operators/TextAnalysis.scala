@@ -312,4 +312,50 @@ object TextAnalysis {
     */
   def normalizedHashFrom(toks: Column): Column =
     md5(array_join(array_sort(toks), " "))
+
+  /** Top PMI collocations (pointwise mutual information over adjacent
+    * token pairs): the corpus-level "which bigrams are real phrases"
+    * readout a tokenizer/vocab-planning pass runs. Ranked by raw pair
+    * count (integer-exact across engines — PMI itself is a log whose
+    * last-ulp can differ per libm, so it is emitted 4dp-rounded as an
+    * OUTPUT-ONLY value, never ranked on); ties broken by (w1, w2).
+    *
+    * Scale shape: bigram pairs and unigram counts are map-side explodes
+    * off one staged token array; ONE shuffle each for the two count
+    * aggregates (map-side partials); the single-row totals frame is
+    * broadcast; the unigram re-joins shuffle only the `minCount`-pruned
+    * pair-count relation (vocab-bounded, not corpus-bounded); the top-k
+    * cut is TakeOrdered (bounded heap, no global sort).
+    */
+  def pmiBigrams(docs: DataFrame, text: Column, minCount: Long = 3,
+      topK: Int = 50): DataFrame = {
+    val tk = docs.select(tokens(text).as("__tk"))
+    // NULL text -> NULL token array -> no rows (explode skips), matching
+    // the oracle's len(NULL) >= 2 filter; < 2 tokens -> no bigrams
+    val pairs = tk.select(explode(
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => struct(get(col("__tk"), i).as("w1"),
+              get(col("__tk"), i + 1).as("w2"))))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = tk.select(explode(col("__tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val tot = pairs.agg(count(lit(1)).cast("double").as("nbg"))
+      .crossJoin(uni.agg(sum(col("c")).cast("double").as("ntok")))
+    // pmi = ln(P(xy) / (P(x)P(y))) arranged as one double product chain
+    // — operand order mirrored exactly in the oracle SQL so the quotient
+    // is bit-identical; only the final ln/round is output-only
+    pc.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("ntok") * col("ntok") /
+          (col("nbg") * col("c1").cast("double") *
+            col("c2").cast("double"))), 4).as("pmi"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

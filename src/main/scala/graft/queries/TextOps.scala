@@ -1421,6 +1421,72 @@ object TextOps {
     doc = "shard integrity manifest: per-shard counts + order-independent " +
       "XOR content checksum")
 
+  // --- top PMI collocations: ranked by integer pair count (cross-engine
+  //     exact); the PMI value itself is a libm ln, emitted 4dp-rounded as
+  //     an OUTPUT-ONLY column (the CLAUDE.md round contract: rounds that
+  //     are compared/accumulated are the hazard, output rounds are not).
+  private val q129_pmi_bigrams = Q(
+    run = (s, d) => TextAnalysis.pmiBigrams(Tables.documents(s, d),
+      col("text"), minCount = 3, topK = 50),
+    oracle = Some("""
+      WITH tk AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      big AS (
+        SELECT t[CAST(g AS INTEGER)] AS w1,
+               t[CAST(g AS INTEGER) + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS g
+              FROM tk WHERE len(t) >= 2)),
+      uni AS (SELECT u AS w, count(*) AS c
+              FROM (SELECT unnest(t) AS u FROM tk) GROUP BY 1),
+      pc AS (SELECT w1, w2, count(*) AS n_pair
+             FROM big GROUP BY 1, 2 HAVING count(*) >= 3),
+      tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM big) AS nbg,
+                     (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS ntok)
+      SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+        round(ln(CAST(n_pair AS DOUBLE) * ntok * ntok /
+          (nbg * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 4) AS pmi
+      FROM pc JOIN uni ca ON ca.w = pc.w1
+              JOIN uni cb ON cb.w = pc.w2, tot
+      ORDER BY n_pair DESC, w1, w2 LIMIT 50"""),
+    doc = "top PMI collocations: count-ranked adjacent token pairs with " +
+      "output-only PMI")
+
+  // --- batch-vs-base shingle novelty: the graded admission signal next
+  //     to q102's binary verdicts (base = even doc_ids, batch = odd, the
+  //     q102 convention).
+  private val q130_novelty = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.noveltyVsBase(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("doc_id"), col("text"))
+    },
+    oracle = Some(s"""
+      WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      shb AS (
+        SELECT DISTINCT
+          ${duckHash64("substr(text, CAST(g AS INTEGER), 16)")} AS shh
+        FROM (SELECT text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM base)),
+      shn AS (
+        SELECT DISTINCT doc_id,
+          ${duckHash64("substr(text, CAST(g AS INTEGER), 16)")} AS shh
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(1, greatest(length(text) - 15, 1), 4)) AS g
+              FROM batch))
+      SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        CAST(count(*) FILTER (WHERE b.shh IS NULL) AS BIGINT) AS n_new,
+        CAST(count(*) FILTER (WHERE b.shh IS NULL) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS novelty
+      FROM shn n LEFT JOIN shb b USING (shh)
+      GROUP BY 1"""),
+    doc = "batch-vs-base shingle novelty: fraction of each batch doc's " +
+      "shingles unseen in the base corpus")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1454,5 +1520,7 @@ object TextOps {
     "q120_vocab_coverage" -> q120_vocab_coverage,
     "q121_corpus_drift" -> q121_corpus_drift,
     "q124_source_dedup_rate" -> q124_source_dedup_rate,
-    "q125_shard_manifest" -> q125_shard_manifest)
+    "q125_shard_manifest" -> q125_shard_manifest,
+    "q129_pmi_bigrams" -> q129_pmi_bigrams,
+    "q130_novelty" -> q130_novelty)
 }

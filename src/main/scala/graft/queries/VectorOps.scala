@@ -65,7 +65,7 @@ object VectorOps {
   // synthetic embeddings so the query yields real rows at every SF.
   private def annOracle(threshold: Double, bands: Int,
       dims: Int, maxBucketSize: Int, multiProbe: Boolean = false,
-      nProbes: Int = 3): String = {
+      nProbes: Int = 3, src: String = "embeddings"): String = {
     def plane(p: Int): String = (0 until dims)
       .map(i => if (Similarity.radWeight(p, i) > 0) "1.0" else "-1.0")
       .mkString("[", ",", "]")
@@ -100,13 +100,13 @@ object VectorOps {
       WITH params AS (
         SELECT coalesce(min(t.r), $stride) AS r
         FROM (VALUES $rs) t(r),
-             (SELECT count(*) AS n FROM embeddings) c
+             (SELECT count(*) AS n FROM $src) c
         WHERE (CAST(1 AS BIGINT) << t.r) * 32 >= c.n),
       q AS (
         SELECT vec_id,
           list_transform(CAST(embedding AS DOUBLE[]),
                          x -> floor(x * 1000000.0)) AS qv
-        FROM embeddings),
+        FROM $src),
       sigs AS ($bandSelects),
       banded AS (
         SELECT vec_id, band, sig FROM (
@@ -1269,6 +1269,53 @@ object VectorOps {
     doc = "semantic decontamination: corpus vectors within cosine 0.35 of " +
       "any broadcast benchmark vector, with best-match attribution")
 
+  // --- ANN RECALL EVALUATION: the index-quality readout a pipeline runs
+  //     before trusting an approximate path — LSH pairs vs exact brute
+  //     ground truth at the same threshold, on a deterministic 1-in-5
+  //     hash sample (ground truth is inherently O(n²), so production
+  //     evals always run on a sample; both pipelines see the SAME
+  //     sample, so recall is the index's true pair recall there).
+  //     n_found counts truth pairs the LSH surfaced (LSH output is a
+  //     verified subset of truth by construction, so precision is 1 and
+  //     recall is the only free metric). recall = exact IEEE quotient
+  //     of two longs; NULL when the sample has no qualifying pairs.
+  private val q128_ann_recall = Q(
+    run = (s, d) => {
+      val sample = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+      val truth = Similarity.exactCosinePairs(sample, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"))
+      val found = Similarity.annPairs(sample, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), lit(true).as("__f"))
+      truth.join(found, Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(col("__f")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          try_divide(col("n_found").cast("double"),
+            col("n_true").cast("double")).as("recall"))
+    },
+    oracle = Some(s"""
+      WITH sample AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+      truth AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              >= 0.4),
+      lsh AS (
+        SELECT vec_a, vec_b FROM (
+          ${annOracle(threshold = 0.4, bands = 4, dims = 64,
+            maxBucketSize = 2000, src = "sample")}) t)
+      SELECT count(*) AS n_true,
+        count(l.vec_a) AS n_found,
+        CASE WHEN count(*) = 0 THEN NULL
+             ELSE CAST(count(l.vec_a) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) END AS recall
+      FROM truth tr
+      LEFT JOIN lsh l ON tr.vec_a = l.vec_a AND tr.vec_b = l.vec_b"""),
+    doc = "ANN index recall evaluation: LSH pairs vs exact ground truth " +
+      "on a deterministic corpus sample")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -1293,5 +1340,6 @@ object VectorOps {
     "q113_ann_multiprobe" -> q113_ann_multiprobe,
     "q114_embed_outliers" -> q114_embed_outliers,
     "q117_semantic_decontam" -> q117_semantic_decontam,
-    "q127_kmeans_two_steps" -> q127_kmeans_two_steps)
+    "q127_kmeans_two_steps" -> q127_kmeans_two_steps,
+    "q128_ann_recall" -> q128_ann_recall)
 }

@@ -672,4 +672,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       s"signature frame must come from the cache:\n$p")
   }
+
+  test("q129_pmi_bigrams: bounded-heap top-k (no global sort), totals " +
+      "broadcast, pair counts aggregated with map-side partials") {
+    val p = plan("q129_pmi_bigrams")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not sort+limit:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"single-row totals must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts need map-side partials:\n$p")
+  }
+
+  test("q130_novelty: one shingle-hash join (batch side keyed on shh), " +
+      "base side distinct has map-side partials, no cartesian") {
+    val p = plan("q130_novelty")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Join") &&
+      l.contains("shh")), s"expected the shh-keyed novelty join:\n$p")
+    assert(p.contains("partial_"),
+      s"base distinct / per-doc counts need map-side partials:\n$p")
+  }
 }
