@@ -53,6 +53,32 @@ object Sampling {
     s"((xor($r1, ($r1) >> 16)) * 1540483477) % 4294967296"
   }
 
+  /** WEIGHTED Bernoulli sample: keep each row independently with
+    * probability min(1, num·w/den) — "sample documents proportional to
+    * their token mass", the size-biased draw a mixture pipeline uses so
+    * one giant document can't ride in on the same coin flip as a
+    * one-liner. The decision is a PURE INTEGER comparison,
+    * `hashBucket(key)·den < min(w·num, den)·2^32`, so any engine
+    * reproduces the selected set exactly (the clamp also bounds every
+    * product: hash·den < 2^62 for den ≤ 2^30, and the right side at
+    * (den+num)·2^32). NULL weights never select.
+    *
+    * Scale shape: a stateless per-row predicate on a map-side hash — no
+    * shuffle, no RNG state, retry/partitioning-independent.
+    */
+  def weightedBernoulli(df: DataFrame, key: Column, weight: Column,
+      num: Long, den: Long): DataFrame = {
+    require(num >= 1 && num <= (1L << 20),
+      s"weightedBernoulli: need 1 <= num <= 2^20, got $num")
+    require(den >= 1 && den <= (1L << 30),
+      s"weightedBernoulli: need 1 <= den <= 2^30, got $den")
+    // inner clamp BEFORE the multiply: a hostile near-2^63 weight must
+    // saturate, not ANSI-overflow; w <= den makes w·num <= 2^50
+    df.filter(hashBucket(key) * lit(den) <
+      least(least(coalesce(weight, lit(0L)), lit(den)) * lit(num),
+        lit(den)) * lit(M))
+  }
+
   /** Keep rows whose hash bucket falls under the per-stratum rate.
     * `rates`: stratum value -> sampling fraction in [0,1].
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Stats, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Stats, TextAnalysis}
 
 /** Training-data text operators as named, oracle-checked queries over the
   * `documents` table: token/quality stats, language ID, exact+normalized
@@ -1487,6 +1487,36 @@ object TextOps {
     doc = "batch-vs-base shingle novelty: fraction of each batch doc's " +
       "shingles unseen in the base corpus")
 
+  // --- weighted Bernoulli sampling by token mass: include prob
+  //     min(1, m/500) decided by a pure integer compare on the avalanched
+  //     hash bucket — the size-biased draw of the sampling family
+  //     (uniform q87, stratified q54, proportional-allocation q119).
+  private val q131_weighted_sample = Q(
+    run = (s, d) => {
+      val w = Tables.documents(s, d)
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCountFrom(col("text"), col("__tk")).as("m"))
+      Sampling.weightedBernoulli(w, col("doc_id"),
+          col("m"), num = 1, den = 500)
+        .select(col("doc_id"), col("lang"), col("m"),
+          least(lit(1.0), col("m").cast("double") / lit(500.0)).as("prob"))
+    },
+    oracle = Some(s"""
+      WITH w AS (
+        SELECT doc_id, lang,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(len(regexp_split_to_array(lower(trim(text)),
+                 '\\s+')) AS BIGINT) END AS m
+        FROM documents)
+      SELECT doc_id, lang, m,
+        least(1.0, CAST(m AS DOUBLE) / 500.0) AS prob
+      FROM w
+      WHERE ${Sampling.hashBucketSql("doc_id")} * 500 <
+        least(least(coalesce(m, 0), 500) * 1, 500) * 4294967296"""),
+    doc = "weighted Bernoulli sample by token mass: integer-exact " +
+      "inclusion, no RNG")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1522,5 +1552,6 @@ object TextOps {
     "q124_source_dedup_rate" -> q124_source_dedup_rate,
     "q125_shard_manifest" -> q125_shard_manifest,
     "q129_pmi_bigrams" -> q129_pmi_bigrams,
-    "q130_novelty" -> q130_novelty)
+    "q130_novelty" -> q130_novelty,
+    "q131_weighted_sample" -> q131_weighted_sample)
 }

@@ -100,4 +100,38 @@ class SamplingSpec extends SparkSpec {
     assert(got.forall(_._2 == "en"), s"null stratum leaked: ${got.toSeq}")
     assert(got.map(_._1).toSet == Set(1L, 2L))
   }
+
+  test("weightedBernoulli: zero/NULL weights never select, saturated " +
+      "weights always select, rates track num*w/den, hostile huge " +
+      "weights saturate instead of ANSI-overflowing; repartition-" +
+      "invariant") {
+    import org.apache.spark.sql.functions.lit
+    val n = 4000
+    val rows = (0 until n).map { i =>
+      val w: java.lang.Long = i % 4 match {
+        case 0 => 0L                    // never
+        case 1 => null                  // never
+        case 2 => 250L                  // ~half
+        case 3 => 600L                  // >= den: always
+      }
+      (i.toLong, w)
+    }.toDF("id", "w")
+    val got = Sampling.weightedBernoulli(rows, col("id"), col("w"),
+      num = 1, den = 500).select("id").as[Long].collect().toSet
+    assert(!got.exists(_ % 4 == 0) && !got.exists(_ % 4 == 1),
+      "zero/NULL weights must never select")
+    assert((0 until n).count(i => i % 4 == 3 && got(i.toLong)) == n / 4,
+      "weights >= den must always select")
+    val halfRate = (0 until n).count(i => i % 4 == 2 && got(i.toLong)) /
+      (n / 4.0)
+    assert(math.abs(halfRate - 0.5) < 0.1,
+      s"w=den/2 rate $halfRate far from 0.5")
+    // hostile weight: saturates (selected), never an ANSI overflow
+    val huge = Seq((1L, Long.MaxValue - 1)).toDF("id", "w")
+    assert(Sampling.weightedBernoulli(huge, col("id"), col("w"),
+      num = 7, den = 500).count() == 1)
+    val re = Sampling.weightedBernoulli(rows.repartition(13), col("id"),
+      col("w"), num = 1, den = 500).select("id").as[Long].collect().toSet
+    assert(re == got)
+  }
 }
