@@ -141,9 +141,9 @@ object CorpusStream {
     *
     * The base side's fingerprint/signature/shingle relations are what a
     * production pipeline keeps MATERIALIZED between drops; here they are
-    * recomputed from `base`'s plan — identical across micro-batches, so
-    * Spark's cache manager (plan-equality keyed) serves every batch from
-    * the first batch's cached shingle relation.
+    * recomputed from `base`'s plan each micro-batch — use
+    * [[admitAgainstIndex]] when the drop cadence makes that recompute
+    * matter (it reads only the narrow stored index relations).
     */
   def admitAgainstBase(batch: DataFrame, base: DataFrame,
       threshold: Double = 0.5, maxBucketSize: Int = 64): DataFrame =
