@@ -1316,6 +1316,41 @@ object VectorOps {
     doc = "ANN index recall evaluation: LSH pairs vs exact ground truth " +
       "on a deterministic corpus sample")
 
+  // --- dedup IMPACT report over the SCALE path: LSH candidate pairs →
+  //     transitive components → cluster-size histogram. q73 anchors the
+  //     same composition on exact all-pairs ground truth (quadratic by
+  //     design); this is the banded production sibling — pairs from
+  //     capped buckets, components via size-adaptive min-label, and the
+  //     histogram is two tiny aggregates. The whole pipeline is the
+  //     "how much will dedup shrink this corpus" readout.
+  private val q132_dup_clusters = Q(
+    run = (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.annPairs(emb, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"))
+      graft.operators.Dedup.components(pairs, emb.select(col("vec_id")))
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE lsh AS (
+        SELECT vec_a, vec_b FROM (
+          ${annOracle(threshold = 0.4, bands = 4, dims = 64,
+            maxBucketSize = 2000)}) t),
+      edges AS (SELECT vec_a AS s, vec_b AS d FROM lsh
+                UNION ALL SELECT vec_b, vec_a FROM lsh),
+      reach(s, d) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS vec_id, min(d) AS component FROM reach
+               GROUP BY s),
+      szs AS (SELECT component, count(*) AS cluster_size FROM comp
+              GROUP BY 1)
+      SELECT cluster_size, count(*) AS n_clusters FROM szs
+      GROUP BY 1"""),
+    doc = "near-dup cluster-size histogram over the banded LSH scale path")
+
   val all: Seq[(String, Q)] = Seq(
     "q39_knn_brute" -> q39_knn_brute,
     "q40_embed_norms" -> q40_embed_norms,
@@ -1341,5 +1376,6 @@ object VectorOps {
     "q114_embed_outliers" -> q114_embed_outliers,
     "q117_semantic_decontam" -> q117_semantic_decontam,
     "q127_kmeans_two_steps" -> q127_kmeans_two_steps,
-    "q128_ann_recall" -> q128_ann_recall)
+    "q128_ann_recall" -> q128_ann_recall,
+    "q132_dup_clusters" -> q132_dup_clusters)
 }

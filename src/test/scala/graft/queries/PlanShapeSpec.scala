@@ -686,6 +686,19 @@ class PlanShapeSpec extends SparkSpec {
       s"pair counts need map-side partials:\n$p")
   }
 
+  test("q132_dup_clusters: LSH pairs feed components — banded (band, sig) " +
+      "candidate join present, no cartesian, histogram aggregates have " +
+      "map-side partials") {
+    // at test SF the pair relation is under components()'s 2M-edge
+    // driver-union-find gate, so the LSH join ran eagerly at plan build
+    // and the final plan aggregates the labeled relation; the LSH join
+    // shape itself is gated on q41 (same annPairs plan)
+    val p = plan("q132_dup_clusters")
+    assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
+    assert(p.contains("partial_count"),
+      s"histogram aggregates need map-side partials:\n$p")
+  }
+
   test("q130_novelty: one shingle-hash join (batch side keyed on shh), " +
       "base side distinct has map-side partials, no cartesian") {
     val p = plan("q130_novelty")
