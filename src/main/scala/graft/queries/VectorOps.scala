@@ -1283,38 +1283,56 @@ object VectorOps {
     run = (s, d) => {
       val sample = Tables.embeddings(s, d)
         .filter(pmod(col("vec_id"), lit(5)) === 0)
+      // truth pairs carry their similarity BAND: LSH recall is a
+      // function of similarity (collision prob ~ s^r per band), so one
+      // blended number hides that the index is near-perfect exactly
+      // where near-dup dedup operates and porous in the moderate tail
+      // by design. floor(cos·5) runs on the identical 4dp-rounded
+      // double both engines produced, so the binning is engine-exact.
       val truth = Similarity.exactCosinePairs(sample, threshold = 0.4)
-        .select(col("vec_a"), col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          least(floor(col("cos") * 5), lit(4)).cast("int").as("__b"))
       val found = Similarity.annPairs(sample, threshold = 0.4)
         .select(col("vec_a"), col("vec_b"), lit(true).as("__f"))
       truth.join(found, Seq("vec_a", "vec_b"), "left")
-        .agg(count(lit(1)).as("n_true"),
-          count(col("__f")).as("n_found"))
-        .select(col("n_true"), col("n_found"),
+        .groupBy(col("__b"))
+        .agg(count(lit(1)).as("n_true"), count(col("__f")).as("n_found"))
+        .select(
+          when(col("__b") === 2, lit("0.4-0.6"))
+            .when(col("__b") === 3, lit("0.6-0.8"))
+            .otherwise(lit("0.8-1.0")).as("sim_band"),
+          col("n_true"), col("n_found"),
           try_divide(col("n_found").cast("double"),
             col("n_true").cast("double")).as("recall"))
     },
     oracle = Some(s"""
       WITH sample AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
       truth AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM sample a JOIN sample b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 4)
-              >= 0.4),
+        SELECT vec_a, vec_b,
+          least(floor(cos * 5), 4) AS b FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4)
+              AS cos
+          FROM sample a JOIN sample b ON a.vec_id < b.vec_id)
+        WHERE cos >= 0.4),
       lsh AS (
         SELECT vec_a, vec_b FROM (
           ${annOracle(threshold = 0.4, bands = 4, dims = 64,
             maxBucketSize = 2000, src = "sample")}) t)
-      SELECT count(*) AS n_true,
+      SELECT CASE WHEN b = 2 THEN '0.4-0.6'
+                  WHEN b = 3 THEN '0.6-0.8'
+                  ELSE '0.8-1.0' END AS sim_band,
+        count(*) AS n_true,
         count(l.vec_a) AS n_found,
         CASE WHEN count(*) = 0 THEN NULL
              ELSE CAST(count(l.vec_a) AS DOUBLE) /
                   CAST(count(*) AS DOUBLE) END AS recall
       FROM truth tr
-      LEFT JOIN lsh l ON tr.vec_a = l.vec_a AND tr.vec_b = l.vec_b"""),
-    doc = "ANN index recall evaluation: LSH pairs vs exact ground truth " +
-      "on a deterministic corpus sample")
+      LEFT JOIN lsh l ON tr.vec_a = l.vec_a AND tr.vec_b = l.vec_b
+      GROUP BY b"""),
+    doc = "ANN index recall evaluation BY SIMILARITY BAND: LSH pairs vs " +
+      "exact ground truth on a deterministic corpus sample")
 
   // --- dedup IMPACT report over the SCALE path: LSH candidate pairs →
   //     transitive components → cluster-size histogram. q73 anchors the
