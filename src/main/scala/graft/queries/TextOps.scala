@@ -1517,6 +1517,69 @@ object TextOps {
     doc = "weighted Bernoulli sample by token mass: integer-exact " +
       "inclusion, no RNG")
 
+  // --- the corpus DATASHEET card: the one-row summary every exported
+  //     dataset ships with (docs/tokens/langs/sources, exact-dup rate,
+  //     char mass). Pure counts + one exact-division rate — everything
+  //     integer until the final quotients. Two shuffles total: the
+  //     fingerprint group sizes and the global aggregate.
+  private val q133_corpus_card = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val flagged = Dedup.normalized(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("is_kept"))
+      docs.withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"),
+          TextAnalysis.tokenCountFrom(col("text"), col("__tk")).as("__m"))
+        .join(flagged, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__m")), lit(0L)).as("n_tokens"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+          count(when(!col("is_kept"), lit(1))).as("n_exact_dups"))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_sources"), col("n_chars"), col("n_exact_dups"),
+          try_divide(col("n_exact_dups").cast("double"),
+            col("n_docs").cast("double")).as("dup_rate"),
+          try_divide(col("n_tokens").cast("double"),
+            col("n_docs").cast("double")).as("tokens_per_doc"))
+    },
+    oracle = Some("""
+      WITH fp AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(
+            regexp_split_to_array(lower(trim(text)), '\s+')), ' ')) AS f
+        FROM documents),
+      grp AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+      flags AS (
+        SELECT fp.doc_id, (fp.doc_id = grp.keep_id) AS is_kept
+        FROM fp JOIN grp ON fp.f IS NOT DISTINCT FROM grp.f),
+      m AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+          CASE WHEN length(trim(d.text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(d.text)),
+                 '\s+')) END AS m,
+          flags.is_kept
+        FROM documents d JOIN flags ON d.doc_id = flags.doc_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(m), 0) AS BIGINT) AS n_tokens,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars,
+        CAST(count(CASE WHEN NOT is_kept THEN 1 END) AS BIGINT)
+          AS n_exact_dups,
+        CASE WHEN count(*) = 0 THEN NULL
+             ELSE CAST(count(CASE WHEN NOT is_kept THEN 1 END) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) END AS dup_rate,
+        CASE WHEN count(*) = 0 THEN NULL
+             ELSE CAST(coalesce(sum(m), 0) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) END AS tokens_per_doc
+      FROM m"""),
+    doc = "corpus datasheet card: one-row docs/tokens/langs/sources/" +
+      "dup-rate summary")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1553,5 +1616,6 @@ object TextOps {
     "q125_shard_manifest" -> q125_shard_manifest,
     "q129_pmi_bigrams" -> q129_pmi_bigrams,
     "q130_novelty" -> q130_novelty,
-    "q131_weighted_sample" -> q131_weighted_sample)
+    "q131_weighted_sample" -> q131_weighted_sample,
+    "q133_corpus_card" -> q133_corpus_card)
 }
