@@ -106,6 +106,27 @@ object Bloom {
     *    numBits — `BloomSpec` asserts the equality, so the fold is not
     *    an approximation trade.
     */
+  /** Pure sizing decision for [[buildFolded]]: the power-of-two bit
+    * count a bitmap with `setBits` of [[maxBits]] set should fold to
+    * (== [[maxBits]] means "don't fold"). Factored out so the saturated
+    * edge is unit-testable without building a 2^26-bit filter: at
+    * setBits == maxBits the occupancy inversion n̂ = −(m/k)·ln(1 − S/m)
+    * is +Inf, and `ceil(+Inf).toLong · bitsPerKey` would wrap NEGATIVE
+    * in plain Scala (no ANSI here), silently folding to an all-ones
+    * 1024-bit filter that passes everything. The guard keeps the full
+    * bitmap instead — the probe stays correct either way (the exact
+    * semi-join follows), but sizing must degrade loudly towards "no
+    * fold", never towards "no filter".
+    */
+  private[operators] def foldTargetBits(setBits: Long, numHashes: Int,
+      bitsPerKey: Int): Int = {
+    val m = maxBits.toDouble
+    val nEst = -(m / numHashes) * math.log1p(-(setBits / m))
+    if (!nEst.isFinite ||
+      math.ceil(nEst) >= Long.MaxValue.toDouble / bitsPerKey) maxBits
+    else roundPow2(math.max(1024L, math.ceil(nEst).toLong * bitsPerKey))
+  }
+
   def buildFolded(keys: DataFrame, key: Column,
       numHashes: Int = 7, bitsPerKey: Int = 10): Array[Long] = {
     val big = bitmapWords(keys, key, maxBits, numHashes)
@@ -115,10 +136,7 @@ object Bloom {
       s
     }
     if (setBits == 0L) return new Array[Long](1024 / 64) // empty key set
-    val m = maxBits.toDouble
-    val nEst = -(m / numHashes) * math.log1p(-(setBits / m))
-    val numBits = roundPow2(math.max(1024L, math.ceil(nEst).toLong *
-      bitsPerKey))
+    val numBits = foldTargetBits(setBits, numHashes, bitsPerKey)
     if (numBits == maxBits) return big
     val words = numBits / 64
     val folded = new Array[Long](words)

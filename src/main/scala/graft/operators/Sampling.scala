@@ -72,11 +72,13 @@ object Sampling {
       s"weightedBernoulli: need 1 <= num <= 2^20, got $num")
     require(den >= 1 && den <= (1L << 30),
       s"weightedBernoulli: need 1 <= den <= 2^30, got $den")
-    // inner clamp BEFORE the multiply: a hostile near-2^63 weight must
-    // saturate, not ANSI-overflow; w <= den makes w·num <= 2^50
+    // inner clamp BEFORE the multiply, from BOTH sides: a hostile
+    // near-±2^63 weight must saturate, not ANSI-overflow; 0 <= w <= den
+    // bounds every product (w·num <= 2^50, and a negative weight would
+    // otherwise survive the upper clamp and overflow the multiply)
     df.filter(hashBucket(key) * lit(den) <
-      least(least(coalesce(weight, lit(0L)), lit(den)) * lit(num),
-        lit(den)) * lit(M))
+      least(least(greatest(coalesce(weight, lit(0L)), lit(0L)),
+        lit(den)) * lit(num), lit(den)) * lit(M))
   }
 
   /** Keep rows whose hash bucket falls under the per-stratum rate.

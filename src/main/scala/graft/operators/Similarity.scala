@@ -204,6 +204,18 @@ object Similarity {
     * Margin ranking is exact integer arithmetic over quantized vectors
     * ([[graft.functions.RhpProbesExpr]]), so the probe set — and the
     * output — replays identically in the SQL oracle.
+    *
+    * RECALL TRADE (deliberate deviation from Lv et al.'s symmetric
+    * probing): probes expand ONLY on the smaller-id side of the join
+    * (`a.vec_id < b.vec_id`, probes as side `a`), so a hamming-1 pair
+    * surfaces per band iff the SMALLER id's T low-margin flips contain
+    * the differing bit. A pair whose differing bit ranks low-margin
+    * only for the LARGER id is missed in that band. This keeps
+    * multiplicity exactly one-per-colliding-band (no post-join
+    * distinct) and halves the probe relation; the oracle mirrors the
+    * same one-sided expansion, so parity is exact. To buy the extra
+    * recall instead: union both sides' expansions and dedup candidate
+    * pairs before verify.
     */
   def annPairsMultiProbe(emb: DataFrame, threshold: Double,
       planesPerBand: Int = 0, bands: Int = 4, dims: Int = 64,

@@ -344,7 +344,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
     val tot = pairs.agg(count(lit(1)).cast("double").as("nbg"))
-      .crossJoin(uni.agg(sum(col("c")).cast("double").as("ntok")))
+      .crossJoin(broadcast(uni.agg(sum(col("c")).cast("double").as("ntok"))))
     // pmi = ln(P(xy) / (P(x)P(y))) arranged as one double product chain
     // — operand order mirrored exactly in the oracle SQL so the quotient
     // is bit-identical; only the final ln/round is output-only

@@ -1513,7 +1513,8 @@ object TextOps {
         least(1.0, CAST(m AS DOUBLE) / 500.0) AS prob
       FROM w
       WHERE ${Sampling.hashBucketSql("doc_id")} * 500 <
-        least(least(coalesce(m, 0), 500) * 1, 500) * 4294967296"""),
+        least(least(greatest(coalesce(m, 0), 0), 500) * 1, 500)
+          * 4294967296"""),
     doc = "weighted Bernoulli sample by token mass: integer-exact " +
       "inclusion, no RNG")
 

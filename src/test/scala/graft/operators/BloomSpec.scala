@@ -70,6 +70,21 @@ class BloomSpec extends SparkSpec {
     assert(empty.forall(_ == 0L))
   }
 
+  test("foldTargetBits: saturated / near-saturated bitmaps refuse to " +
+      "fold (never wrap to an all-ones 1024-bit pass-everything filter)") {
+    // full saturation: occupancy inversion is +Inf -> keep full size
+    assert(Bloom.foldTargetBits(Bloom.maxBits.toLong, 7, 10) ==
+      Bloom.maxBits)
+    // one bit shy of saturation: huge-but-finite estimate -> still no
+    // fold below the honest size (monotone, and never negative/tiny)
+    assert(Bloom.foldTargetBits(Bloom.maxBits.toLong - 1, 7, 10) ==
+      Bloom.maxBits)
+    // sparse regime: ~n*k bits set sizes to ~10 bits/key as before
+    val sized = Bloom.foldTargetBits(2000L * 7, 7, 10)
+    assert(sized >= 1024 && sized < Bloom.maxBits &&
+      (sized & (sized - 1)) == 0)
+  }
+
   test("fused bloom_test == composed mightContain on hits, misses and " +
       "null keys") {
     val keys = (1L to 3000L).map(_ * 104729L).toDF("k")

@@ -130,6 +130,12 @@ class SamplingSpec extends SparkSpec {
     val huge = Seq((1L, Long.MaxValue - 1)).toDF("id", "w")
     assert(Sampling.weightedBernoulli(huge, col("id"), col("w"),
       num = 7, den = 500).count() == 1)
+    // hostile NEGATIVE weight: clamps to 0 (never selects), never an
+    // ANSI overflow from the multiply (-2^62 · 2^20 would throw)
+    val hugeNeg = Seq((1L, -(1L << 62)), (2L, -1L)).toDF("id", "w")
+    assert(Sampling.weightedBernoulli(hugeNeg, col("id"), col("w"),
+      num = 1 << 20, den = 500).count() == 0,
+      "negative weights must clamp to never-select")
     val re = Sampling.weightedBernoulli(rows.repartition(13), col("id"),
       col("w"), num = 1, den = 500).select("id").as[Long].collect().toSet
     assert(re == got)
