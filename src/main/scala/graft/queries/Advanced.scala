@@ -18,6 +18,22 @@ object Advanced {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** q122's pre-checkpoint event prep, factored out so PlanShapeSpec can
+    * assert the scan shape (3-type IN filter pushed, schema pruned)
+    * separately — the checkpoint hides the scan from the main plan.
+    */
+  private[queries] def funnelPrep(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      // explicit count: AQE never coalesces user-specified partition
+      // counts, which is what lets CheckpointBridge declare the exact
+      // HashPartitioning of the materialized layout
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("user_id"))
+
   // --- analytic lag/lead over an ordered series (W4 extension)
   private val q42_lag_delta = Q(
     run = (s, d) => {
@@ -354,16 +370,37 @@ object Advanced {
     doc = "inequality range join onto a band dimension")
 
   // --- Ordered funnel: view -> click -> purchase, each stage STRICTLY
-  //     after the previous one's first completion. Stage n is a
-  //     filtered-scan aggregate joined to stage n-1 — event_type filters
-  //     reach the parquet scan, every shuffle keys on user_id (AQE
-  //     reuses the layout), and no per-user event sort happens anywhere
-  //     (the window formulation would sort every user's full history).
-  //     NULL ts rows are excluded up front (the event-time contract).
+  //     after the previous one's first completion. The relevant events
+  //     are scanned ONCE (the 3-type IN filter + ts guard reach the
+  //     parquet scan — gated on [[funnelPrep]]) and shuffled on user_id
+  //     ONCE, then CHECKPOINTED WITH ITS PARTITIONING
+  //     (CheckpointBridge.checkpointHashPartitioned): without a barrier
+  //     Catalyst pushes each stage's event_type filter back below the
+  //     repartition and the plan degenerates to three per-type
+  //     exchanges (measured — the r7 shape); a cache() barrier doesn't
+  //     work under AQE (the cached plan is its own AdaptiveSparkPlan,
+  //     so InMemoryTableScan reports unknown partitioning and every
+  //     stage re-shuffles); and plain localCheckpoint drops the
+  //     partitioning from the LogicalRDD entirely (all measured). The
+  //     bridge declares the user_id HashPartitioning on the
+  //     materialized relation, and every stage groupBy and join
+  //     downstream requires only user_id clustering, so the whole
+  //     funnel is ONE data exchange (inside the checkpoint job) and an
+  //     exchange-free main plan. No per-user event sort happens
+  //     anywhere beyond the SMJ's partition-local sorts (the window
+  //     formulation would sort every user's full history). NULL ts
+  //     rows are excluded up front (the event-time contract).
+  //
+  //     Scale shape: same bytes through the shuffle as the
+  //     filter-per-stage form (each event crosses the wire once) but
+  //     one scan of events instead of three and one shuffle write
+  //     instead of three — at 100 TB the triple scan dominates;
+  //     at toy SF the saved AQE stage boundaries dominate. Gated in
+  //     PlanShapeSpec at exactly one non-broadcast exchange.
   private val q122_funnel = Q(
     run = (s, d) => {
-      val e = Tables.events(s, d).filter(col("ts").isNotNull)
-        .select(col("user_id"), col("event_type"), col("ts"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .checkpointHashPartitioned(funnelPrep(s, d))
       val v = e.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("t_view"))
       val c = e.filter(col("event_type") === "click")
@@ -396,14 +433,23 @@ object Advanced {
       "later click -> first later purchase")
 
   // --- Retention cohorts: users grouped by first-active DATE, counted
-  //     on each later day they return. One distinct over (user, day
-  //     offset) bounds the aggregate at users x active-days; every
-  //     shuffle keys on user_id until the final (cohort, offset) rollup
-  //     whose cardinality is calendar-sized.
+  //     on each later day they return. The (user_id, day) projection is
+  //     shuffled on user_id ONCE and checkpointed with its partitioning
+  //     (the q122 pattern): the cohort groupBy, the cohort join, AND the
+  //     (user, cohort, offset) distinct all need only user_id clustering
+  //     — a hash partitioning on a KEY SUBSET clusters the full key — so
+  //     the only other exchange is the final (cohort, offset) rollup,
+  //     whose cardinality is calendar-sized. The distinct bounds the
+  //     aggregate at users x active-days.
   private val q123_retention = Q(
     run = (s, d) => {
-      val e = Tables.events(s, d).filter(col("ts").isNotNull)
-        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val e = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .checkpointHashPartitioned(
+          Tables.events(s, d).filter(col("ts").isNotNull)
+            .select(col("user_id"), to_date(col("ts")).as("d"))
+            .repartition(
+              s.conf.get("spark.sql.shuffle.partitions").toInt,
+              col("user_id")))
       val f = e.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
       e.join(f, "user_id")
         .select(col("user_id"), col("cohort_day"),

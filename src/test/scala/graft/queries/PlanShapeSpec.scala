@@ -582,20 +582,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no windows in the drift path:\n$p")
   }
 
-  test("q122_funnel: event_type stage filters reach the scan; every " +
-      "join is a user_id equi-join; no per-user event sort (window)") {
+  test("q122_funnel: 3-type IN filter reaches the scan (prep fragment); " +
+      "checkpointed user_id partitioning feeds every stage — the main " +
+      "plan is exchange-FREE; no per-user event sort (window)") {
+    // the checkpoint hides the scan from the main plan, so the scan
+    // shape is gated on the factored prep fragment
+    val prep = Advanced.funnelPrep(spark, sf())
+      .queryExecution.explainString(SimpleMode)
+    assert(prep.contains("PushedFilters") && prep.contains("In(event_type"),
+      s"combined stage filter must reach the parquet scan:\n$prep")
+    assert(!prep.contains("props#"),
+      s"scan must not read unused event columns:\n$prep")
     val p = plan("q122_funnel")
-    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type"),
-      s"stage filters must reach the parquet scan:\n$p")
     assert(!p.contains("Window"),
       s"funnel must not sort per-user histories:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"stage joins must be user_id equi-joins:\n$p")
+    // the whole funnel hangs off ONE checkpointed repartition(user_id):
+    // stage aggregates and joins all require only user_id clustering,
+    // which the captured HashPartitioning satisfies — the single data
+    // exchange lives inside the checkpoint job, so the main plan must
+    // carry NONE (a cache() barrier fails this under AQE: the cached
+    // plan is its own AdaptiveSparkPlan and reports unknown
+    // partitioning, re-shuffling every stage)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(exchanges == 0,
+      s"q122 main plan must reuse the checkpointed partitioning " +
+        s"($exchanges exchanges):\n$p")
   }
 
-  test("q123_retention: scan pruned to (user_id, ts); cohort join keys " +
-      "on user_id; final rollup aggregates with partials") {
+  test("q123_retention: cohort groupBy/join/distinct reuse the " +
+      "checkpointed user_id partitioning — only the calendar-sized " +
+      "(cohort, offset) rollup may exchange") {
     val p = plan("q123_retention")
     assert(!p.contains("event_type#") && !p.contains("props#"),
       s"scan must not read unused event columns:\n$p")
@@ -604,6 +624,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"cohort join must be a user_id equi-join:\n$p")
+    // hash partitioning on user_id clusters the (user, cohort, offset)
+    // distinct too (key-subset clustering), so the ONLY exchange left
+    // is the final rollup's
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(exchanges <= 1,
+      s"q123 must only exchange the calendar-sized rollup ($exchanges):\n$p")
   }
 
   test("q124_source_dedup_rate: keep-flag join + rollup are equi-joins/" +
