@@ -226,10 +226,14 @@ object Similarity {
     // expansion + build side), and without the checkpoint each side
     // re-runs the quantize → probe-signature → cap-window pipeline. The
     // relation is n·bands rows of (id, band, sig, T+1 longs) — tiny
-    // next to the corpus it indexes.
-    val bandedP =
-      cappedBanded(emb, bands, ppb, dims, maxBucketSize, center, nProbes)
-        .localCheckpoint(true)
+    // next to the corpus it indexes. The checkpoint keeps the cap
+    // window's (band, sig) hash partitioning AND partition-local sort
+    // (CheckpointBridge), so the BUILD side of the candidate join below
+    // plans exchange- and sort-free; only the probe side re-shuffles
+    // (it must — exploding the probe array rewrites sig).
+    val bandedP = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .checkpointPartitioned(
+        cappedBanded(emb, bands, ppb, dims, maxBucketSize, center, nProbes))
     val banded = bandedP.select(col("vec_id"), col("band"), col("sig"))
     // probes(0) is the identity signature, so the probe side is exactly
     // identity + the T low-margin flips. Per band a surviving pair
@@ -310,7 +314,18 @@ object Similarity {
               nProbes))))
           .select(col("vec_id"), col("pos").as("band"),
             col("col").getItem(0).as("sig"), col("col").as("probes"))
-    raw
+    // multiprobe path: pin the cap window's clustering to an
+    // EXPLICIT-count hash repartition. AQE never re-plans user counts,
+    // so the checkpoint downstream captures a plain
+    // HashPartitioning(band, sig, n) that is CO-PARTITIONED with the
+    // probe side's shuffle — a coalesced ENSURE_REQUIREMENTS layout
+    // would not be, and the build side would re-shuffle (measured).
+    val staged =
+      if (nProbes <= 0) raw
+      else raw.repartition(
+        raw.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("band"), col("sig"))
+    staged
       .withColumn("__bsz", count(lit(1))
         .over(Window.partitionBy(col("band"), col("sig"))))
       .filter(col("__bsz") <= maxBucketSize)

@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioningLike
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.storage.StorageLevel
 
 /** Partitioning-preserving local checkpoint.
@@ -15,57 +16,76 @@ import org.apache.spark.storage.StorageLevel
   * once per consumer unless ReuseExchange happens to cover the subtree —
   * and ReuseExchange can't cover it when Catalyst pushes consumer
   * filters below the repartition, specializing each copy (the q122
-  * funnel shape).
+  * funnel shape), nor when consumers sit above a window (the q113
+  * shape). A cache() barrier doesn't work either: under AQE the cached
+  * plan is its own AdaptiveSparkPlan, so InMemoryTableScan reports
+  * unknown partitioning and every consumer re-shuffles (also measured).
   *
-  * [[checkpointHashPartitioned]] re-does what `Dataset.localCheckpoint`
+  * [[checkpointPartitioned]] re-does what `Dataset.localCheckpoint`
   * does — materialize the physical RDD, pin it in block storage — but
-  * constructs the `LogicalRDD` with the `HashPartitioning` the plan just
-  * produced, so every downstream operator that needs only that key
-  * clustering (groupBy on the key, equi-join on the key, distinct on a
-  * superset of the key) plans exchange-FREE.
+  * constructs the `LogicalRDD` with the hash partitioning AND the
+  * partition-local ordering THE EXECUTED PLAN ITSELF REPORTS, so every
+  * downstream operator that needs only that clustering (groupBy on the
+  * keys, equi-join on the keys, distinct on a key superset) plans
+  * exchange-free, and a sort-merge join on a prefix of the captured
+  * ordering skips its sort too.
   *
-  * CONTRACT (asserted): the DataFrame's physical plan must END in an
-  * exact `repartition(numPartitions, keys…)` — an EXPLICIT partition
-  * count, because AQE never coalesces user-specified counts, so the
-  * materialized layout is bit-exactly `HashPartitioning(keys, n)` with
-  * partition INDEX = `pmod(murmur3(keys), n)`. Declaring any other
-  * layout would silently mis-bucket every downstream co-partitioned
-  * operator, so the helper re-derives the partitioning from the plan's
-  * own `outputPartitioning` rather than trusting the caller.
+  * Safety: the declared layout is read from the FINAL adaptive physical
+  * plan AFTER materialization — Spark's own description of the blocks
+  * just produced — never asserted by the caller. If the final plan
+  * reports anything other than a concrete `HashPartitioning` over
+  * output attributes (e.g. AQE skew-split or coalesce reported as
+  * unknown), the helper fails loudly rather than declaring a layout the
+  * blocks don't have. In practice: end the plan in an explicit-count
+  * `repartition(n, keys…)` (AQE never re-plans user-specified counts)
+  * or any ENSURE_REQUIREMENTS exchange whose read AQE left whole.
   */
 object CheckpointBridge {
 
   /** Materialize `df` to local block storage (memory, spill to disk) and
-    * return a Dataset whose relation advertises the hash partitioning
-    * `df`'s plan ends in. Fails loudly if the plan does not end in an
-    * explicit-count hash repartition.
+    * return a DataFrame whose relation advertises the hash partitioning
+    * and partition-local ordering the executed plan reports.
     */
-  def checkpointHashPartitioned(
+  def checkpointPartitioned(
       df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val df = df0.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
     val spark = df.sparkSession
     val qe = df.queryExecution
-    // resolve through AQE: executedPlan is AdaptiveSparkPlanExec; its
-    // outputPartitioning only stabilizes once the plan is final, so
-    // check the user intent on the OPTIMIZED logical plan instead —
-    // RepartitionByExpression with an explicit numPartitions is exactly
-    // the case AQE will not touch.
-    val part = qe.optimizedPlan match {
-      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
-          if r.optNumPartitions.isDefined =>
-        HashPartitioning(r.partitionExpressions, r.optNumPartitions.get)
-      case other => throw new IllegalArgumentException(
-        "checkpointHashPartitioned: plan must end in repartition(n, keys), got " +
-          other.nodeName)
-    }
     val rdd = qe.toRdd.map(_.copy())
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // materialize eagerly, like localCheckpoint(true)
+    // AQE has finalized by now: read the layout the blocks actually have
+    val finalPlan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
     val output: Seq[Attribute] = qe.analyzed.output
-    // rebase the partitioning expressions onto the LogicalRDD's output
-    // attributes (same exprIds as the analyzed output, so a direct reuse
-    // is sound; LogicalRDD.newInstance re-maps them per consumer)
-    val plan = LogicalRDD(output, rdd, part, Nil, isStreaming = false)(spark)
+    val outIds = output.map(_.exprId).toSet
+    // HashPartitioningLike covers both the plain case and AQE's
+    // CoalescedHashPartitioning (a coalesced read over a hash shuffle —
+    // still clusters every key, just into merged partitions)
+    val part = finalPlan.outputPartitioning match {
+      case h: HashPartitioningLike
+          if h.references.forall(a => outIds.contains(a.exprId)) => h
+      case other => throw new IllegalArgumentException(
+        "checkpointPartitioned: executed plan must report a hash " +
+          s"partitioning over output attributes, got $other — end " +
+          "the plan in repartition(n, keys…)")
+    }
+    // partition-local ordering is free to carry when present (lets a
+    // downstream SMJ on an ordering prefix skip its sort); like the
+    // partitioning it must only reference output attributes
+    val ordering: Seq[SortOrder] = finalPlan.outputOrdering
+      .takeWhile(_.references.forall(a => outIds.contains(a.exprId)))
+    val plan =
+      LogicalRDD(output, rdd, part, ordering, isStreaming = false)(spark)
     Dataset.ofRows(spark, plan)
   }
+
+  /** Former name, kept for call-site readability where the plan ends in
+    * an explicit-count hash repartition.
+    */
+  def checkpointHashPartitioned(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    checkpointPartitioned(df)
 }

@@ -466,6 +466,16 @@ class PlanShapeSpec extends SparkSpec {
     val verifyJoins = p.linesIterator.count(l =>
       l.contains("Join") && l.contains("vec_a"))
     assert(verifyJoins >= 1, s"expected vec re-fetch joins:\n$p")
+    // the checkpoint carries the cap window's explicit (band, sig) hash
+    // partitioning AND sort, so the candidate join's BUILD side plans
+    // exchange-free: the only non-broadcast exchanges left are the probe
+    // side (explode rewrites sig — unavoidable) and the tiny survivor
+    // distinct
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(exchanges <= 2,
+      s"build side must reuse the checkpointed (band, sig) layout " +
+        s"($exchanges exchanges):\n$p")
   }
 
   test("q114_embed_outliers: centroids and cuts broadcast back into the " +
