@@ -115,8 +115,16 @@ object Stats {
       // `percentile`-aggregate contract) but keep the key alive
       .withColumn("cnt",
         when(col("val").isNotNull, col("rows")).otherwise(lit(0L)))
+    // stage the windows on a KEY-only explicit repartition: hash(key)
+    // satisfies both windows' (key, cid) clustering (key-subset
+    // partitioning clusters the full key) AND the final groupBy(key),
+    // so the rollup below plans exchange-free — one whole AQE stage
+    // less than letting the planner insert a (key, cid) exchange here
+    // and a (key) exchange there. Bytes moved are identical (the grid),
+    // and the per-group single-task window property is unchanged.
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val part = Window.partitionBy(col(key), col("cid"))
-    val cum = grid
+    val cum = grid.repartition(np, col(key))
       .withColumn("cum",
         sum(col("cnt")).over(part.orderBy(col("val").asc_nulls_first)))
       .withColumn("n", sum(col("cnt")).over(part))

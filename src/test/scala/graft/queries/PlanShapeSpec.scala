@@ -275,6 +275,14 @@ class PlanShapeSpec extends SparkSpec {
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"lineitem must be scanned exactly once, got " +
       s"$scans:\n$p")
+    // two exchanges exactly: the map-combined grid aggregate and the
+    // key-only window staging — hash(key) then satisfies both windows'
+    // (key, cid) clustering AND the final rollup, which plans
+    // exchange-free
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(exchanges <= 2,
+      s"q20 must be grid + key staging only ($exchanges exchanges):\n$p")
   }
 
   test("q103_range_shards: percentile boundaries broadcast into a " +
