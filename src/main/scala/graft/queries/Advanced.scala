@@ -147,27 +147,44 @@ object Advanced {
       FROM nation"""),
     doc = "T1 FHIR Organization build vs byte-identical SQL oracle")
 
-  // --- A6/M3: seeded stratified sampling via Spark's own `sampleBy`.
-  //     INTENTIONALLY rows-only: this is the engine-RNG variant kept to
-  //     cover the reference's `groupby.sample(frac=…)` API shape 1:1 —
-  //     its Bernoulli draw is seeded per Spark's partition-RNG contract,
-  //     which no other engine reproduces, so there is nothing for a
-  //     cross-engine oracle to agree on BY DESIGN. The deterministic
-  //     forms of the same operator are fully oracled as q54 (hash-mod
-  //     stratified sample) and q87 (md5-priority bottom-k per stratum);
-  //     production pipelines that need reproducibility-across-engines use
-  //     those. The spec layer (SamplingSpec) pins this variant's per-
-  //     stratum fraction concentration instead.
+  // --- A6/M3: seeded stratified sampling via Spark's own `sampleBy`,
+  //     kept to cover the reference's `groupby.sample(frac=…)` API shape
+  //     1:1. Its Bernoulli draw is seeded per Spark's partition-RNG
+  //     contract, which no other engine reproduces, so the SAMPLED SET
+  //     has nothing for a cross-engine oracle to agree on BY DESIGN —
+  //     but the per-stratum sampled COUNT is binomial(n, 0.7), so the
+  //     bound `|n_sampled − 0.7·n| ≤ 4σ + 1` (σ = √(n·0.7·0.3), false-
+  //     positive ~6e-5 per stratum, and deterministic for the fixed
+  //     seed anyway) is a column both engines can agree on — q70's
+  //     HLL error-bound oracle pattern. If Spark's sampler ever drifts
+  //     the row hash-mismatches and the gate goes red. The
+  //     deterministic forms of the same operator are fully oracled as
+  //     q54 (hash-mod stratified sample) and q87 (md5-priority bottom-k
+  //     per stratum); production pipelines that need reproducibility-
+  //     across-engines use those. SamplingSpec pins this variant's
+  //     per-stratum fraction concentration at the spec layer too.
   private val q45_sample_strat = Q(
     run = (s, d) => {
       val o = Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "O", "P"))
       val strata = Map("F" -> 0.7, "O" -> 0.7, "P" -> 0.7)
-      o.stat.sampleBy("o_orderstatus", strata, 42L)
+      val sampled = o.stat.sampleBy("o_orderstatus", strata, 42L)
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_sampled"))
+      val totals = o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_total"))
+      totals.join(sampled, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"), col("n_total"),
+          (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") -
+            col("n_total").cast("double") * lit(0.7)) <=
+            sqrt(col("n_total").cast("double") * lit(0.21)) * lit(4.0) +
+              lit(1.0)).as("within_bounds"))
     },
-    oracle = None,
-    doc = "A6 seeded stratified sampling (engine RNG BY DESIGN — " +
-      "deterministic siblings q54/q87 carry the oracle)")
+    oracle = Some("""
+      SELECT o_orderstatus, count(*) AS n_total, TRUE AS within_bounds
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+      GROUP BY 1"""),
+    doc = "A6 seeded stratified sampling (engine RNG; binomial " +
+      "error-bound oracle — q70's pattern)")
 
   // --- M6: median imputation in exact-relational form (the ml.Imputer uses
   //     approximate quantiles — fine for modeling, not for an oracle; the
