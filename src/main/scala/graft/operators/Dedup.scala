@@ -246,14 +246,33 @@ object Dedup {
     */
   def fuzzyBlockPairs(docs: DataFrame, id: Column, block: Column,
       key: Column, maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
     val t = maxDist
     val nseg = t + 1
+    // the packed char bag rides every row from here so the
+    // per-candidate bag reject below never re-scans a string
+    def bagHalf(c: Column, half: Int): Column =
+      ExprBridge.column(graft.functions.CharBagExpr(ExprBridge.expr(c), half))
     val d = docs.select(id.as("fz_id"), block.as("fz_block"),
-      key.as("fz_key"), length(key).as("fz_len"))
-    // scheme(L): segment i of a length-L key starts at floor(i*L/nseg)
-    // (0-based) and ends at floor((i+1)*L/nseg) — replayed identically on
-    // both sides, which is all the pigeonhole needs
-    def segStart(i: Column, l: Column): Column = floor(i * l / nseg).cast("int")
+        key.as("fz_key"), length(key).as("fz_len"))
+      .withColumn("bag0", bagHalf(col("fz_key"), 0))
+      .withColumn("bag1", bagHalf(col("fz_key"), 1))
+    // ENTROPY-ADAPTIVE scheme(block, L): boundaries equalize per-segment
+    // COLLISION entropy (Rényi-2: w_p = −ln Σ_c (f_c/n)² per character
+    // position) instead of length. The pigeonhole only needs both sides
+    // to replay the SAME contiguous partition for a given (block, L) —
+    // nothing says the segments must be equal-length — and even-length
+    // segments melt down on real text: first words repeat, so segment 0
+    // of a 32-char head carried 69% of the candidate join's Σm² bucket
+    // mass at sf3 (measured — the r7 "segment entropy" growth defect:
+    // q64/q75 grew ~5× for 3× data). Equalizing collision mass makes
+    // the hot low-entropy head absorb MORE characters and the diverse
+    // tail split finer, flattening bucket sizes with zero effect on
+    // exactness ([[fuzzyBlockPairsNaive]] equivalence is spec-gated).
+    // Keys shorter than nseg (or zero-entropy groups) fall back to the
+    // even split floor(i·L/nseg). The boundary relation is
+    // (block, length)-sized — broadcast to both join sides.
+    val bounds = segmentBounds(d, t)
     // the join keys on a HASH of (block, partition-side key length,
     // segment-index, segment text) — 8 bytes instead of a string tuple; a
     // hash collision only admits a spurious candidate, which the
@@ -261,17 +280,22 @@ object Dedup {
     def segKey(blockC: Column, lenC: Column, si: Column,
         seg: Column): Column =
       xxhash64(blockC, lenC, si, seg)
+    // boundary i (0-based) of the joined scheme array; element_at is
+    // 1-based and barr(0) = 0, barr(nseg) = L
+    def bAt(i: Column): Column = element_at(col("barr"), i + 1)
     // partition side: one row per (doc, segment) under the doc's OWN
-    // length scheme
-    val segs = d.select(col("fz_id"), col("fz_block"), col("fz_key"),
-        col("fz_len"), explode(sequence(lit(0), lit(t))).as("si"))
+    // (block, length) scheme
+    val dk = d.withColumn("bk", xxhash64(col("fz_block")))
+    val segs = dk.join(broadcast(bounds), Seq("bk", "fz_len"))
+      .select(col("fz_id"), col("fz_block"), col("fz_key"),
+        col("fz_len"), col("bag0"), col("bag1"), col("barr"),
+        explode(sequence(lit(0), lit(t))).as("si"))
       .select(col("fz_id").as("a_id"), col("fz_key").as("a_key"),
         col("fz_len").as("a_len"),
+        col("bag0").as("a_bag0"), col("bag1").as("a_bag1"),
         segKey(col("fz_block"), col("fz_len"), col("si"),
-          substring_index_safe(col("fz_key"),
-            segStart(col("si"), col("fz_len")),
-            segStart(col("si") + 1, col("fz_len")) -
-              segStart(col("si"), col("fz_len")))).as("sk"))
+          substring_index_safe(col("fz_key"), bAt(col("si")),
+            bAt(col("si") + 1) - bAt(col("si")))).as("sk"))
     // probe side: for every partner length l within ±τ and every segment
     // index, the substrings whose shift δ = p − p_i(l) satisfies the
     // TIGHT feasibility bound |δ| + |Δ − δ| ≤ τ with Δ = len(b) − l
@@ -283,26 +307,32 @@ object Dedup {
     def seqTo(lo: Column, hi: Column): Column =
       when(lo <= hi, sequence(lo, hi))
         .otherwise(array().cast("array<int>"))
-    val probes = d.select(col("fz_id"), col("fz_block"), col("fz_len"),
-        col("fz_key"),
+    val probes = dk.select(col("fz_id"), col("fz_block"), col("bk"),
+        col("fz_len"), col("fz_key"), col("bag0"), col("bag1"),
         explode(seqTo(greatest(col("fz_len") - t, lit(0)),
           col("fz_len") + t)).as("l"))
+      // partner-length scheme boundaries; INNER: a probe row for a
+      // (block, length) no document has cannot match anything anyway
+      .join(broadcast(bounds.select(col("bk"),
+        col("fz_len").as("l"), col("barr"))), Seq("bk", "l"))
       .select(col("fz_id"), col("fz_block"), col("fz_len"), col("fz_key"),
-        col("l"), explode(sequence(lit(0), lit(t))).as("si"))
-      .withColumn("segLen",
-        segStart(col("si") + 1, col("l")) - segStart(col("si"), col("l")))
+        col("bag0"), col("bag1"), col("l"), col("barr"),
+        explode(sequence(lit(0), lit(t))).as("si"))
+      .withColumn("segLen", bAt(col("si") + 1) - bAt(col("si")))
       .withColumn("delta", col("fz_len") - col("l"))
       .withColumn("half",
         floor((lit(t) - abs(col("delta"))) / 2).cast("int"))
       .select(col("fz_id").as("b_id"), col("fz_block").as("b_block"),
-        col("fz_key").as("b_key"), col("l"), col("si"), col("segLen"),
+        col("fz_key").as("b_key"), col("bag0").as("b_bag0"),
+        col("bag1").as("b_bag1"), col("l"), col("si"), col("segLen"),
+        col("barr"),
         explode(seqTo(
-          greatest(segStart(col("si"), col("l")) +
+          greatest(bAt(col("si")) +
             least(col("delta"), lit(0)) - col("half"), lit(0)),
-          least(segStart(col("si"), col("l")) +
+          least(bAt(col("si")) +
             greatest(col("delta"), lit(0)) + col("half"),
             col("fz_len") - col("segLen")))).as("p"))
-      .select(col("b_id"), col("b_key"),
+      .select(col("b_id"), col("b_key"), col("b_bag0"), col("b_bag1"),
         segKey(col("b_block"), col("l"), col("si"),
           substring_index_safe(col("b_key"), col("p"), col("segLen")))
           .as("sk"))
@@ -317,9 +347,17 @@ object Dedup {
     // materializing/distinct-ing the raw candidate relation first was
     // the dominant shuffle at sf1 (33 M rows).
     val dist = levenshtein(col("a_key"), col("b_key"), t)
+    // conjunct order is load-bearing (And short-circuit): O(1) id prune,
+    // then the ~O(lanes) bag reject (kills 95% of candidates at 1/10 a
+    // levenshtein's cost — measured on sf3; soundness: bag L1 ≤ 2·lev,
+    // see CharBagExpr), and only survivors pay the banded levenshtein
+    val bagOk = ExprBridge.column(graft.functions.BagL1LeExpr(
+      ExprBridge.expr(col("a_bag0")), ExprBridge.expr(col("a_bag1")),
+      ExprBridge.expr(col("b_bag0")), ExprBridge.expr(col("b_bag1")),
+      2 * t))
     broadcast(segs).join(probes,
         segs("sk") === probes("sk") && col("a_id") < col("b_id") &&
-          dist >= 0)
+          bagOk && dist >= 0)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
         dist.as("dist"))
       .distinct()
@@ -332,6 +370,159 @@ object Dedup {
   private def substring_index_safe(s: Column, start: Column,
       len: Column): Column =
     s.substr(start + 1, greatest(len, lit(0)))
+
+  /** Segment-length flexibility around the even share: a segment may be
+    * up to 2 chars shorter or [[SegExtUp]] chars longer (see
+    * [[segmentBounds]]).
+    */
+  private val SegExtDown = 2
+  private val SegExtUp = 8
+
+  /** Grid-row ceiling for the driver-side boundary solver — (block,
+    * length, start, extension)-granular stats, INDEPENDENT of corpus
+    * size (bounded by groups × key length × extension range). Past it
+    * the scheme falls back to the even split for every group
+    * (exactness unaffected — only candidate volume).
+    */
+  private val SegGridMaxRows = 1000000
+
+  /** Key sample size the boundary statistics are estimated from: the
+    * collision probabilities only STEER segment placement (never
+    * exactness), and the hot buckets that matter are dense enough that
+    * a ~30k-doc hash sample pins them — the full-corpus grid pass was
+    * 5.3 s of q64's 22 s at sf3 for identical boundaries.
+    */
+  private val SegStatsSampleDocs = 30000L
+
+  /** Below this corpus size the adaptive scheme is even-split: small
+    * corpora have no collision problem to solve, and the stats job's
+    * fixed latency (~1 s driver-sequential at toy SF) would dominate
+    * the win. Documented policy switch, not a silent cap — boundaries
+    * stay consistent either way.
+    */
+  private val SegStatsMinDocs = 20000L
+
+  /** Collision-adaptive PassJoin boundary relation: for every (block,
+    * length) group of keys, the τ+2 boundaries (0 = b_0 < … < b_{τ+1}
+    * = L) splitting a length-L key into the τ+1 contiguous segments
+    * that MINIMIZE TOTAL MEASURED COLLISION MASS, keyed on
+    * xxhash64(block) (a block-hash collision only makes the colliding
+    * blocks share boundaries — consistency, not optimality, is what
+    * the pigeonhole needs). Even-length segments melt down on real
+    * text: first words repeat, so segment 0 of a 32-char head carried
+    * 69% of the candidate join's Σm² bucket mass at sf3; marginal
+    * per-position entropy cannot see it (positions are individually
+    * diverse but jointly repeat whole words), and a greedy
+    * first-segment-first walk starves the tail into 1-char segments
+    * that collide worse than the head did (all three measured). So:
+    *
+    *  - ONE aggregation computes, for every (block, L, start s,
+    *    extension x ∈ [share−2, share+8]), the collision probability
+    *    cp(s, x) = Σ_v (f_v/n)² of the substring [s, s+x) over the
+    *    group's keys — grid rows are group-bounded (≤ L·11 per group),
+    *    never corpus-bounded, so the collect stays under
+    *    [[SegGridMaxRows]] (the Bloom/Pipelines bounded-collect
+    *    precedent; past the guard: even split).
+    *  - A deterministic driver DP over (segment index, boundary)
+    *    states picks the composition Σx_i = L minimizing Σ_i cp_i —
+    *    exactly the expected candidate-pair mass Σ_i n²·cp_i the
+    *    partition side will pay. ~2k transitions per group.
+    *
+    * Groups with L < τ+1 fall back to the even split floor(i·L/(τ+1)).
+    * Only boundary CONSISTENCY between the two join sides matters for
+    * exactness ([[fuzzyBlockPairsNaive]] equivalence is spec-gated);
+    * the statistics steer candidate volume only.
+    */
+  private[graft] def segmentBounds(d: DataFrame, t: Int): DataFrame = {
+    val nseg = t + 1
+    val spark = d.sparkSession
+    import spark.implicits._
+    val keyed = d.filter(col("fz_len").isNotNull)
+      .select(xxhash64(col("fz_block")).as("bk"), col("fz_len"),
+        col("fz_key"), col("fz_id"))
+    // ONE job yields the group universe AND the corpus size
+    val lensCounts: Array[(Long, Int, Long)] =
+      keyed.groupBy(col("bk"), col("fz_len"))
+        .agg(count(lit(1)).as("n")).limit(SegGridMaxRows + 1)
+        .as[(Long, Int, Long)].collect()
+    val lens: Array[(Long, Int)] = lensCounts.map(r => (r._1, r._2))
+    val total = lensCounts.map(_._3).sum
+    def evenArr(l: Int): Seq[Int] = (0 to nseg).map(i => i * l / nseg)
+    val evenBounds: Seq[(Long, Int, Seq[Int])] =
+      lens.toSeq.map { case (bk, l) => (bk, l, evenArr(l)) }
+    // τ = 0 (whole key is the one segment), a group universe too large
+    // to collect, or a corpus too small for collisions to matter:
+    // even split everywhere
+    if (t == 0 || lens.length > SegGridMaxRows || total < SegStatsMinDocs)
+      return broadcast(evenBounds.toDF("bk", "fz_len", "barr"))
+    // per-row candidate extension range [share−2, share+8] clamped ≥1;
+    // the range is reachability-complete: nseg·max(1, share−2) ≤ L ≤
+    // nseg·(share+8) for every L ≥ nseg, so the DP always has a
+    // composition summing exactly to L
+    val share = ceil(col("fz_len").cast("double") / nseg).cast("int")
+    val xsCands =
+      sequence(greatest(share - SegExtDown, lit(1)), share + SegExtUp)
+    // deterministic hash sample of the keys feeding the statistics
+    // (estimation only — boundaries stay consistent because both join
+    // sides read the SAME bounds relation)
+    val sampled =
+      if (total <= SegStatsSampleDocs) keyed
+      else keyed.filter(pmod(xxhash64(col("fz_id")), lit(1L << 20)) <
+        lit((SegStatsSampleDocs.toDouble / total * (1L << 20)).toLong + 1L))
+    val gridDf = sampled.filter(col("fz_len") >= nseg)
+      .select(col("bk"), col("fz_len"), col("fz_key"),
+        explode(sequence(lit(0), col("fz_len") - 1)).as("st"))
+      .select(col("bk"), col("fz_len"), col("fz_key"), col("st"),
+        explode(filter(xsCands,
+          x => x + col("st") <= col("fz_len"))).as("x"))
+      .select(col("bk"), col("fz_len"), col("st"), col("x"),
+        col("fz_key").substr(col("st") + 1, col("x")).as("sub"))
+      .groupBy("bk", "fz_len", "st", "x", "sub")
+      .agg(count(lit(1)).cast("double").as("m"))
+      .groupBy("bk", "fz_len", "st", "x")
+      .agg((sum(col("m") * col("m")) /
+        (sum(col("m")) * sum(col("m")))).as("cp"))
+    val grid: Array[(Long, Int, Int, Int, Double)] =
+      gridDf.limit(SegGridMaxRows + 1)
+        .as[(Long, Int, Int, Int, Double)].collect()
+    if (grid.length > SegGridMaxRows)
+      return broadcast(evenBounds.toDF("bk", "fz_len", "barr"))
+    val stats: Map[(Long, Int), Map[(Int, Int), Double]] = grid
+      .groupBy(r => (r._1, r._2))
+      .map { case (g, rs) => g -> rs.map(r => (r._3, r._4) -> r._5).toMap }
+    // min-total-cp composition of L into nseg parts from the candidate
+    // range; deterministic (fixed iteration order, strict improvement)
+    def solve(bk: Long, l: Int): Seq[Int] = {
+      val cps = stats((bk, l))
+      val shareI = (l + nseg - 1) / nseg
+      val xs = math.max(1, shareI - SegExtDown) to (shareI + SegExtUp)
+      val INF = Double.MaxValue / 4
+      val f = Array.fill(nseg + 1, l + 1)(INF)
+      val choice = Array.fill(nseg + 1, l + 1)(-1)
+      f(0)(0) = 0.0
+      for (i <- 0 until nseg; b <- 0 to l if f(i)(b) < INF; x <- xs) {
+        val nb = b + x
+        val rem = nseg - i - 1
+        if (nb <= l && nb + rem.toLong * xs.head <= l &&
+            nb + rem.toLong * xs.last >= l && (rem > 0 || nb == l)) {
+          val c = f(i)(b) + cps.getOrElse((b, x), 1.0)
+          if (c < f(i + 1)(nb)) { f(i + 1)(nb) = c; choice(i + 1)(nb) = x }
+        }
+      }
+      if (f(nseg)(l) >= INF) return evenArr(l)
+      val bs = new Array[Int](nseg + 1)
+      bs(nseg) = l
+      var b = l
+      var i = nseg
+      while (i > 0) { b -= choice(i)(b); i -= 1; bs(i) = b }
+      bs.toSeq
+    }
+    val rows: Seq[(Long, Int, Seq[Int])] = lens.toSeq.map { case (bk, l) =>
+      if (l < nseg || !stats.contains((bk, l))) (bk, l, evenArr(l))
+      else (bk, l, solve(bk, l))
+    }
+    broadcast(rows.toDF("bk", "fz_len", "barr"))
+  }
 
   /** The pre-round-7 all-pairs form of [[fuzzyBlockPairs]] — O(block²)
     * banded-levenshtein probes. Kept PRIVATE as the property-test oracle

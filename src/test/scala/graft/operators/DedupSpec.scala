@@ -349,6 +349,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("char-bag bound soundness: bagL1(a, b) <= 2*lev(a, b) on random " +
+      "pairs incl. unicode, saturation and empties (the pre-levenshtein " +
+      "reject may never kill a true pair)") {
+    import graft.functions.BagOps
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(20260815L)
+    val alphabet = "abcdeé北XYZ019 ,"
+    def randStr(n: Int): String =
+      (1 to n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    def levExact(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    def bagL1(a: String, b: String): Int = {
+      val (ua, ub) = (UTF8String.fromString(a), UTF8String.fromString(b))
+      BagOps.l1(BagOps.bagHalf(ua, 0), BagOps.bagHalf(ub, 0)) +
+        BagOps.l1(BagOps.bagHalf(ua, 1), BagOps.bagHalf(ub, 1))
+    }
+    // saturating edge: >15 repeats of one char must still bound
+    assert(bagL1("a" * 40, "a" * 20) <= 2 * levExact("a" * 40, "a" * 20))
+    assert(bagL1("", "abc") <= 2 * 3)
+    for (_ <- 1 to 300) {
+      val a = randStr(rng.nextInt(40))
+      val b = if (rng.nextBoolean()) randStr(rng.nextInt(40))
+        else a.drop(rng.nextInt(3)) + randStr(rng.nextInt(4))
+      val (l1, lv) = (bagL1(a, b), levExact(a, b))
+      assert(l1 <= 2 * lv, s"unsound: bagL1=$l1 > 2*lev=$lv for " +
+        s"a=\"$a\" b=\"$b\"")
+    }
+  }
+
   test("repeatedPassages: shared 32-token paragraph flagged in BOTH docs, " +
       "unique docs 0.0, sub-window docs absent, intra-doc repeat alone " +
       "is NOT cross-doc") {
