@@ -306,6 +306,67 @@ object TextOps {
       FROM documents"""),
     doc = "multimodal binary-column pipeline (deterministic fake decode)")
 
+  // --- perceptual image dedup, fully oracled on the DETERMINISTIC fake
+  //     decode: the "luma thumb" is the codepoints of the first 64 chars
+  //     (space-padded — ascii() is codepoint-identical across engines,
+  //     verified incl. astral planes), and everything downstream is the
+  //     REAL production pipeline — Multimodal.aHash (integer mean
+  //     threshold, two-half packing) → 4×16-bit pigeonhole bands →
+  //     XOR+popcount verify (imageDupPairs), exactly what the
+  //     javax.imageio decode feeds; the codec itself stays spec-gated
+  //     because binary codecs aren't DuckDB-expressible (q38's split).
+  //     Oracle notes: DuckDB ERRORS on left-shift overflow (1<<63), so
+  //     the oracle reconstructs the signed 64-bit hash as a HUGEINT sum
+  //     with bit 64 weighted −2^63 (exact two's complement), and band
+  //     extraction uses (h >> 16b) & 65535, which is shift-flavor
+  //     agnostic after the mask.
+  private val imageDupOracleSql: String = {
+    val pw = "CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT) " +
+      "ELSE CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER) END"
+    val bandEq = (0 until 4).map { b =>
+      s"((a.h >> ${b * 16}) & 65535) = ((b.h >> ${b * 16}) & 65535)"
+    }.mkString("\n              OR ")
+    s"""
+      WITH t AS (
+        SELECT doc_id AS asset_id, rpad(text, 64, ' ') AS p
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      pix AS (
+        SELECT asset_id, CAST(r.i AS INTEGER) AS i,
+          CAST(ascii(substr(p, CAST(r.i AS INTEGER), 1)) AS BIGINT) AS v
+        FROM t, range(1, 65) r(i)),
+      tot AS (SELECT asset_id, sum(v) AS total FROM pix GROUP BY 1),
+      hash AS (
+        SELECT pix.asset_id,
+          CAST(sum(CASE WHEN v * 64 >= total THEN $pw
+                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
+        FROM pix JOIN tot USING (asset_id)
+        GROUP BY pix.asset_id)
+      SELECT asset_a, asset_b, dist FROM (
+        SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+          CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS dist
+        FROM hash a JOIN hash b ON a.asset_id < b.asset_id
+          AND ($bandEq))
+      WHERE dist <= 3"""
+  }
+
+  private val q134_image_dup = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ok = col("text").isNotNull && length(col("text")) > 0
+      // staged padded string: the thumb lambda below runs interpreted
+      // and would otherwise re-pad per element (the HOF staging rule)
+      val decoded = docs
+        .withColumn("__p", rpad(col("text"), 64, " "))
+        .select(col("doc_id").as("asset_id"), ok.as("decode_ok"),
+          when(ok, transform(sequence(lit(1), lit(64)),
+            i => ascii(col("__p").substr(i, lit(1))).cast("long")))
+            .as("thumb8"))
+      graft.operators.Multimodal.imageDupPairs(decoded, maxBits = 3)
+    },
+    oracle = Some(imageDupOracleSql),
+    doc = "perceptual image near-dup pairs: aHash + pigeonhole bands + " +
+      "hamming verify on the deterministic fake-decode thumb")
+
   // --- the curation endgame, composed from the oracle-proven pieces
   //     above: quality gate (token count) ∧ normalized-dedup keep set →
   //     per-language corpus budget (docs + total tokens). This is the
@@ -1618,5 +1679,6 @@ object TextOps {
     "q129_pmi_bigrams" -> q129_pmi_bigrams,
     "q130_novelty" -> q130_novelty,
     "q131_weighted_sample" -> q131_weighted_sample,
-    "q133_corpus_card" -> q133_corpus_card)
+    "q133_corpus_card" -> q133_corpus_card,
+    "q134_image_dup" -> q134_image_dup)
 }
