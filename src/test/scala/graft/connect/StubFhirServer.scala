@@ -32,6 +32,14 @@ class StubFhirServer {
   @volatile private var failCode = 500
 
   def failNext(n: Int, code: Int = 500): Unit = { failCode = code; failures.set(n) }
+  /** Arm a single failure on the k-th request from now (1-based) — lets a
+    * spec drop a specific verb mid-batch (e.g. the first PUT after its
+    * version-check GET) instead of whatever comes first.
+    */
+  def failNth(k: Int, code: Int = 500): Unit = {
+    failCode = code; skipBeforeFail.set(k - 1); failures.set(1)
+  }
+  private val skipBeforeFail = new AtomicInteger(0)
   def log: Seq[Req] = requests.asScala.toSeq
   def clearLog(): Unit = requests.clear()
   def contents: Map[String, String] = data.asScala.toMap
@@ -64,7 +72,9 @@ class StubFhirServer {
     val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
     requests.add(Req(method,
       path + query.map("?" + _).getOrElse(""), body))
-    if (failures.getAndUpdate(n => math.max(n - 1, 0)) > 0) {
+    if (skipBeforeFail.getAndUpdate(n => math.max(n - 1, 0)) > 0) {
+      // armed via failNth but the target request hasn't arrived yet
+    } else if (failures.getAndUpdate(n => math.max(n - 1, 0)) > 0) {
       respond(ex, failCode, s"""{"issue":"injected $failCode"}""")
       return
     }

@@ -100,6 +100,53 @@ class WritebackSpec extends SparkSpec {
     assert(r.toSeq == Seq(("c1", "accepted")))
   }
 
+  test("X8/X9 end to end: a 503 dropped on the first PUT mid-batch is " +
+      "retried, and both the completed and the cancelled outcomes land — " +
+      "exact wire sequence through foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.connect.{FhirSinks, HttpStoreRef, StubFhirServer}
+    implicit val sqlCtx = spark.sqlContext
+    val srv = new StubFhirServer
+    try {
+      val ref = HttpStoreRef(srv.baseUrl, retries = 2, retryDelayMs = 1)
+      val stream =
+        MemoryStream[(String, String, String, String, String, String)]
+      stream.addData(
+        ("t1", "accepted", "3", "2025-07-10T10:00:00", "sys", "enc1"),
+        ("t4", "accepted", "1", "2025-07-10T13:00:00", "sys",
+          "enc-missing"))
+      val df = stream.toDF()
+        .toDF("id", "status", "versionId", "authoredOn", "focusSystem",
+          "focusValue")
+        .withColumn("note",
+          lit(null).cast("array<struct<time:string,text:string>>"))
+      // per-task wire order is GET (version re-read) then PUT, so the
+      // 2nd request of the batch is t1's status PUT — drop exactly it
+      srv.failNth(2, code = 503)
+      val q = Writeback.start(df, consultations, compositions,
+        // one partition + id order -> a deterministic wire sequence
+        sink = b => FhirSinks.writebackTasks(
+          b.repartition(1).sortWithinPartitions("id"), ref),
+        checkpoint = java.nio.file.Files
+          .createTempDirectory("wb-ckpt-fail").toString,
+        interval = "1 seconds")
+      try q.processAllAvailable() finally q.stop()
+      // exact sequence: GET t1, PUT t1 (injected 503), PUT t1 (the X9
+      // retry), GET t4, PUT t4 — the mid-batch failure neither skips t1
+      // nor disturbs t4
+      assert(srv.log.map(r => (r.method, r.path)) == Seq(
+        ("GET", "Task/t1"), ("PUT", "Task/t1"), ("PUT", "Task/t1"),
+        ("GET", "Task/t4"), ("PUT", "Task/t4")),
+        s"wire sequence was ${srv.log.map(r => (r.method, r.path))}")
+      // X8 outcomes: normal task completed, missing-consultation task
+      // cancelled, each with the workflow audit note
+      assert(srv.contents("Task/t1").contains("\"completed\"") &&
+        srv.contents("Task/t1").contains("Workflow completed"))
+      assert(srv.contents("Task/t4").contains("\"cancelled\"") &&
+        srv.contents("Task/t4").contains("Workflow cancelled"))
+    } finally srv.stop()
+  }
+
   test("streaming: 1-minute-poll pipeline via foreachBatch memory run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
