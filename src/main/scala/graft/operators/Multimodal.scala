@@ -239,8 +239,13 @@ object Multimodal {
     * only verify.
     */
   def imageDupPairs(decoded: DataFrame, maxBits: Int = 3): DataFrame = {
+    // materialized once: BOTH self-join sides consume the hashed
+    // relation, and without the checkpoint each side re-runs the decode
+    // (a real codec on the production path) and the interpreted aHash
+    // fold. 16 bytes per asset — tiny next to the assets it indexes.
     val hashed = decoded.filter(col("decode_ok"))
       .select(col("asset_id"), aHash(col("thumb8")).as("h"))
+      .localCheckpoint(true)
     val banded = hashed.select(col("asset_id"), col("h"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),

@@ -351,16 +351,37 @@ object TextOps {
 
   private val q134_image_dup = Q(
     run = (s, d) => {
-      val docs = Tables.documents(s, d)
-      val ok = col("text").isNotNull && length(col("text")) > 0
-      // staged padded string: the thumb lambda below runs interpreted
-      // and would otherwise re-pad per element (the HOF staging rule)
-      val decoded = docs
-        .withColumn("__p", rpad(col("text"), 64, " "))
-        .select(col("doc_id").as("asset_id"), ok.as("decode_ok"),
-          when(ok, transform(sequence(lit(1), lit(64)),
-            i => ascii(col("__p").substr(i, lit(1))).cast("long")))
-            .as("thumb8"))
+      // the fake decode mirrors the REAL decoder's physical shape — a
+      // typed mapPartitions producing the thumb as a materialized
+      // attribute. A declarative transform() spelling is a trap here:
+      // CollapseProject re-inlines the staged rpad/thumb aliases into
+      // the HOF lambdas (each is textually referenced once, so the
+      // more-than-once staging rule doesn't hold), and the inlined
+      // aHash then re-computes the 64-element thumb PER BIT, per
+      // consumer, re-evaluated again by a pushed isnotnull filter —
+      // measured at 85 s for 5k docs vs 0.4 s for this form. Codepoint
+      // walk == both engines' character-based substr/ascii semantics.
+      import s.implicits._
+      val decoded = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val ok = text != null && text.nonEmpty
+          val thumb = if (!ok) null else {
+            val arr = new Array[Long](64)
+            var i = 0
+            var p = 0
+            while (i < 64) {
+              if (p < text.length) {
+                val cp = text.codePointAt(p)
+                arr(i) = cp.toLong
+                p += Character.charCount(cp)
+              } else arr(i) = 32L // the rpad(…, ' ') tail
+              i += 1
+            }
+            arr
+          }
+          (id, ok, thumb)
+        }).toDF("asset_id", "decode_ok", "thumb8")
       graft.operators.Multimodal.imageDupPairs(decoded, maxBits = 3)
     },
     oracle = Some(imageDupOracleSql),
