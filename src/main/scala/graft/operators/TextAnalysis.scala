@@ -132,6 +132,55 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(toks).cast("long"))
 
+  /** Concat-and-chunk SEQUENCE PACKING — the batch-prep step between a
+    * curated corpus and a trainer: documents are concatenated in a
+    * deterministic order and cut every `seqLen` tokens; each document's
+    * assignment is (shard, seq_no, offset_in_seq), and a document whose
+    * `offset + n_tokens` crosses `seqLen` spans a sequence boundary
+    * exactly as the standard concat-then-chunk loader does (the consumer
+    * splits it; no padding is modeled).
+    *
+    * Determinism: documents are sharded by the portable 60-bit hash of
+    * their id and ordered within a shard by md5 priority then id — no
+    * RNG, no partitioning dependence; any engine reproduces every
+    * assignment bit-for-bit (the q135 oracle replays it in SQL).
+    * Zero/NULL-token documents are excluded (they contribute nothing to
+    * a sequence).
+    *
+    * Scale shape: ONE exchange on the shard key, then a per-shard sort +
+    * running sum — exactly the sharded-packing layout production loaders
+    * use; `shards` is the parallelism knob (each shard's window is a
+    * single task over corpus/shards docs). The running sum is plain long
+    * arithmetic: ANSI throws past 2^63 tokens per shard rather than
+    * mis-assigning.
+    */
+  def packSequences(docs: DataFrame, id: Column, text: Column,
+      seqLen: Int, shards: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"packSequences: seqLen must be >= 1, got $seqLen")
+    require(shards >= 1, s"packSequences: shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .withColumn("__tk", tokens(text))
+      .select(id.as("doc_id"),
+        tokenCountFrom(text, col("__tk")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        pmod(graft.operators.Dedup.portableHash64(
+          col("doc_id").cast("string")), lit(shards.toLong)).cast("int")
+          .as("shard"),
+        md5(col("doc_id").cast("string").cast("binary")).as("__pri"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__pri").asc_nulls_last, col("doc_id").asc_nulls_last)
+    base
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"),
+        // DIV: exact integer division (a double quotient would round past
+        // 2^53 tokens; starts are non-negative so DIV == floor)
+        expr(s"__start DIV $seqLen").as("seq_no"),
+        pmod(col("__start"), lit(seqLen.toLong)).as("offset_in_seq"),
+        col("n_tokens"))
+  }
+
   /** Quality-score features: length, token stats, stopword ratio.
     * Mirrors the heuristic quality scoring a pretraining pipeline applies
     * per document before filtering. `toks` = staged [[tokens]] attribute

@@ -388,6 +388,41 @@ object TextOps {
     doc = "perceptual image near-dup pairs: aHash + pigeonhole bands + " +
       "hamming verify on the deterministic fake-decode thumb")
 
+  // --- concat-and-chunk sequence packing: the batch-prep step between a
+  //     curated corpus and a trainer. Every assignment (shard, seq_no,
+  //     offset) is integer-exact off the portable hash + md5 priority, so
+  //     the DuckDB oracle replays the full layout bit-for-bit — including
+  //     documents that span a sequence boundary (offset + n_tokens >
+  //     seqLen), exactly as the standard loader cuts them.
+  private val q135_seq_packing = Q(
+    run = (s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d),
+        col("doc_id"), col("text"), seqLen = 2048, shards = 32),
+    oracle = Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(len(regexp_split_to_array(lower(trim(text)),
+                 '\\s+')) AS BIGINT) END AS n_tokens
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_tokens,
+          CAST(${duckHash64("CAST(doc_id AS VARCHAR)")} % 32 AS INTEGER)
+            AS shard,
+          md5(CAST(doc_id AS VARCHAR)) AS pri
+        FROM t WHERE n_tokens > 0),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY shard
+            ORDER BY pri NULLS LAST, doc_id NULLS LAST
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+        FROM p)
+      SELECT doc_id, shard, CAST(strt // 2048 AS BIGINT) AS seq_no,
+        CAST(strt % 2048 AS BIGINT) AS offset_in_seq, n_tokens
+      FROM c"""),
+    doc = "concat-and-chunk sequence packing: deterministic sharded " +
+      "token-budget layout, boundary-spanning docs included")
+
   // --- the curation endgame, composed from the oracle-proven pieces
   //     above: quality gate (token count) ∧ normalized-dedup keep set →
   //     per-language corpus budget (docs + total tokens). This is the
@@ -1701,5 +1736,6 @@ object TextOps {
     "q130_novelty" -> q130_novelty,
     "q131_weighted_sample" -> q131_weighted_sample,
     "q133_corpus_card" -> q133_corpus_card,
-    "q134_image_dup" -> q134_image_dup)
+    "q134_image_dup" -> q134_image_dup,
+    "q135_seq_packing" -> q135_seq_packing)
 }

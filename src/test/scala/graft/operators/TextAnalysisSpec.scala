@@ -86,4 +86,41 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(re == got)
   }
+
+  test("packSequences: per-shard assignments chain exactly (start_0 = 0, " +
+      "start_{i+1} = start_i + n_i), offsets stay under seqLen, boundary-" +
+      "spanning docs keep their full token count; empties excluded; " +
+      "repartition-invariant") {
+    val L = 16
+    val docs = ((1L to 40L).map { i =>
+      (i, ("tok " * (1 + (i % 13)).toInt).trim) // 1..13 tokens
+    } :+ ((98L, ""))  // empty: excluded
+      :+ ((99L, null.asInstanceOf[String]))). // null: excluded
+      toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, col("doc_id"), col("text"),
+        seqLen = L, shards = 4)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(got.length == 40, s"empty/null docs must be excluded: ${got.length}")
+    assert(got.forall { case (_, _, seq, off, n) =>
+      seq >= 0 && off >= 0 && off < L && n >= 1 })
+    // reconstruct starts and check the concat chain per shard
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.map { case (id, _, seq, off, n) =>
+        (seq * L + off, n, id) }.sortBy(_._1)
+      assert(sorted.head._1 == 0L, s"shard $shard must start at 0")
+      sorted.sliding(2).foreach {
+        case Array((s0, n0, _), (s1, _, _)) =>
+          assert(s1 == s0 + n0, s"shard $shard chain broke at $s1")
+        case _ =>
+      }
+      // with 16-token sequences and up-to-13-token docs, spans happen
+      assert(rows.length < 2 ||
+        sorted.exists { case (s, n, _) => (s % L) + n > L },
+        s"shard $shard: expected at least one boundary-spanning doc")
+    }
+    val re = TextAnalysis.packSequences(docs.repartition(7), col("doc_id"),
+        col("text"), seqLen = L, shards = 4)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(re.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }

@@ -744,6 +744,20 @@ class PlanShapeSpec extends SparkSpec {
       s"histogram aggregates need map-side partials:\n$p")
   }
 
+  test("q135_seq_packing: ONE shard exchange feeds the per-shard packing " +
+      "window — no join, no second shuffle, schema pruned to (doc_id, " +
+      "text)") {
+    val p = plan("q135_seq_packing")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    assert(p.contains("Window"), s"expected the per-shard running sum:\n$p")
+    assert(!p.contains("lang#") && !p.contains("source#"),
+      s"scan must not read unused document columns:\n$p")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(exchanges <= 1,
+      s"packing is one shard exchange ($exchanges):\n$p")
+  }
+
   test("q130_novelty: one shingle-hash join (batch side keyed on shh), " +
       "base side distinct has map-side partials, no cartesian") {
     val p = plan("q130_novelty")
