@@ -382,25 +382,29 @@ object Dedup {
     * length, start, extension)-granular stats, INDEPENDENT of corpus
     * size (bounded by groups × key length × extension range). Past it
     * the scheme falls back to the even split for every group
-    * (exactness unaffected — only candidate volume).
+    * (exactness unaffected — only candidate volume). `var` solely as a
+    * test seam (DedupSpec forces the overflow branch); never mutated
+    * in main.
     */
-  private val SegGridMaxRows = 1000000
+  private[graft] var SegGridMaxRows = 1000000
 
   /** Key sample size the boundary statistics are estimated from: the
     * collision probabilities only STEER segment placement (never
     * exactness), and the hot buckets that matter are dense enough that
     * a ~30k-doc hash sample pins them — the full-corpus grid pass was
-    * 5.3 s of q64's 22 s at sf3 for identical boundaries.
+    * 5.3 s of q64's 22 s at sf3 for identical boundaries. `var` solely
+    * as a test seam; never mutated in main.
     */
-  private val SegStatsSampleDocs = 30000L
+  private[graft] var SegStatsSampleDocs = 30000L
 
   /** Below this corpus size the adaptive scheme is even-split: small
     * corpora have no collision problem to solve, and the stats job's
     * fixed latency (~1 s driver-sequential at toy SF) would dominate
     * the win. Documented policy switch, not a silent cap — boundaries
-    * stay consistent either way.
+    * stay consistent either way. `var` solely as a test seam (DedupSpec
+    * forces the adaptive branch on a toy corpus); never mutated in main.
     */
-  private val SegStatsMinDocs = 20000L
+  private[graft] var SegStatsMinDocs = 20000L
 
   /** Collision-adaptive PassJoin boundary relation: for every (block,
     * length) group of keys, the τ+2 boundaries (0 = b_0 < … < b_{τ+1}
@@ -432,6 +436,16 @@ object Dedup {
     * Only boundary CONSISTENCY between the two join sides matters for
     * exactness ([[fuzzyBlockPairsNaive]] equivalence is spec-gated);
     * the statistics steer candidate volume only.
+    *
+    * COMPLETENESS CONTRACT: the returned relation carries a row for
+    * EVERY (block, length) group in `d` — [[fuzzyBlockPairs]]
+    * inner-joins both the partition and probe sides to it, so a missing
+    * group would silently drop that group's true pairs. Every fallback
+    * path therefore derives the even-split boundaries as an EXPRESSION
+    * over the distributed group universe (never from a driver collect
+    * that a `limit` may have truncated — the round-8 overflow bug); the
+    * driver-side DP only ever OVERRIDES rows of a universe it collected
+    * whole.
     */
   private[graft] def segmentBounds(d: DataFrame, t: Int): DataFrame = {
     val nseg = t + 1
@@ -440,21 +454,34 @@ object Dedup {
     val keyed = d.filter(col("fz_len").isNotNull)
       .select(xxhash64(col("fz_block")).as("bk"), col("fz_len"),
         col("fz_key"), col("fz_id"))
-    // ONE job yields the group universe AND the corpus size
+    // the complete (block, length) universe, kept DISTRIBUTED — the
+    // even-split fallback is an expression over it, so the bounds
+    // relation is complete by construction regardless of what the
+    // driver-side solver manages to collect
+    val universe = keyed.groupBy(col("bk"), col("fz_len"))
+      .agg(count(lit(1)).as("n"))
+    // floor(i·L/nseg), exact in double for any realistic key length
+    val evenExpr = transform(sequence(lit(0), lit(nseg)),
+      i => floor(i.cast("long") * col("fz_len") / nseg).cast("int"))
+    def evenAll(): DataFrame =
+      universe.select(col("bk"), col("fz_len"), evenExpr.as("barr"))
     val lensCounts: Array[(Long, Int, Long)] =
-      keyed.groupBy(col("bk"), col("fz_len"))
-        .agg(count(lit(1)).as("n")).limit(SegGridMaxRows + 1)
+      universe.limit(SegGridMaxRows + 1)
         .as[(Long, Int, Long)].collect()
+    // a universe too large to collect whole: even split everywhere,
+    // computed distributively — the truncated array must never feed a
+    // joined relation
+    if (lensCounts.length > SegGridMaxRows) return evenAll()
+    // the collect is COMPLETE from here: driver-local relations are safe
     val lens: Array[(Long, Int)] = lensCounts.map(r => (r._1, r._2))
     val total = lensCounts.map(_._3).sum
     def evenArr(l: Int): Seq[Int] = (0 to nseg).map(i => i * l / nseg)
-    val evenBounds: Seq[(Long, Int, Seq[Int])] =
-      lens.toSeq.map { case (bk, l) => (bk, l, evenArr(l)) }
-    // τ = 0 (whole key is the one segment), a group universe too large
-    // to collect, or a corpus too small for collisions to matter:
-    // even split everywhere
-    if (t == 0 || lens.length > SegGridMaxRows || total < SegStatsMinDocs)
-      return broadcast(evenBounds.toDF("bk", "fz_len", "barr"))
+    // τ = 0 (whole key is the one segment) or a corpus too small for
+    // collisions to matter: even split everywhere, as a broadcast-cheap
+    // local relation over the complete universe
+    if (t == 0 || total < SegStatsMinDocs)
+      return broadcast(lens.toSeq.map { case (bk, l) =>
+        (bk, l, evenArr(l)) }.toDF("bk", "fz_len", "barr"))
     // per-row candidate extension range [share−2, share+8] clamped ≥1;
     // the range is reachability-complete: nseg·max(1, share−2) ≤ L ≤
     // nseg·(share+8) for every L ≥ nseg, so the DP always has a
@@ -485,8 +512,7 @@ object Dedup {
     val grid: Array[(Long, Int, Int, Int, Double)] =
       gridDf.limit(SegGridMaxRows + 1)
         .as[(Long, Int, Int, Int, Double)].collect()
-    if (grid.length > SegGridMaxRows)
-      return broadcast(evenBounds.toDF("bk", "fz_len", "barr"))
+    if (grid.length > SegGridMaxRows) return evenAll()
     val stats: Map[(Long, Int), Map[(Int, Int), Double]] = grid
       .groupBy(r => (r._1, r._2))
       .map { case (g, rs) => g -> rs.map(r => (r._3, r._4) -> r._5).toMap }

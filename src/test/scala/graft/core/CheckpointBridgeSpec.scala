@@ -81,7 +81,13 @@ class CheckpointBridgeSpec extends SparkSpec {
       val sorts = plan.linesIterator.count(l => l.contains("Sort [k#"))
       assert(nonBroadcastExchanges(j) <= 1, // probe side only
         s"checkpointed side must not re-shuffle:\n$plan")
-      assert(j.count() == 2000L * 2000 / 97 || j.count() > 0) // sanity
+      // exact expected cardinality Σ_k n_k² from the generated data
+      // (residues of i % 97 over 1..2000 are uneven: 60 keys × 21 rows,
+      // 37 keys × 20)
+      val expectRows = (1 to 2000).groupBy(_ % 97).values
+        .map(g => g.size.toLong * g.size).sum
+      assert(j.count() == expectRows,
+        s"join cardinality ${j.count()} != expected $expectRows")
       assert(sorts <= 1, s"checkpointed side must not re-sort:\n$plan")
     }
   }

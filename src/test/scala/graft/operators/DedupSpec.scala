@@ -349,6 +349,115 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  /** Skewed fuzzy corpus: every key shares a constant 12-char prefix
+    * (zero-entropy head — the shape the collision-adaptive boundaries
+    * exist for) with a random tail; several true near-dup pairs per
+    * block.
+    */
+  private def skewedFuzzyCorpus(nPerBlock: Int, blocks: Int,
+      seed: Long): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val alphabet = "abcdefghij"
+    def tail(n: Int): String =
+      (1 to n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val p = 12 + rng.nextInt(math.max(1, cur.length - 12))
+        cur = rng.nextInt(3) match {
+          case 0 => cur.updated(p, alphabet(rng.nextInt(alphabet.length)))
+          case 1 => cur.substring(0, p) +
+            alphabet(rng.nextInt(alphabet.length)) + cur.substring(p)
+          case _ => cur.substring(0, p) + cur.substring(p + 1)
+        }
+      }
+      cur
+    }
+    val perSeed = 4
+    (0 until blocks).flatMap { b =>
+      (0 until nPerBlock).map { i =>
+        val seedKey = "constanthead" + tail(18)
+        (i, seedKey)
+      }.flatMap { case (i, seedKey) =>
+        (0 until perSeed).map { e =>
+          (b * 10000L + i * 10L + e, s"block$b", mutate(seedKey, e))
+        }
+      }
+    }.toDF("doc_id", "blk", "key")
+  }
+
+  test("segmentBounds adaptive branch (forced): completeness, boundary " +
+      "invariants 0 = b0 <= ... <= b_tau+1 = L (strict when L >= tau+1), " +
+      "head-skew moves a boundary off the even split, and " +
+      "fuzzyBlockPairs == naive under the adaptive scheme") {
+    val savedMin = Dedup.SegStatsMinDocs
+    val savedSample = Dedup.SegStatsSampleDocs
+    Dedup.SegStatsMinDocs = 1L
+    Dedup.SegStatsSampleDocs = 1000000L
+    try {
+      val rows = skewedFuzzyCorpus(nPerBlock = 40, blocks = 2,
+        seed = 20260815L)
+      val t = 2
+      val d = rows.select(col("doc_id").as("fz_id"),
+        col("blk").as("fz_block"), col("key").as("fz_key"),
+        length(col("key")).as("fz_len"))
+      val bounds = Dedup.segmentBounds(d, t)
+        .as[(Long, Int, Seq[Int])].collect()
+      // completeness: one row per (block-hash, length) group, exactly
+      val expected = d.select(xxhash64(col("fz_block")).as("bk"),
+        col("fz_len")).distinct().as[(Long, Int)].collect().toSet
+      assert(bounds.map(b => (b._1, b._2)).toSet == expected)
+      assert(bounds.length == expected.size, "duplicate bounds rows")
+      bounds.foreach { case (bk, l, barr) =>
+        assert(barr.length == t + 2, s"arity: $barr for L=$l")
+        assert(barr.head == 0 && barr.last == l, s"ends: $barr for L=$l")
+        assert(barr.sliding(2).forall(p => p(0) <= p(1)),
+          s"not monotone: $barr for L=$l")
+        if (l >= t + 1)
+          assert(barr.sliding(2).forall(p => p(0) < p(1)),
+            s"empty segment: $barr for L=$l in group $bk")
+      }
+      // the 12-char constant head means cp(0, x) == 1 for x <= 12: the
+      // DP must extend segment 0 past the even-split boundary 10
+      val evenOnly = bounds.forall { case (_, l, barr) =>
+        barr == (0 to t + 1).map(i => i * l / (t + 1)) }
+      assert(!evenOnly, "adaptive branch produced only even splits on a " +
+        "constant-head corpus — the DP did not run")
+      val fast = Dedup.fuzzyBlockPairs(rows, col("doc_id"), col("blk"),
+        col("key"), maxDist = t).as[(Long, Long, Int)].collect().toSet
+      val naive = Dedup.fuzzyBlockPairsNaive(rows, col("doc_id"),
+        col("blk"), col("key"), maxDist = t)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast.nonEmpty && fast == naive, s"adaptive-scheme mismatch: " +
+        s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+    } finally {
+      Dedup.SegStatsMinDocs = savedMin
+      Dedup.SegStatsSampleDocs = savedSample
+    }
+  }
+
+  test("segmentBounds universe overflow (r8 regression): with " +
+      "SegGridMaxRows forced below the group count, no group may vanish " +
+      "from the bounds relation — fuzzyBlockPairs == naive, pairs in " +
+      "groups past the truncation point included") {
+    val savedGrid = Dedup.SegGridMaxRows
+    Dedup.SegGridMaxRows = 2 // corpus below has >= 6 (block, length) groups
+    try {
+      val rows = skewedFuzzyCorpus(nPerBlock = 30, blocks = 4,
+        seed = 20260816L)
+      val nGroups = rows.select(col("blk"), length(col("key")))
+        .distinct().count()
+      assert(nGroups > 2, s"fixture must overflow the forced cap: $nGroups")
+      val fast = Dedup.fuzzyBlockPairs(rows, col("doc_id"), col("blk"),
+        col("key"), maxDist = 2).as[(Long, Long, Int)].collect().toSet
+      val naive = Dedup.fuzzyBlockPairsNaive(rows, col("doc_id"),
+        col("blk"), col("key"), maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast.nonEmpty && fast == naive, s"overflow dropped pairs: " +
+        s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+    } finally Dedup.SegGridMaxRows = savedGrid
+  }
+
   test("char-bag bound soundness: bagL1(a, b) <= 2*lev(a, b) on random " +
       "pairs incl. unicode, saturation and empties (the pre-levenshtein " +
       "reject may never kill a true pair)") {
