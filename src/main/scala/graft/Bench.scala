@@ -57,6 +57,19 @@ object Bench {
     // tuning measures the same storage environment as the graded bench.
     val benchDir = graft.core.Layout.benchLayout(spark, sfDir, cpus.toInt)
 
+    // Block-storage watermark: everything persisted by benchLayout (the
+    // table cache) is baseline; RDDs persisted DURING query passes are
+    // localCheckpoint blocks whose DataFrames die with the pass. Without
+    // the sweep they accumulate across the 5 passes (warm + 3 measured +
+    // sequential) and squeeze the 8g heap's storage pool — eviction
+    // churn in LATER passes then reads as a per-query regression that no
+    // solo run reproduces (the r8 driver-artifact postmortem).
+    val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def sweepCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baselineRdds.contains(id)) rdd.unpersist(blocking = false)
+      }
+
     // optional comma-separated subset for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -146,6 +159,7 @@ object Bench {
         System.err.println("[bench] WARNING: cancelled query still running " +
           "after 60s drain; next pass may contend with it")
       val wall = (System.nanoTime() - t0) / 1e9
+      sweepCheckpoints() // pass-scoped checkpoint blocks must not leak on
       val failed = results.collect { case (n, (_, false)) => n }
       System.err.println(f"[bench] $label pass: $wall%.3f s wall" +
         (if (failed.nonEmpty) s", FAILED: ${failed.mkString(",")}" else ""))

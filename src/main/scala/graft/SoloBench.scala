@@ -25,12 +25,20 @@ object SoloBench {
     // one-row-group fixture runs scan-rooted maps single-core and would
     // misattribute fixture artifacts to the plan under tuning
     val benchDir = graft.core.Layout.benchLayout(spark, args(0), cpus.toInt)
+    // same pass-boundary checkpoint sweep as Bench: each pass rebuilds
+    // its DataFrames, so prior passes' localCheckpoint blocks are garbage
+    // that would otherwise squeeze the storage pool
+    val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet
     args(1).split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, benchDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!baselineRdds.contains(id)) rdd.unpersist(blocking = false)
+        }
+        dt
       }
       println(f"$name%-24s best ${times.min}%6.2f s  passes ${
         times.map(t => f"$t%.2f").mkString(" ")}")

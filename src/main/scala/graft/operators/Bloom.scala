@@ -210,4 +210,45 @@ object Bloom {
     big.where(mightContainFused(col(bigKey), bitmap, numHashes))
       .join(rhs, col(bigKey) === col(smallKey), "left_semi")
   }
+
+  /** ONE-ACTION form of [[semiJoin]]: the bloom is built by Spark's own
+    * `BloomFilterAggregate` inside a SCALAR SUBQUERY on the probe
+    * filter, so build + probe + exact join plan and execute as a single
+    * action — no driver round trip between an index-build job and the
+    * probe job ([[semiJoin]]'s two driver-sequential jobs were 19× the
+    * DuckDB latency at sf1 for a result the bloom cannot change). The
+    * subquery executes once per action (SubqueryExec), its ~`numBits`-bit
+    * sketch flows to the filter as a literal-like scalar, and the exact
+    * `left_semi` still kills false positives, so the RESULT stays the
+    * plain semi-join's — what the q97 oracle certifies.
+    *
+    * [[semiJoin]] (the explicit [[buildFolded]] index) remains the
+    * amortized path: a persistent key-set index probed by MANY queries
+    * is built once there, while this form rebuilds per action.
+    *
+    * Sizing is static — `estKeys` keys at ~`bitsPerKey` bits each,
+    * capped at [[maxBits]] — because a sizing job would reintroduce the
+    * round trip this form exists to delete; an undersized estimate only
+    * raises the false-positive rate (more exact-join work), never
+    * correctness.
+    */
+  def semiJoinInline(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, estKeys: Long = 1L << 20,
+      bitsPerKey: Int = 10): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    val numBits = math.min(maxBits.toLong, estKeys * bitsPerKey)
+    val bf = small
+      .agg(ExprBridge.column(new BloomFilterAggregate(
+          ExprBridge.expr(xxhash64(col(smallKey))),
+          org.apache.spark.sql.catalyst.expressions.Literal(estKeys),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+      .scalar()
+    val test = ExprBridge.column(BloomFilterMightContain(
+      ExprBridge.expr(bf), ExprBridge.expr(xxhash64(col(bigKey)))))
+    big.where(test)
+      .join(small, col(bigKey) === col(smallKey), "left_semi")
+  }
 }

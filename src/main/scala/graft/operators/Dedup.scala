@@ -586,21 +586,40 @@ object Dedup {
       (((a & Long.MaxValue) % (P - 1)) + 1, (b & Long.MaxValue) % P)
     }
 
-  /** Per-doc MinHash signature as `sig_0..sig_{k-1}` columns: one scan,
-    * one shuffle on doc_id with map-side partial min. Built on the
+  /** Per-doc MinHash signature ARRAY as a PURE PROJECTION: all k mins
+    * run in one fused loop over the doc's shingle hashes
+    * ([[graft.functions.MinHashSigsExpr]]), so signature building costs
+    * ZERO exchanges and never explodes the shingle relation (the
+    * explode → groupBy(doc_id) aggregate form shuffled ~shingles/doc
+    * rows per document with k partial mins — measured 0.65 s per corpus
+    * side of q102's 3.1 s at sf1). Docs with NULL text (no shingles)
+    * are filtered, matching the aggregate form's absent row. Duplicate
+    * shingle hashes can't move a min, so this path skips the distinct
+    * the verify-side shingle relation needs.
+    */
+  private[graft] def minhashSigArray(docs: DataFrame, id: Column,
+      text: Column, k: Int, shingleLen: Int = 16,
+      stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    val hashes = transform(
+      TextAnalysis.charShingles(text, shingleLen, stride),
+      s => portableHash64(s))
+    docs.select(id.as("doc_id"), ExprBridge.column(
+        graft.functions.MinHashSigsExpr(ExprBridge.expr(hashes), k))
+      .as("__sig"))
+      .filter(col("__sig").isNotNull)
+  }
+
+  /** Per-doc MinHash signature as `sig_0..sig_{k-1}` columns — the
+    * wide-schema view over [[minhashSigArray]]. Built on the
     * [[portableHash64]] shingle hash, so the whole signature pipeline is
     * reproducible in plain SQL on any engine with md5 (the q36 oracle).
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
-      k: Int = 16, shingleLen: Int = 16, stride: Int = 4): DataFrame = {
-    val sh = hashedShingles(docs, id, text, shingleLen, stride,
-        portable = true)
-      .withColumn("x", pmod(col("shh"), lit(P)))
-    val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("x") * lit(a) + lit(b), lit(P))).as(s"sig_$i")
-    }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+      k: Int = 16, shingleLen: Int = 16, stride: Int = 4): DataFrame =
+    minhashSigArray(docs, id, text, k, shingleLen, stride)
+      .select(col("doc_id") +: (0 until k).map(i =>
+        element_at(col("__sig"), i + 1).as(s"sig_$i")): _*)
 
   /** LSH banding: split the k-wide signature into `bands` bands and bucket
     * on (band index, band signature slice). Shuffle key = the band tuple,
@@ -618,13 +637,22 @@ object Dedup {
     * the single place all four must move together.
     */
   private[graft] def bandedSignatures(docs: DataFrame, id: Column,
-      text: Column, k: Int, bands: Int): DataFrame = {
-    val sig = minhashSignatures(docs, id, text, k)
+      text: Column, k: Int, bands: Int): DataFrame =
+    bandedFromSigArray(minhashSigArray(docs, id, text, k), k, bands)
+
+  /** The banding step alone, over an existing [[minhashSigArray]] frame
+    * (so a caller that caches the signature frame derives banding from
+    * the SAME relation instead of rebuilding the pipeline). `__sig` is
+    * referenced by every band's slice — more than once, so CollapseProject
+    * keeps it staged (the HOF-staging rule).
+    */
+  private def bandedFromSigArray(sig: DataFrame, k: Int,
+      bands: Int): DataFrame = {
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        array((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-          .map(i => col(s"sig_$i")): _*).as("bucket"))
+        slice(col("__sig"), bnd * rowsPerBand + 1, rowsPerBand)
+          .as("bucket"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
@@ -633,8 +661,12 @@ object Dedup {
 
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
       k: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded = bandedSignatures(docs, id, text, k, bands)
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    minhashCandidatesFromBanded(
+      bandedSignatures(docs, id, text, k, bands), maxBucketSize)
+
+  private def minhashCandidatesFromBanded(banded: DataFrame,
+      maxBucketSize: Int): DataFrame = {
     // Hot-bucket fuse, STAR variant: a MinHash bucket over-fills when the
     // corpus has a giant cluster of (near-)identical documents — template
     // pages, empty docs — and unlike q41's junk buckets its members ARE
@@ -688,18 +720,20 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"minhashEstimatedPairs: need 0 < threshold <= 1, got $threshold")
     val minMatch = math.ceil(threshold * k).toInt
-    // cache-manager plan matching lets minhashCandidates' internal
-    // signature build hit this cache (same logical plan)
-    val sig = minhashSignatures(docs, id, text, k).cache()
-    val cands = minhashCandidates(docs, id, text, k, bands, maxBucketSize)
-    val aSide = sig.select(col("doc_id").as("doc_a") +:
-      (0 until k).map(i => col(s"sig_$i").as(s"__a_$i")): _*)
-    val bSide = sig.select(col("doc_id").as("doc_b") +:
-      (0 until k).map(i => col(s"sig_$i").as(s"__b_$i")): _*)
+    // three subtrees consume the signature frame (banding + both pair
+    // sides): cache the ARRAY frame once and derive all three from it
+    val sig = minhashSigArray(docs, id, text, k).cache()
+    val cands = minhashCandidatesFromBanded(
+      bandedFromSigArray(sig, k, bands), maxBucketSize)
+    val aSide = sig.select(col("doc_id").as("doc_a"),
+      col("__sig").as("__a_sig"))
+    val bSide = sig.select(col("doc_id").as("doc_b"),
+      col("__sig").as("__b_sig"))
     // k inline equality terms, codegen'd (no per-element HOF; 16 trivial
     // expressions sits far under the JIT method-size cliff)
     val nMatch = (0 until k)
-      .map(i => (col(s"__a_$i") === col(s"__b_$i")).cast("int"))
+      .map(i => (element_at(col("__a_sig"), i + 1) ===
+        element_at(col("__b_sig"), i + 1)).cast("int"))
       .reduce(_ + _)
     cands.join(aSide, "doc_a").join(bSide, "doc_b")
       .withColumn("n_match", nMatch)

@@ -617,17 +617,21 @@ object Extended {
     doc = "salted two-phase aggregation (result invariant under salting)")
 
   // --- bloom-prefiltered exact semi-join: the 100 TB probe pattern. The
-  //     bloom bitmap is built distributed from the (selective) orders key
-  //     set and applied to lineitem BEFORE its exchange; the exact
-  //     semi-join then kills bloom false positives, so the result — which
-  //     is what the oracle checks — is the plain semi-join's, while the
-  //     shuffled volume shrinks by the key set's selectivity.
+  //     bloom is built by a scalar-subquery aggregate over the (selective)
+  //     orders key set and applied to lineitem BEFORE its exchange — ONE
+  //     action, no driver round trip between an index-build job and the
+  //     probe (the two-job Bloom.semiJoin form was 19× the DuckDB latency
+  //     at sf1; that form stays as the amortized persistent-index path).
+  //     The exact semi-join then kills bloom false positives, so the
+  //     result — which is what the oracle checks — is the plain
+  //     semi-join's, while the shuffled volume shrinks by the key set's
+  //     selectivity.
   private val q97_bloom_semi = Q(
     run = (s, d) => {
       val hot = Tables.orders(s, d)
         .where(col("o_totalprice") > 480000.0)
         .select(col("o_orderkey"))
-      graft.operators.Bloom.semiJoin(Tables.lineitem(s, d), hot,
+      graft.operators.Bloom.semiJoinInline(Tables.lineitem(s, d), hot,
           "l_orderkey", "o_orderkey")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

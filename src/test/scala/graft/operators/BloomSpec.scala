@@ -136,4 +136,33 @@ class BloomSpec extends SparkSpec {
     assert(bloomBelow.isDefined,
       s"bloom filter must sit below the fact exchange (prefilter):\n$plan")
   }
+
+  test("semiJoinInline == plain semi-join (nulls, dup fact rows, empty " +
+      "key set) and the bloom builds as a scalar subquery, not a " +
+      "separate driver job") {
+    val big = Seq(
+      ("a", 1), ("b", 2), ("c", 3), ("d", 4), (null, 5), ("e", 6),
+      ("a", 7), ("zz", 8)).toDF("k", "v")
+    val small = Seq("a", "c", "e", "nope").toDF("sk")
+    val got = Bloom.semiJoinInline(big, small, "k", "sk")
+      .orderBy("v").collect().map(r => (r.getString(0), r.getInt(1)))
+    val expect = big.join(small, col("k") === col("sk"), "left_semi")
+      .orderBy("v").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq == expect.toSeq)
+    // empty key set: no rows survive, no crash
+    val none = Bloom.semiJoinInline(big,
+      small.where(col("sk") === "absent"), "k", "sk").count()
+    assert(none == 0L)
+    // plan shape: the might_contain filter references a scalar subquery
+    // (ONE action: build rides the probe's execution, no driver
+    // round-trip between an index job and the probe job)
+    val q = Bloom.semiJoinInline(big, small, "k", "sk")
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain") ||
+      planStr.contains("BloomFilterMightContain"),
+      s"expected a bloom membership test in the plan:\n$planStr")
+    assert(planStr.contains("scalar-subquery") ||
+      planStr.contains("Subquery"),
+      s"expected the bloom build as a subquery:\n$planStr")
+  }
 }

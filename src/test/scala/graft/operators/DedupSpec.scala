@@ -349,6 +349,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSigsExpr (fused projection) == composed explode+groupBy " +
+      "aggregate form: random texts, unicode, single-char, duplicates; " +
+      "NULL/shingle-less docs absent from both") {
+    val rng = new scala.util.Random(20260817L)
+    val alphabet = "abcdefé北 .,xyz"
+    def randText(n: Int): String =
+      (1 to n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val rows = ((1 to 60).map(i => (i.toLong, randText(rng.nextInt(200)))) ++
+      Seq((100L, null.asInstanceOf[String]), (101L, ""), (102L, "x"),
+        (103L, "the the the the the the the the"),
+        (104L, randText(40)), (105L, randText(40))))
+      .toDF("doc_id", "text")
+    val k = 16
+    // composed reference: the pre-r9 explode → groupBy(doc_id) aggregate
+    val sh = Dedup.hashedShingles(rows, col("doc_id"), col("text"),
+        portable = true)
+      .withColumn("x", pmod(col("shh"), lit(Dedup.P)))
+    val mins = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(Dedup.P))).as(s"sig_$i")
+    }
+    // the aggregate form emits a NULL-signature row for a NULL-text doc
+    // (charShingles yields [NULL] → min over one NULL = NULL); the fused
+    // form drops it — equivalent downstream, since a NULL bucket can
+    // never survive the shingle-intersection verify and NULL n_match
+    // fails every estimate filter. Compare over the non-degenerate rows.
+    val composed = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .filter(col("sig_0").isNotNull)
+      .collect().map(r => r.getLong(0) ->
+        (0 until k).map(i => r.getLong(i + 1)).toSeq).toMap
+    val fused = Dedup.minhashSignatures(rows, col("doc_id"), col("text"), k)
+      .collect().map(r => r.getLong(0) ->
+        (0 until k).map(i => r.getLong(i + 1)).toSeq).toMap
+    assert(fused == composed)
+    assert(!fused.contains(100L), "NULL text must yield no signature row")
+  }
+
   /** Skewed fuzzy corpus: every key shares a constant 12-char prefix
     * (zero-entropy head — the shape the collision-adaptive boundaries
     * exist for) with a random tail; several true near-dup pairs per
