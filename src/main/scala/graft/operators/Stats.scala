@@ -123,11 +123,16 @@ object Stats {
     // and a (key) exchange there. Bytes moved are identical (the grid),
     // and the per-group single-task window property is unchanged.
     val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val part = Window.partitionBy(col(key), col("cid"))
+    // BOTH window columns share one (partition, order) spec — the group
+    // total uses an unbounded frame over the SAME ordered spec instead
+    // of an order-less spec, so Spark plans a single WindowExec (one
+    // pass over the sorted grid) rather than two stacked Window nodes
+    val ordered = Window.partitionBy(col(key), col("cid"))
+      .orderBy(col("val").asc_nulls_first)
     val cum = grid.repartition(np, col(key))
-      .withColumn("cum",
-        sum(col("cnt")).over(part.orderBy(col("val").asc_nulls_first)))
-      .withColumn("n", sum(col("cnt")).over(part))
+      .withColumn("cum", sum(col("cnt")).over(ordered))
+      .withColumn("n", sum(col("cnt")).over(ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
     def rank1(p: Double): Column =
       floor((col("n") - 1).cast("double") * lit(p)) + 1
     val aggs = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
