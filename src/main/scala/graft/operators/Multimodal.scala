@@ -381,34 +381,172 @@ object Multimodal {
     if (it.hasNext) Some(it.next()) else None
   }
 
-  /** Capability-dispatched per-frame features: the REAL path when a
-    * [[VideoDecoder]] is registered (partition-parallel typed map, one
-    * decoder per partition — the [[decodeImages]] shape), the
-    * deterministic FAKE otherwise (frames = byte-stride offsets of
-    * [[sampleFrames]], luma unmeasured → NULL). Both paths share one
-    * schema so downstream plumbing is identical either way; `decoder` is
-    * injectable for tests — production callers take the probed default.
+  /** Per-asset format-dispatched per-frame features (partition-parallel
+    * typed map — the [[decodeImages]] shape; one output row per sampled
+    * frame, one shared schema for every path):
+    *
+    *  - YUV4MPEG2 payloads take the REAL pure-JDK decode path
+    *    ([[Y4m]]): header + FRAME parsing, true frame timing from the
+    *    stream's F rate, mean luma measured from each sampled frame's Y
+    *    plane. No native codec involved — Y4M is uncompressed.
+    *  - Other containers go to a registered [[VideoDecoder]] SPI
+    *    implementation when one exists ([[videoDecoder]] probe).
+    *  - Otherwise the deterministic FAKE: one pseudo-frame per 64-byte
+    *    stride (the [[sampleFrames]] offsets), luma explicitly
+    *    unmeasured → NULL — schema-real plumbing for codec-requiring
+    *    formats this container cannot decode.
+    *
+    * `decoder` is injectable for tests — production callers take the
+    * probed default.
     */
   def videoFrameFeatures(assets: DataFrame, strideSec: Double = 1.0,
       decoder: Option[VideoDecoder] = videoDecoder()): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    decoder match {
-      case Some(d) =>
-        assets.select(col("asset_id").cast("long"), col("payload"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions(_.flatMap { case (id, bytes) =>
-            d.sample(id, bytes, strideSec) })
-          .toDF()
-      case None =>
-        // FAKE-DECODE: one "frame" per 64-byte stride (the q63 offsets),
-        // timestamped as if sampled at strideSec — schema-real, content
-        // arithmetic, luma explicitly unmeasured
-        sampleFrames(assets, stride = 64).select(
-          col("asset_id"),
-          (col("frame_offset") / 64).cast("int").as("frame_idx"),
-          ((col("frame_offset") / 64) * strideSec).as("ts_sec"),
-          lit(null).cast("double").as("mean_luma"))
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        if (Y4m.isY4m(bytes)) Y4m.sample(id, bytes, strideSec)
+        else decoder match {
+          case Some(d) => d.sample(id, bytes, strideSec)
+          case None => fakeFrames(id, bytes, strideSec)
+        }
+      })
+      .toDF()
+  }
+
+  /** The FAKE pseudo-frame rows, bit-equal to the pre-r9 declarative
+    * spelling: offsets 0, 64, … over max(len−1, 0) (a NULL/empty payload
+    * still emits its offset-0 row — the [[sampleFrames]] contract),
+    * ts as if sampled at `strideSec`, luma NULL.
+    */
+  private def fakeFrames(id: Long, bytes: Array[Byte],
+      strideSec: Double): Iterator[VideoFrameFeatures] = {
+    val n = if (bytes == null) 0 else bytes.length
+    val last = math.max(n - 1, 0)
+    (0 to last by 64).iterator.zipWithIndex.map { case (_, idx) =>
+      VideoFrameFeatures(id, idx, idx * strideSec, None)
+    }
+  }
+}
+
+/** Pure-JDK YUV4MPEG2 (Y4M) frame sampler — the one video container that
+  * needs NO codec: frames are raw planar YUV behind a text header, so
+  * parsing is arithmetic (public format; layout per the mjpegtools
+  * yuv4mpeg(5) description). Supported colorspaces: C420 (any variant
+  * suffix — jpeg/paldv/mpeg2 differ only in chroma SITING, not plane
+  * sizes), C422, C444, Cmono; default when absent is C420. Frame rate
+  * `Fnum:den` drives REAL timing: one frame sampled every `strideSec`
+  * seconds (step = max(1, round(strideSec·num/den)) frames), `ts_sec` =
+  * idx·den/num; a missing F falls back to 25:1. `mean_luma` is the raw
+  * Y-plane byte mean (0–255, 6dp) of the sampled frame.
+  *
+  * Robustness contract (spec-gated): a malformed header, unsupported
+  * colorspace, or nonsense geometry yields ZERO rows (a real decoder's
+  * behavior on a corrupt container — never a crash); a TRUNCATED stream
+  * yields its complete frames and stops.
+  */
+private[graft] object Y4m {
+  private val Magic = "YUV4MPEG2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  def isY4m(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length > Magic.length &&
+      java.util.Arrays.equals(bytes, 0, Magic.length, Magic, 0, Magic.length)
+
+  /** Plane-size factor ×4: 420 → 6/4, 422 → 8/4, 444 → 12/4, mono → 4/4. */
+  private def frameBytesX4(cs: String): Option[Long] = cs match {
+    case s if s.startsWith("420") => Some(6L)
+    case s if s.startsWith("422") => Some(8L)
+    case s if s.startsWith("444") && !s.startsWith("444alpha") => Some(12L)
+    case s if s.startsWith("mono") => Some(4L)
+    case _ => None
+  }
+
+  def sample(assetId: Long, bytes: Array[Byte],
+      strideSec: Double): Iterator[VideoFrameFeatures] = {
+    val nl = bytes.indexOf('\n'.toByte)
+    if (nl < 0) return Iterator.empty
+    val header = new String(bytes, 0, nl,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val tags = header.split(' ').drop(1)
+    def tag(c: Char): Option[String] =
+      tags.collectFirst { case t if t.nonEmpty && t.head == c => t.tail }
+    val (w, h) = try {
+      (tag('W').map(_.toInt).getOrElse(-1), tag('H').map(_.toInt).getOrElse(-1))
+    } catch { case _: NumberFormatException => return Iterator.empty }
+    // geometry sanity: positive, even dims for subsampled chroma, and a
+    // frame that fits memory arithmetic (the byte array bounds it anyway)
+    if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue / 4)
+      return Iterator.empty
+    val (fNum, fDen) = tag('F') match {
+      case Some(f) => f.split(':') match {
+        case Array(n, d) =>
+          try {
+            val (ni, di) = (n.toLong, d.toLong)
+            if (ni <= 0 || di <= 0) return Iterator.empty
+            (ni, di)
+          } catch { case _: NumberFormatException => return Iterator.empty }
+        case _ => return Iterator.empty
+      }
+      case None => (25L, 1L)
+    }
+    val cs = tag('C').getOrElse("420")
+    val fbX4 = frameBytesX4(cs) match {
+      case Some(x) => x
+      case None => return Iterator.empty
+    }
+    if ((fbX4 == 6L || fbX4 == 8L) && (w % 2 != 0 || (fbX4 == 6L && h % 2 != 0)))
+      return Iterator.empty
+    val frameBytes = (w.toLong * h * fbX4 / 4).toInt
+    val ySize = w * h
+    val step = math.max(1L,
+      math.round(strideSec * fNum.toDouble / fDen.toDouble))
+    new Iterator[VideoFrameFeatures] {
+      private var pos = nl + 1
+      private var idx = 0L
+      private var nextFrame: VideoFrameFeatures = _
+      private def advance(): Unit = {
+        nextFrame = null
+        while (nextFrame == null && pos < bytes.length) {
+          // FRAME marker line (optional params up to \n)
+          val lineEnd = {
+            var i = pos
+            while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+            i
+          }
+          if (lineEnd >= bytes.length ||
+              lineEnd - pos < 5 ||
+              !(bytes(pos) == 'F' && bytes(pos + 1) == 'R' &&
+                bytes(pos + 2) == 'A' && bytes(pos + 3) == 'M' &&
+                bytes(pos + 4) == 'E')) {
+            pos = bytes.length // malformed/truncated marker: stop
+          } else {
+            val dataStart = lineEnd + 1
+            if (dataStart + frameBytes > bytes.length) {
+              pos = bytes.length // truncated frame: stop
+            } else {
+              if (idx % step == 0) {
+                var s = 0L
+                var i = 0
+                while (i < ySize) {
+                  s += bytes(dataStart + i) & 0xff
+                  i += 1
+                }
+                val luma = math.rint(s.toDouble / ySize * 1e6) / 1e6
+                nextFrame = VideoFrameFeatures(assetId, idx.toInt,
+                  idx * fDen.toDouble / fNum.toDouble, Some(luma))
+              }
+              idx += 1
+              pos = dataStart + frameBytes
+            }
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextFrame != null
+      override def next(): VideoFrameFeatures = {
+        val f = nextFrame; advance(); f
+      }
     }
   }
 }

@@ -296,6 +296,63 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2)._4.contains(0.5) && got(2)._5.isEmpty)
   }
 
+  /** Assemble a Y4M byte stream: `header` line + one FRAME per
+    * luma-value, each frame's Y plane constant at that value, chroma
+    * planes zero-filled per the colorspace.
+    */
+  private def y4mBytes(header: String, w: Int, h: Int, cs: String,
+      lumas: Seq[Int]): Array[Byte] = {
+    val chroma = cs match {
+      case "420" => (w / 2) * (h / 2) * 2
+      case "422" => (w / 2) * h * 2
+      case "444" => w * h * 2
+      case "mono" => 0
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((header + "\n").getBytes("US-ASCII"))
+    lumas.foreach { y =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(Array.fill[Byte](w * h)(y.toByte))
+      out.write(new Array[Byte](chroma))
+    }
+    out.toByteArray
+  }
+
+  test("Y4M real decode: true frame timing from the F rate, measured Y " +
+      "mean luma, mono + 420 colorspaces, truncated stream stops at the " +
+      "last whole frame, malformed/unsupported headers yield zero rows, " +
+      "and per-asset dispatch leaves non-Y4M payloads on the FAKE path") {
+    // 4x4 C420 at 2 fps: 5 frames with lumas 10,20,30,40,50; stride 1 s
+    // -> step = round(1*2/1) = 2 -> frames 0,2,4 at ts 0.0,1.0,2.0
+    val v420 = y4mBytes("YUV4MPEG2 W4 H4 F2:1 Ip A1:1 C420", 4, 4, "420",
+      Seq(10, 20, 30, 40, 50))
+    // mono, default F absent -> 25:1; stride 0.08 s -> step = 2
+    val vMono = y4mBytes("YUV4MPEG2 W2 H2 Cmono", 2, 2, "mono",
+      Seq(100, 110, 120))
+    val truncated = v420.dropRight(7) // cuts into frame 4's data
+    val badCs = y4mBytes("YUV4MPEG2 W4 H4 F2:1 C411", 4, 4, "420", Seq(10))
+    val notVideo = Array.fill[Byte](130)(7)
+    val assets = Seq(
+      (1L, v420), (2L, vMono), (3L, truncated), (4L, badCs),
+      (5L, notVideo)).toDF("asset_id", "payload")
+    val got = Multimodal.videoFrameFeatures(assets, strideSec = 1.0)
+      .as[VideoFrameFeatures].collect()
+      .groupBy(_.asset_id).map { case (k, v) =>
+        k -> v.sortBy(_.frame_idx).map(f =>
+          (f.frame_idx, f.ts_sec, f.mean_luma)).toSeq }
+    assert(got(1L) == Seq((0, 0.0, Some(10.0)), (2, 1.0, Some(30.0)),
+      (4, 2.0, Some(50.0))))
+    // mono at default 25 fps, stride 1 s -> step 25 -> only frame 0
+    assert(got(2L) == Seq((0, 0.0, Some(100.0))))
+    // truncated: frame 4's bytes are incomplete -> 0 and 2 survive
+    assert(got(3L) == Seq((0, 0.0, Some(10.0)), (2, 1.0, Some(30.0))))
+    // unsupported colorspace: a real decoder yields nothing on a
+    // container it can't parse — never a crash, never fake rows
+    assert(!got.contains(4L))
+    // non-Y4M payload: the FAKE byte-stride path, luma unmeasured
+    assert(got(5L) == Seq((0, 0.0, None), (1, 1.0, None), (2, 2.0, None)))
+  }
+
   test("video frames: this container has no codec — the capability probe " +
       "is empty and the FAKE offsets path runs; a registered decoder " +
       "flips to the real path with no code change") {
