@@ -42,8 +42,41 @@ raw_docs = [
 ] + [(i, f"filler doc {i} with some shared tokens the and of plus unique "
          f"w{i} x{i} y{i} z{i} tail tokens to pass gates maybe twenty "
          "total now", "en") for i in range(12, 30)]
+
+# r9 — q135 sequence-packing edges: docs at exactly seqLen-1 / seqLen /
+# seqLen+1 whitespace tokens (the boundary-spanning cut), plus a
+# single-shard token-mass skew: doc_ids chosen so the portable shard
+# hash (md5-fold % 32) collides on one shard
+import hashlib
+
+def shard_of(i):
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 32
+
+def ntok_text(n, tag):
+    return " ".join(f"{tag}{j}" for j in range(n))
+
+raw_docs += [(40, ntok_text(2047, "pka"), "en"),
+             (41, ntok_text(2048, "pkb"), "en"),
+             (42, ntok_text(2049, "pkc"), "en")]
+skew_ids = [i for i in range(100, 4000) if shard_of(i) == 7][:6]
+raw_docs += [(i, ntok_text(300 + 13 * k, f"sk{k}u"), "en")
+             for k, i in enumerate(skew_ids)]
+
+# r9 — q134 perceptual-dup edges: an all-identical-thumb cluster (same
+# first-64 chars, distinct tails -> a hamming-0 clique), astral-plane
+# codepoints inside the 64-char head (codePointAt walk vs DuckDB's
+# character substr), and texts at exactly 63/64/65 chars
+thumb_head = ("thumbhead " * 7)[:64]
+raw_docs += [(60 + j, thumb_head + f" tail variant {j}", "en")
+             for j in range(4)]
+raw_docs += [(64, "\U0001F389\U0001F680" * 40, "und"),
+             (65, "x" * 63, "en"), (66, "y" * 64, "en"),
+             (67, "z" * 65, "en"),
+             (68, thumb_head, "en")]
+
 docs = [(i, t, lang, "edge", len(t) if t is not None else None)
         for (i, t, lang) in raw_docs]
+assert len({d[0] for d in docs}) == len(docs), "duplicate edge doc_id"
 
 con = duckdb.connect()
 con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
@@ -146,6 +179,13 @@ con.execute("""INSERT INTO ords VALUES
     (910002, 777777, 'O', 123.45, NULL, '5-LOW'),
     (910003, 900002, NULL, 0.0, TIMESTAMP '1992-01-01', NULL),
     (910004, 900001, 'P', 200000.01, TIMESTAMP '1998-12-31', '2-HIGH')""")
+# r9 — q45 adversarial strata: a TINY 'P' stratum (a handful of rows;
+# sf0.001's orders are overwhelmingly F/O) probes the binomial bound
+# oracle where 4*sigma+1 is dominated by the +1 slack
+con.execute("""INSERT INTO ords
+    SELECT 911000 + i, 900001, 'P', 100.0 + i, TIMESTAMP '1997-01-01',
+           '3-MEDIUM'
+    FROM range(5) t(i)""")
 con.execute(f"COPY ords TO '{out / 'orders.parquet'}' (FORMAT PARQUET)")
 
 # hostile nation names: JSON-special characters probe the document
