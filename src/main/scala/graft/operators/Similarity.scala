@@ -427,6 +427,36 @@ object Similarity {
     */
   def ivfAssign(emb: DataFrame, centroids: DataFrame,
       roundDp: Int = 6, keep: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    val packed = centroids.groupBy().agg(
+      collect_list(struct(col("centroid_id"), col("cv"),
+        l2norm(col("cv")).as("cnorm"))).as("cents"))
+    // ONE fused loop per row: row norm + k rounded cosines + the
+    // (cos, −cid) argmax (IvfArgmaxExpr), replacing the
+    // array_max(transform(…)) HOF composition — which ran interpreted
+    // per centroid and was the dominant cost of every assignment-rooted
+    // query (q110: 1.6 s of 3.5 s at sf1). The composition stays in
+    // [[ivfAssignComposed]] as the property-test oracle.
+    val best = ExprBridge.column(graft.functions.IvfArgmaxExpr(
+      ExprBridge.expr(col("embedding")), ExprBridge.expr(col("cents")),
+      roundDp))
+    emb.crossJoin(broadcast(packed))
+      .select(col("vec_id") +: best.as("best") +: keep.map(col): _*)
+      // an EMPTY centroid set still aggregates to one (empty-array) row,
+      // and the argmax over it is null — filter so the result is zero
+      // rows, matching the join/window formulation this replaced
+      .filter(col("best").isNotNull)
+      .select(col("vec_id") +: col("best.centroid_id").as("centroid_id") +:
+        col("best.cos").as("centroid_cos") +: keep.map(col): _*)
+  }
+
+  /** The pre-r9 HOF-composition spelling of [[ivfAssign]] — kept PRIVATE
+    * as the property-test oracle certifying [[graft.functions
+    * .IvfArgmaxExpr]] replicates its semantics exactly (nulls, zero
+    * norms, rounding, tie order); never used in a hot path.
+    */
+  private[graft] def ivfAssignComposed(emb: DataFrame, centroids: DataFrame,
+      roundDp: Int = 6, keep: Seq[String] = Nil): DataFrame = {
     // both norms are STAGED before the lambda: HOF lambdas run
     // interpreted, outside codegen subexpression elimination, so an
     // inlined l2norm(embedding) would redo a d-wide dot product k times
@@ -448,9 +478,6 @@ object Similarity {
     emb.withColumn("__norm", l2norm(col("embedding")))
       .crossJoin(broadcast(packed))
       .select(col("vec_id") +: best.as("best") +: keep.map(col): _*)
-      // an EMPTY centroid set still aggregates to one (empty-array) row,
-      // and array_max over it is null — filter so the result is zero rows,
-      // matching the join/window formulation this replaced
       .filter(col("best").isNotNull)
       .select(col("vec_id") +: col("best.centroid_id").as("centroid_id") +:
         col("best.cos").as("centroid_cos") +: keep.map(col): _*)

@@ -75,6 +75,53 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfAssign(emb, none).count() == 0)
   }
 
+  test("IvfArgmaxExpr fused assignment == composed array_max(transform) " +
+      "form: random float/double vectors, NULL embeddings, NULL elements, " +
+      "zero vectors, duplicate centroids (tie -> smallest id), NULL " +
+      "centroid id, int-typed ids, dim mismatches, empty centroid set") {
+    val rng = new scala.util.Random(20260818L)
+    def v(n: Int): Seq[Float] =
+      Seq.fill(n)((rng.nextDouble() * 4 - 2).toFloat)
+    val emb = ((1 to 120).map { i =>
+      val dims = if (i % 11 == 0) 5 else 8 // occasional dim mismatch
+      (i.toLong, if (i % 17 == 0) null else v(dims))
+    } ++ Seq(
+      (200L, Seq.fill(8)(0f)),                       // zero vector
+      (201L, null.asInstanceOf[Seq[Float]])          // NULL embedding
+    )).toDF("vec_id", "embedding")
+    val dupCv = v(8)
+    val centsLong = (Seq(
+      (java.lang.Long.valueOf(3L), dupCv),           // tie pair (3 < 9)
+      (java.lang.Long.valueOf(9L), dupCv),
+      (java.lang.Long.valueOf(5L), Seq.fill(8)(0f)), // zero-norm centroid
+      (null.asInstanceOf[java.lang.Long], v(8)),     // NULL centroid id
+      (java.lang.Long.valueOf(7L), v(6))             // short centroid
+    ) ++ (20 to 40).map(i => (java.lang.Long.valueOf(i.toLong), v(8))))
+      .toDF("centroid_id", "cv")
+    for ((cents, tag) <- Seq(
+        (centsLong, "long-ids"),
+        (centsLong.select(col("centroid_id").cast("int")
+          .as("centroid_id"), col("cv").cast("array<double>").as("cv")),
+          "int-ids-double-cv"))) {
+      val fused = Similarity.ivfAssign(emb, cents, roundDp = 4)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.get(1).toString,
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+      val composed = Similarity.ivfAssignComposed(emb, cents, roundDp = 4)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.get(1).toString,
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+      assert(fused == composed, s"[$tag] fused != composed: " +
+        s"missing=${(composed -- fused).take(3)} " +
+        s"extra=${(fused -- composed).take(3)}")
+      assert(fused.nonEmpty)
+    }
+    // empty centroid set: zero rows on both paths
+    val none = centsLong.filter(col("centroid_id") === -1)
+    assert(Similarity.ivfAssign(emb, none, roundDp = 4).count() == 0)
+    assert(Similarity.ivfAssignComposed(emb, none, roundDp = 4).count() == 0)
+  }
+
   test("ivfSearch: probing ALL cells equals brute-force top-k; " +
       "fewer probes return a subset of the searched cells") {
     val emb = Tables.embeddings(spark, sf())

@@ -209,7 +209,12 @@ class PlanShapeSpec extends SparkSpec {
       "exact semi-join stays an equi-join (AQE may broadcast at test SF)") {
     val p = plan("q97_bloom_semi")
     assert(p.contains("LeftSemi"), s"expected left-semi join:\n$p")
-    assert(p.contains("bloom_test"), s"expected fused bloom prefilter:\n$p")
+    // r9: the prefilter is might_contain over a SCALAR-SUBQUERY
+    // bloom_filter_agg (one action, no driver round trip); the filter
+    // must still guard the fact scan directly
+    assert(p.contains("might_contain"), s"expected bloom prefilter:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"expected the subquery bloom build:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
     // the filter-below-exchange ordering of the 100 TB (sort-merge) plan
     // is gated in BloomSpec on a forceShuffle = true variant
