@@ -991,7 +991,7 @@ object VectorOps {
   private val q110_semdedup_trained = Q(
     run = (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val k = Similarity.autoCells(emb.count())
+      val k = Similarity.autoCells(Similarity.corpusSize(emb))
       val seeds = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
       val trained =
@@ -1085,7 +1085,7 @@ object VectorOps {
   private val q99_semdedup = Q(
     run = (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val k = Similarity.autoCells(emb.count())
+      val k = Similarity.autoCells(Similarity.corpusSize(emb))
       val centroids = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
       Similarity.semanticDedup(emb, centroids, threshold = 0.4)
