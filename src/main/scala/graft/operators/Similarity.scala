@@ -825,6 +825,31 @@ object Similarity {
     * never shuffles.
     */
   def groupCentroids(emb: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    // ONE typed aggregate per group (QuantMeanAgg): the corpus rows
+    // never posexplode dims×, quantization runs native, and the shuffle
+    // carries one buffer per group per partition instead of dims
+    // partial rows — bit-identical to the exploded DECIMAL(38,0) form,
+    // which stays below as [[groupCentroidsComposed]], the property
+    // oracle.
+    emb.filter(col("embedding").isNotNull)
+      .groupBy(col(key))
+      .agg(ExprBridge.column(graft.functions.QuantMeanAgg(
+        ExprBridge.expr(col("embedding").cast("array<double>")))
+        .toAggregateExpression()).as("__pc"))
+      .select(col(key), explode(col("__pc")).as("__e"))
+      .select(col(key), col("__e.pos").as("pos"),
+        col("__e.centroid").as("centroid"))
+  }
+
+  /** The pre-r9 exploded-decimal spelling of [[groupCentroids]] — kept
+    * PRIVATE as the property oracle certifying
+    * [[graft.functions.QuantMeanAgg]] replicates its engine-exact
+    * accumulation (quantization guards, decimal→double cast, null/
+    * absent-position contracts) bit for bit; never used in a hot path.
+    */
+  private[graft] def groupCentroidsComposed(emb: DataFrame,
+      key: String): DataFrame = {
     val x = col("col")
     val qx = when(x.isNotNull && !isnan(x) &&
         abs(x) =!= lit(Double.PositiveInfinity),

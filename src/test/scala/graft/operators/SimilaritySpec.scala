@@ -75,6 +75,43 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfAssign(emb, none).count() == 0)
   }
 
+  test("QuantMeanAgg fused centroid accumulation == composed posexplode/" +
+      "decimal form bit-for-bit: random floats, NULL vectors/elements, " +
+      "NaN/Inf, clamp-range extremes, mixed lengths, all-null positions, " +
+      "and partition-count invariance") {
+    val rng = new scala.util.Random(20260819L)
+    def v(n: Int): Seq[java.lang.Double] = Seq.fill(n) {
+      rng.nextInt(8) match {
+        case 0 => null
+        case 1 => java.lang.Double.valueOf(Double.NaN)
+        case 2 => java.lang.Double.valueOf(
+          if (rng.nextBoolean()) Double.PositiveInfinity
+          else Double.NegativeInfinity)
+        case 3 => java.lang.Double.valueOf((rng.nextDouble() - 0.5) * 1e10)
+        case _ => java.lang.Double.valueOf((rng.nextDouble() - 0.5) * 4)
+      }
+    }
+    val rows = ((1 to 400).map { i =>
+      val len = Seq(0, 3, 8, 8, 8, 12)(rng.nextInt(6))
+      (i.toLong, s"g${i % 7}", if (i % 19 == 0) null else v(len))
+    }).toDF("vec_id", "key", "embedding")
+    for (parts <- Seq(1, 7)) {
+      val d = rows.repartition(parts)
+      val fused = Similarity.groupCentroids(d, "key")
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) null
+          else java.lang.Double.valueOf(r.getDouble(2)))).toSet
+      val composed = Similarity.groupCentroidsComposed(d, "key")
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          if (r.isNullAt(2)) null
+          else java.lang.Double.valueOf(r.getDouble(2)))).toSet
+      assert(fused == composed, s"parts=$parts: " +
+        s"missing=${(composed -- fused).take(3)} " +
+        s"extra=${(fused -- composed).take(3)}")
+      assert(fused.nonEmpty)
+    }
+  }
+
   test("IvfArgmaxExpr fused assignment == composed array_max(transform) " +
       "form: random float/double vectors, NULL embeddings, NULL elements, " +
       "zero vectors, duplicate centroids (tie -> smallest id), NULL " +
