@@ -398,12 +398,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("text#"), s"scan must not read the text column:\n$p")
   }
 
-  test("q108_label_centroids: ONE exchange — the (label, pos) partials; " +
-      "map-side partial aggregation collapses the posexplode fan-out " +
-      "before the shuffle") {
+  test("q108_label_centroids: ONE exchange, fused quant_mean_agg — the " +
+      "corpus never posexplodes dims×; the only Generate is the " +
+      "group-sized post-aggregate explode") {
     val p = plan("q108_label_centroids")
-    assert(p.contains("partial_"),
-      s"expected map-side partial aggregation:\n$p")
+    assert(p.contains("quant_mean_agg") && p.contains("partial_"),
+      s"expected the fused typed centroid aggregate with partials:\n$p")
+    assert(!p.contains("PosExplode"),
+      s"corpus-side posexplode fan-out must stay dead:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate")) <= 1,
+      s"only the post-agg group-sized explode may Generate:\n$p")
     val nonBroadcast = p.linesIterator
       .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
     assert(nonBroadcast <= 1,
