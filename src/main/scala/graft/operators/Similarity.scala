@@ -467,9 +467,12 @@ object Similarity {
     // per centroid and was the dominant cost of every assignment-rooted
     // query (q110: 1.6 s of 3.5 s at sf1). The composition stays in
     // [[ivfAssignComposed]] as the property-test oracle.
+    // constCents: `packed` is a one-row aggregate broadcast-cross-joined
+    // below, so every probe row reads the same broadcast centroid bytes —
+    // the expression's decode-once contract holds by construction here
     val best = ExprBridge.column(graft.functions.IvfArgmaxExpr(
       ExprBridge.expr(col("embedding")), ExprBridge.expr(col("cents")),
-      roundDp))
+      roundDp, constCents = true))
     emb.crossJoin(broadcast(packed))
       .select(col("vec_id") +: best.as("best") +: keep.map(col): _*)
       // an EMPTY centroid set still aggregates to one (empty-array) row,

@@ -159,6 +159,93 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfAssignComposed(emb, none, roundDp = 4).count() == 0)
   }
 
+  test("IvfArgmaxExpr two-pass rounded argmax (constCents) == general " +
+      "path == composed: rounded near-ties where the smaller id has the " +
+      "LOWER raw cosine, exact scalar-multiple ties, NULL elements both " +
+      "sides, NaN/Inf elements, dp 4 and 6") {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    val rng = new scala.util.Random(20260820L)
+    val dims = 8
+    val base = Seq.fill(dims)(rng.nextDouble() * 2 - 1)
+    def jitter(eps: Double): Seq[java.lang.Double] =
+      base.zipWithIndex.map { case (x, i) =>
+        java.lang.Double.valueOf(if (i == 0) x + eps else x)
+      }
+    def boxed(s: Seq[Double]): Seq[java.lang.Double] =
+      s.map(java.lang.Double.valueOf)
+    // centroids: exact scalar multiples (raw-equal cos, tie -> min id),
+    // tiny perturbations below the rounding bracket (rounded-equal,
+    // raw-unequal — the two-pass margin scan must still pick the
+    // smallest id even when it holds the LOWER raw cosine), larger
+    // perturbations spanning brackets, null/NaN/Inf elements
+    val tieCents = Seq(
+      (90L, boxed(base.map(_ * 2.0))),
+      (10L, jitter(1e-9)),     // rounds equal at dp 4 and 6
+      (40L, jitter(-1e-9)),
+      (20L, jitter(1e-7)),
+      (60L, jitter(5e-5)),     // may cross the dp-6 bracket, not dp-4
+      (70L, jitter(2e-3)),     // crosses dp-4
+      (31L, boxed(base).updated(2, null.asInstanceOf[java.lang.Double]))
+    ) ++ (100 to 140).map(i =>
+      (i.toLong, boxed(Seq.fill(dims)(rng.nextDouble() * 2 - 1))))
+    // NaN/Inf centroids in a separate case: a NaN cosine is SQL-greatest
+    // and would swallow every row's argmax, hiding the tie logic above
+    val nanInfCents = tieCents ++ Seq(
+      (32L, boxed(base).updated(0, java.lang.Double.valueOf(Double.NaN))),
+      (33L, boxed(base).updated(1,
+        java.lang.Double.valueOf(Double.PositiveInfinity))))
+    val emb = ((1 to 150).map { i =>
+      val v: Seq[java.lang.Double] =
+        if (i % 13 == 0) boxed(base.map(_ * (i % 7 + 1)))  // tie magnets
+        else if (i % 29 == 0) null
+        else if (i % 5 == 0) boxed(Seq.fill(dims)(rng.nextDouble() * 2 - 1))
+          .updated(i % dims, null.asInstanceOf[java.lang.Double])
+        else boxed(Seq.fill(dims)(rng.nextDouble() * 2 - 1))
+      (i.toLong, v)
+    }).toDF("vec_id", "embedding")
+    // general-path twin of ivfAssign (constCents = false)
+    def assignGeneral(cents: org.apache.spark.sql.DataFrame, dp: Int) = {
+      val packed = cents.groupBy().agg(
+        collect_list(struct(col("centroid_id"), col("cv"),
+          Similarity.l2norm(col("cv")).as("cnorm"))).as("cents"))
+      val best = ExprBridge.column(graft.functions.IvfArgmaxExpr(
+        ExprBridge.expr(col("embedding")), ExprBridge.expr(col("cents")),
+        dp, constCents = false))
+      emb.crossJoin(broadcast(packed))
+        .select(col("vec_id"), best.as("best"))
+        .filter(col("best").isNotNull)
+        .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+          col("best.cos").as("centroid_cos"))
+    }
+    for (dp <- Seq(4, 6);
+         (centRows, tag) <- Seq((tieCents, "ties"),
+                                (nanInfCents, "nan-inf"))) {
+      val cents = centRows.toDF("centroid_id", "cv")
+      // doubles encoded via toString: a boxed-NaN tuple is never ==
+      // under Scala numeric equality, so raw sets of NaN rows can't
+      // compare; "NaN"/"Infinity" strings can
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.get(1).toString,
+          if (r.isNullAt(2)) null else r.getDouble(2).toString)).toSet
+      val fast = norm(Similarity.ivfAssign(emb, cents, roundDp = dp))
+      val gen = norm(assignGeneral(cents, dp))
+      val composed = norm(Similarity.ivfAssignComposed(emb, cents,
+        roundDp = dp))
+      assert(fast == composed, s"[$tag] dp=$dp fast != composed: " +
+        s"missing=${(composed -- fast).take(3)} " +
+        s"extra=${(fast -- composed).take(3)}")
+      assert(gen == composed, s"[$tag] dp=$dp general != composed: " +
+        s"missing=${(composed -- gen).take(3)} " +
+        s"extra=${(gen -- composed).take(3)}")
+      assert(fast.nonEmpty)
+      // the tie corpus must actually exercise rounded ties: the scalar-
+      // multiple magnets and sub-bracket jitters tie at 10, never 40/90
+      if (tag == "ties")
+        assert(fast.exists(_._2 == "10"), s"tie corpus lost its point")
+    }
+  }
+
   test("ivfSearch: probing ALL cells equals brute-force top-k; " +
       "fewer probes return a subset of the searched cells") {
     val emb = Tables.embeddings(spark, sf())
