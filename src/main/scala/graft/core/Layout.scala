@@ -58,18 +58,69 @@ object Layout {
     * (spec-gated).
     */
   def benchLayout(spark: SparkSession, sfDir: String, cpus: Int): String = {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-bench-layout").toString
-    Tables.all.foreach { t =>
-      val df = Tables.load(spark, sfDir, t)
-      val parts = math.min(cpus.toLong,
-        math.max(1L, df.count() / 2000L)).toInt
-      df.repartition(parts)
-        .write.mode(SaveMode.Overwrite).parquet(s"$base/$t.parquet")
+    // The re-layout is REUSED across runs, keyed on a fingerprint of the
+    // source files (+ cpus): a fresh temp dir per invocation left ~50 GB
+    // of dead layouts behind a day of bench/verify iteration (measured
+    // 180 orphan dirs), and the disk/page-cache pressure read as a
+    // uniform ~10% wall inflation no code change explained. Build into a
+    // unique dir, mark complete, then ATOMIC_MOVE into the keyed path —
+    // losing a concurrent-build race just means adopting the winner's
+    // identical layout.
+    val fp = layoutFingerprint(sfDir, cpus)
+    val tmpRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    val target = tmpRoot.resolve(s"graft-bench-layout-$fp")
+    val marker = target.resolve("_LAYOUT_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val build = java.nio.file.Files
+        .createTempDirectory("graft-bench-layout-build")
+      Tables.all.foreach { t =>
+        val df = Tables.load(spark, sfDir, t)
+        val parts = math.min(cpus.toLong,
+          math.max(1L, df.count() / 2000L)).toInt
+        df.repartition(parts)
+          .write.mode(SaveMode.Overwrite).parquet(s"$build/$t.parquet")
+      }
+      java.nio.file.Files.createFile(build.resolve("_LAYOUT_COMPLETE"))
+      try java.nio.file.Files.move(build, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(marker) =>
+          deleteRecursively(build) // lost the race; the winner's is ours
+      }
     }
     Tables.all.foreach { t =>
-      Tables.load(spark, base, t).cache().count()
+      Tables.load(spark, target.toString, t).cache().count()
     }
-    base
+    target.toString
+  }
+
+  /** Content fingerprint of a fixture dir for [[benchLayout]] reuse:
+    * absolute path + cpus + every table file's (name, size, mtime),
+    * recursing into directory-shaped tables. Any fixture regeneration
+    * changes mtimes, so a stale layout can never be adopted.
+    */
+  private def layoutFingerprint(sfDir: String, cpus: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def feed(s: String): Unit = md.update(s.getBytes("UTF-8"))
+    feed(new java.io.File(sfDir).getAbsolutePath); feed(s"|$cpus")
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+      else feed(s"|${f.getName}:${f.length}:${f.lastModified}")
+    Tables.all.foreach { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      if (f.exists()) walk(f)
+    }
+    md.digest().map("%02x".format(_)).mkString.take(20)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }
