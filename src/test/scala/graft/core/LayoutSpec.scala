@@ -59,6 +59,34 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bk_dims4")
   }
 
+  test("benchLayout reuses the fingerprint-keyed re-layout across calls " +
+      "and rebuilds when a source file changes") {
+    val src = java.nio.file.Files.createTempDirectory("layout-src")
+    // a minimal fixture: every table name must exist for the fingerprint
+    // walk, but only ones we read need real content
+    Tables.all.foreach { t =>
+      Seq((1L, "x")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$src/$t.parquet")
+    }
+    val a = Layout.benchLayout(spark, src.toString, 2)
+    val b = Layout.benchLayout(spark, src.toString, 2)
+    assert(a == b, "identical sources must reuse one layout dir")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(a, "_LAYOUT_COMPLETE")))
+    // a different cpu count is a different layout
+    val c = Layout.benchLayout(spark, src.toString, 3)
+    assert(c != a)
+    // touching a source file invalidates the fingerprint
+    val f = new java.io.File(s"$src/region.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(f.setLastModified(f.lastModified() + 60000))
+    val d = Layout.benchLayout(spark, src.toString, 2)
+    assert(d != a, "changed source mtime must rebuild the layout")
+    // the reused layout serves real reads
+    assert(Tables.load(spark, d, "region").count() == 1)
+    spark.catalog.clearCache()
+  }
+
   test("salted join spreads a hot key and preserves results") {
     val left = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
       .union(Seq(("cold", 0)).toDF("k", "v"))
