@@ -10,10 +10,12 @@ run should note this anchor's reading.
 Usage: python3 scripts/host_speed.py [n_probes]
 Prints one line per probe: seconds for a fixed 30M-iteration integer
 loop on one core. Reference points measured in round 9:
+  ~1.4 s      -> fast window (r9's committed artifacts; q20 solo 1.1-1.3 s)
   ~3.0-3.7 s  -> slow window (do NOT record bench artifacts)
-  the fast-window value is whatever the smallest reading across rounds
-  has been; r9's committed sf0.1 artifact (33 s wall) was taken when
-  solo q20 ran 1.14 s — re-calibrate against that query if in doubt.
+A sustained 32-core run drains the credit bucket mid-run (a 1-wide
+probe right after a 10-minute bench read 3.35 s; ~45 s of idle
+restored 1.4 s), so long benches degrade their own later passes —
+best-pass selection absorbs most of it.
 """
 import sys
 import time
