@@ -1698,6 +1698,158 @@ object TextOps {
     doc = "corpus datasheet card: one-row docs/tokens/langs/sources/" +
       "dup-rate summary")
 
+  // --- DSIR importance selection: reweight the raw corpus toward a
+  //     target distribution (here the English slice) over hashed-bigram
+  //     bucket models, keep the k best. Per-bucket log-ratios are
+  //     quantized to integer micros BEFORE the per-doc sum (exact BIGINT
+  //     accumulation on both engines — the quantize-then-sum rule); the
+  //     md5-fold hash makes bucketing replayable in SQL. See
+  //     [[graft.operators.Selection.dsirTopK]] for the plan-shape story
+  //     (one bounded distribution exchange, broadcast model row,
+  //     projection scoring, TakeOrdered top-k).
+  private val q136_dsir_select = Q(
+    run = (s, d) =>
+      graft.operators.Selection.dsirTopK(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("lang") === "en",
+        buckets = 1024, k = 200),
+    oracle = Some("""
+      WITH tk AS (
+        SELECT doc_id, lang = 'en' AS is_tgt,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE text IS NOT NULL),
+      bg AS (
+        SELECT doc_id, is_tgt,
+          unnest(list_transform(generate_series(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i + 1])) AS g
+        FROM tk WHERE len(tk) >= 2),
+      bk AS (
+        SELECT doc_id, is_tgt,
+          CAST(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024
+               AS INTEGER) AS b
+        FROM bg),
+      dist AS (
+        SELECT b, count(*) AS r_cnt,
+               count(*) FILTER (WHERE is_tgt) AS t_cnt
+        FROM bk GROUP BY b),
+      tot AS (SELECT sum(r_cnt) AS rtot, sum(t_cnt) AS ttot FROM dist),
+      lam AS (
+        SELECT b,
+          CAST(floor((ln((t_cnt + 1) / (ttot + 1024.0)) -
+                      ln((r_cnt + 1) / (rtot + 1024.0))) * 1e6 + 0.5)
+               AS BIGINT) AS lam_u
+        FROM dist, tot),
+      w AS (
+        SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lam_u) AS BIGINT) AS logw_u
+        FROM bk JOIN lam USING (b)
+        GROUP BY bk.doc_id)
+      SELECT doc_id, n_bigrams, logw_u,
+             CAST(logw_u AS DOUBLE) / 1e6 AS logw
+      FROM w
+      ORDER BY logw_u DESC, doc_id
+      LIMIT 200"""),
+    doc = "DSIR importance selection: hashed-bigram target/raw " +
+      "log-ratio weights, deterministic top-k")
+
+  // --- greedy token-budget fill per language: rank by 4dp stopword
+  //     density (score DESC, id ASC), keep the strict prefix whose token
+  //     total fits 20k. The cut is decided on the (lang, score) GRID —
+  //     only each language's single boundary band pays a per-row window;
+  //     see [[graft.operators.Selection.budgetCut]].
+  private val q137_token_budget = Q(
+    run = (s, d) => {
+      val scored = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCountFrom(col("text"), col("__tk"))
+            .as("n_tokens"),
+          round(try_divide(
+            TextAnalysis.stopwordHits(col("__tk"),
+              Seq("the", "a", "of", "and", "is")).cast("double"),
+            size(col("__tk")).cast("double")), 4).as("score"))
+      graft.operators.Selection.budgetCut(scored, col("lang"),
+          col("doc_id"), col("score"), col("n_tokens"), budget = 20000L)
+        .withColumnRenamed("grp", "lang")
+    },
+    oracle = Some("""
+      WITH sc AS (
+        SELECT doc_id, lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+          END AS n_tokens,
+          round(CAST(len(list_filter(tk, t ->
+                  t IN ('the','a','of','and','is'))) AS DOUBLE) /
+                CAST(len(tk) AS DOUBLE), 4) AS score
+        FROM (SELECT doc_id, lang, text,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+              FROM documents WHERE text IS NOT NULL)),
+      cum AS (
+        SELECT lang, doc_id, score, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY score DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS c
+        FROM sc WHERE score IS NOT NULL)
+      SELECT lang, doc_id, score, n_tokens, c <= 20000 AS kept
+      FROM cum"""),
+    doc = "greedy per-language token-budget fill (grid-decided cut, " +
+      "boundary-band-only window)")
+
+  // --- composite rule-based quality filter (Gopher-style, Rae et al.
+  //     2021): each rule an independent boolean, pass = conjunction.
+  //     Pure projection over staged tokens — ZERO exchanges, the ideal
+  //     100 TB shape. NULL text pins every rule to false (the coalesce
+  //     contract, not 3VL leak-through).
+  private val q138_quality_rules = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      val n = size(col("__tk")).cast("double")
+      val nonWs = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      val alphaFrac = size(filter(col("__tk"),
+        t => t.rlike("[a-z]"))).cast("double") / n
+      val digitFrac = size(filter(col("__tk"),
+        t => t.rlike("^[0-9]+$"))).cast("double") / n
+      val avgLen = nonWs.cast("double") / n
+      def r(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        coalesce(c, lit(false))
+      val rules = Seq(
+        "r_ntok" -> r(size(col("__tk")).between(50, 100000)),
+        "r_len" -> r(avgLen.between(3.0, 10.0)),
+        "r_stop" -> r(TextAnalysis.stopwordHits(col("__tk"),
+          Seq("the", "a", "of", "and", "is")) >= 2),
+        "r_alpha" -> r(alphaFrac >= 0.8),
+        "r_digit" -> r(digitFrac <= 0.3))
+      docs.select(col("doc_id") +: rules.map { case (nm, c) => c.as(nm) }: _*)
+        .withColumn("pass",
+          rules.map { case (nm, _) => col(nm) }.reduce(_ && _))
+    },
+    oracle = Some("""
+      WITH tk AS (
+        SELECT doc_id, text,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          coalesce(len(tk) BETWEEN 50 AND 100000, false) AS r_ntok,
+          coalesce(CAST(length(regexp_replace(trim(text), '\s+', '', 'g'))
+                        AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+                   BETWEEN 3.0 AND 10.0, false) AS r_len,
+          coalesce(len(list_filter(tk, t ->
+            t IN ('the','a','of','and','is'))) >= 2, false) AS r_stop,
+          coalesce(CAST(len(list_filter(tk, t ->
+              regexp_matches(t, '[a-z]'))) AS DOUBLE) /
+            CAST(len(tk) AS DOUBLE) >= 0.8, false) AS r_alpha,
+          coalesce(CAST(len(list_filter(tk, t ->
+              regexp_matches(t, '^[0-9]+$'))) AS DOUBLE) /
+            CAST(len(tk) AS DOUBLE) <= 0.3, false) AS r_digit
+        FROM tk)
+      SELECT doc_id, r_ntok, r_len, r_stop, r_alpha, r_digit,
+             r_ntok AND r_len AND r_stop AND r_alpha AND r_digit AS pass
+      FROM f"""),
+    doc = "composite rule-based quality filter: projection-only booleans" +
+      " + conjunction pass flag")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1737,5 +1889,8 @@ object TextOps {
     "q131_weighted_sample" -> q131_weighted_sample,
     "q133_corpus_card" -> q133_corpus_card,
     "q134_image_dup" -> q134_image_dup,
-    "q135_seq_packing" -> q135_seq_packing)
+    "q135_seq_packing" -> q135_seq_packing,
+    "q136_dsir_select" -> q136_dsir_select,
+    "q137_token_budget" -> q137_token_budget,
+    "q138_quality_rules" -> q138_quality_rules)
 }

@@ -776,4 +776,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"),
       s"base distinct / per-doc counts need map-side partials:\n$p")
   }
+
+  test("q136_dsir_select: model row broadcasts into a projection scorer; " +
+      "top-k is TakeOrdered (never a global sort); only the bounded " +
+      "distribution aggregates shuffle") {
+    val p = plan("q136_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must fuse to TakeOrdered:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the one-row log-ratio model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may sort-merge:\n$p")
+    val shuffles = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(shuffles <= 2,
+      s"only the buckets-row distribution aggregation shuffles ($shuffles):\n$p")
+  }
+
+  test("q137_token_budget: the grid cut broadcasts back onto the corpus " +
+      "(no corpus-wide sort-merge join, no corpus-wide window except " +
+      "the boundary band)") {
+    val p = plan("q137_token_budget")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the (grp, score) grid must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never sort-merge against the grid:\n$p")
+    // the grid is checkpointed once; only the boundary-band window may
+    // shuffle in the final plan
+    val shuffles = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(shuffles <= 1,
+      s"only the boundary-band window may shuffle ($shuffles):\n$p")
+  }
+
+  test("q138_quality_rules: projection-only rule vector — ZERO exchanges, " +
+      "schema pruned to (doc_id, text)") {
+    val p = plan("q138_quality_rules")
+    val shuffles = p.linesIterator.filter(_.contains("Exchange")).size
+    assert(shuffles == 0, s"rule filter must be a pure map ($shuffles):\n$p")
+    assert(!p.contains("Join"), s"rule filter must not join:\n$p")
+    assert(!p.contains("lang#") && !p.contains("source#"),
+      s"scan must not read unused document columns:\n$p")
+  }
 }
