@@ -118,6 +118,23 @@ class SelectionSpec extends SparkSpec {
     out.foreach { case (_, _, u, w) => assert(w == u.toDouble / 1e6) }
   }
 
+  test("dsirTopK and budgetCut are partitioning-independent (BIGINT " +
+      "micro-sums + total-order selection leave no FP/order residue)") {
+    val docs = docsFixture
+    def runD(parts: Int) =
+      Selection.dsirTopK(docs.repartition(parts), col("doc_id"),
+        col("text"), col("lang") === "en", buckets = 256, k = 90)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(runD(1) == runD(7))
+    val sc = scoredFixture
+    def runB(parts: Int) =
+      Selection.budgetCut(sc.repartition(parts), col("grp"), col("doc_id"),
+        col("score"), col("n_tokens"), 5000L)
+        .filter(!isnan(col("score")))
+        .as[(String, Long, Double, Long, Boolean)].collect().toSet
+    assert(runB(1) == runB(5))
+  }
+
   test("dsirTopK: all-target degenerates to zero weights with id-order " +
       "top-k; k caps the output; n_bigrams = tokens-1") {
     val docs = (1L to 30L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
