@@ -137,6 +137,11 @@ object Selection {
     * worst case (every document the same score) collapses to the naive
     * window, documented and spec-gated; typical corpora window <1% of
     * rows.
+    *
+    * CALLER CONTRACT: `score` must be grid-valued (quantized — q137
+    * rounds to 4dp, <= 10001 distinct values). The (grp, score) grid is
+    * checkpointed and BROADCAST; an unquantized continuous score makes
+    * the grid corpus-sized and the broadcast the bottleneck.
     */
   def budgetCut(scored: DataFrame, grp: Column, id: Column, score: Column,
       nTokens: Column, budget: Long): DataFrame = {
