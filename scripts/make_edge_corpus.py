@@ -74,6 +74,20 @@ raw_docs += [(64, "\U0001F389\U0001F680" * 40, "und"),
              (67, "z" * 65, "en"),
              (68, thumb_head, "en")]
 
+# r9 — selection edges (q136/q137): a lang stratum whose 51 docs all
+# share ONE exact score (0.25 — per-doc-unique filler so no fuzzy/near-
+# dup blowup) making the whole lang a single degenerate band, with the
+# cumulative token total hitting the 20000 budget EXACTLY at doc 50
+# (strict-prefix boundary + in-band doc_id ordering, both cross-engine);
+# plus repeated-single-bigram docs (one hot bucket, target vs raw copies
+# so the quantized log-ratio weights must agree engine-to-engine)
+raw_docs += [(500000 + j,
+              " ".join(f"the u{j}x{m}a u{j}x{m}b u{j}x{m}c"
+                       for m in range(100)),
+              "bq") for j in range(1, 52)]
+raw_docs += [(70, "rep " * 50, "en"), (71, "rep " * 50, "es"),
+             (72, "the of " * 25, "en"), (73, "the of " * 25, "und")]
+
 docs = [(i, t, lang, "edge", len(t) if t is not None else None)
         for (i, t, lang) in raw_docs]
 assert len({d[0] for d in docs}) == len(docs), "duplicate edge doc_id"
