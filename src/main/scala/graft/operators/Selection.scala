@@ -53,10 +53,14 @@ object Selection {
     * corpus-sized ever shuffles.
     */
   def dsirTopK(docs: DataFrame, id: Column, text: Column, isTarget: Column,
-      buckets: Int = 1024, k: Int = 200): DataFrame = {
-    require(buckets >= 2, s"dsirTopK: buckets=$buckets must be >= 2")
+      buckets: Int = 0, k: Int = 200): DataFrame = {
     require(k >= 1, s"dsirTopK: k=$k must be >= 1")
-    val b = buckets
+    // buckets <= 0 -> size to the corpus (the autoCells convention);
+    // the count rides Similarity's table-statistics memo
+    val b =
+      if (buckets <= 0) autoBuckets(Similarity.corpusSize(docs))
+      else buckets
+    require(b >= 2, s"dsirTopK: buckets=$b must be >= 2")
     // stage tokens as an attribute (ngrams' internal lambda references
     // the token array per element — inlined, the tokenizer would re-run
     // per gram, the q81 trap); then hash bigrams to buckets in the same
@@ -115,6 +119,21 @@ object Selection {
       .limit(k)
   }
 
+  /** Bucket count for [[dsirTopK]]'s hashed-bigram model, sized so the
+    * MEAN bucket sees ~`targetDocsPerBucket` documents: smallest power
+    * of two in [256, 2^20] with buckets · target >= n — pure integer
+    * arithmetic (the [[Similarity.autoCells]] convention) so the SQL
+    * oracle derives the identical count from count(*) of the SAME
+    * unfiltered relation. Model resolution now grows with the corpus
+    * instead of saturating a fixed 1024 buckets at 100 TB; the 2^20 cap
+    * bounds the broadcast model row at 8 MB of longs, past which
+    * (~67M docs at the default target) resolution saturates gracefully
+    * (more docs per bucket, same model size).
+    */
+  def autoBuckets(n: Long, targetDocsPerBucket: Int = 64): Int =
+    (8 to 20).map(1 << _).find(b => b.toLong * targetDocsPerBucket >= n)
+      .getOrElse(1 << 20)
+
   /** Greedy per-group token-budget fill: within each `grp`, documents are
     * ranked (quality `score` DESC, id ASC) and kept while the running
     * token total stays within `budget` — the strict-prefix rule (an
@@ -149,8 +168,13 @@ object Selection {
     val base = scored.select(grp.as("grp"), id.as("doc_id"),
         score.as("score"), nTokens.as("n_tokens"))
       .filter(col("score").isNotNull)
+    // coalesce: a band whose EVERY n_tokens is NULL sums to NULL, which
+    // would make wholeIn AND the boundary predicate both NULL and
+    // silently drop the band from BOTH union branches (naive keeps them:
+    // its window sum ignores nulls). band_tok = 0 matches that
+    // null-ignoring window semantics exactly.
     val grid = base.groupBy(col("grp"), col("score"))
-      .agg(sum(col("n_tokens")).as("band_tok"))
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("band_tok"))
     val above = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -177,8 +201,11 @@ object Selection {
     val inBand = Window.partitionBy(col("grp"), col("score"))
       .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // coalesce: leading NULL-n_tokens rows inside the boundary band
+    // would otherwise get cum_in = NULL -> kept = NULL
     val boundary = joined.filter(!wholeIn && !wholeOut)
-      .withColumn("cum_in", sum(col("n_tokens")).over(inBand))
+      .withColumn("cum_in",
+        coalesce(sum(col("n_tokens")).over(inBand), lit(0L)))
       .select(outCols :+
         (col("cum_before") + col("cum_in") <= lit(budget)).as("kept"): _*)
     easy.unionByName(boundary)
@@ -196,7 +223,11 @@ object Selection {
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    base.withColumn("kept", sum(col("n_tokens")).over(w) <= lit(budget))
+    // coalesce: a group-leading run of NULL n_tokens has running sum
+    // NULL (null-ignoring sum over nothing), which must read as 0 kept
+    // tokens, not a NULL kept flag
+    base.withColumn("kept",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)) <= lit(budget))
       .select(col("grp"), col("doc_id"), col("score"), col("n_tokens"),
         col("kept"))
   }

@@ -1711,9 +1711,16 @@ object TextOps {
     run = (s, d) =>
       graft.operators.Selection.dsirTopK(Tables.documents(s, d),
         col("doc_id"), col("text"), col("lang") === "en",
-        buckets = 1024, k = 200),
+        buckets = 0, k = 200), // 0 = corpus-sized (Selection.autoBuckets)
     oracle = Some("""
-      WITH tk AS (
+      WITH params AS (
+        SELECT coalesce(min(t.c), 1048576) AS nb
+        FROM (VALUES (256),(512),(1024),(2048),(4096),(8192),(16384),
+                     (32768),(65536),(131072),(262144),(524288),
+                     (1048576)) t(c),
+             (SELECT count(*) AS n FROM documents) n
+        WHERE CAST(t.c AS BIGINT) * 64 >= n.n),
+      tk AS (
         SELECT doc_id, lang = 'en' AS is_tgt,
                regexp_split_to_array(lower(trim(text)), '\s+') AS tk
         FROM documents WHERE text IS NOT NULL),
@@ -1724,9 +1731,9 @@ object TextOps {
         FROM tk WHERE len(tk) >= 2),
       bk AS (
         SELECT doc_id, is_tgt,
-          CAST(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024
+          CAST(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % params.nb
                AS INTEGER) AS b
-        FROM bg),
+        FROM bg, params),
       dist AS (
         SELECT b, count(*) AS r_cnt,
                count(*) FILTER (WHERE is_tgt) AS t_cnt
@@ -1734,10 +1741,11 @@ object TextOps {
       tot AS (SELECT sum(r_cnt) AS rtot, sum(t_cnt) AS ttot FROM dist),
       lam AS (
         SELECT b,
-          CAST(floor((ln((t_cnt + 1) / (ttot + 1024.0)) -
-                      ln((r_cnt + 1) / (rtot + 1024.0))) * 1e6 + 0.5)
+          CAST(floor((ln((t_cnt + 1) / (ttot + CAST(params.nb AS DOUBLE)))
+                    - ln((r_cnt + 1) / (rtot + CAST(params.nb AS DOUBLE))))
+                     * 1e6 + 0.5)
                AS BIGINT) AS lam_u
-        FROM dist, tot),
+        FROM dist, tot, params),
       w AS (
         SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                CAST(sum(lam_u) AS BIGINT) AS logw_u
@@ -1764,10 +1772,16 @@ object TextOps {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCountFrom(col("text"), col("__tk"))
             .as("n_tokens"),
-          round(try_divide(
+          // 4dp quantize in pure double math, NOT round(double, 4): the
+          // score drives the budget-cut grid + kept flags, and round
+          // splits engines on decimal-boundary rationals like 1/800
+          // (the q108 rule). floor(x*1e4 + 0.5)/1e4 is bit-identical on
+          // IEEE engines; x <= 1 so the scaled value is far below 2^53.
+          (floor(try_divide(
             TextAnalysis.stopwordHits(col("__tk"),
               Seq("the", "a", "of", "and", "is")).cast("double"),
-            size(col("__tk")).cast("double")), 4).as("score"))
+            size(col("__tk")).cast("double")) * lit(1e4) + lit(0.5))
+            .cast("double") / lit(1e4)).as("score"))
       graft.operators.Selection.budgetCut(scored, col("lang"),
           col("doc_id"), col("score"), col("n_tokens"), budget = 20000L)
         .withColumnRenamed("grp", "lang")
@@ -1778,9 +1792,9 @@ object TextOps {
           CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
           END AS n_tokens,
-          round(CAST(len(list_filter(tk, t ->
+          floor(CAST(len(list_filter(tk, t ->
                   t IN ('the','a','of','and','is'))) AS DOUBLE) /
-                CAST(len(tk) AS DOUBLE), 4) AS score
+                CAST(len(tk) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS score
         FROM (SELECT doc_id, lang, text,
                 regexp_split_to_array(lower(trim(text)), '\s+') AS tk
               FROM documents WHERE text IS NOT NULL)),
