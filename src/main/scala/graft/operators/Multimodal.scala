@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   *    (PNG/JPEG/BMP/GIF — dims, channels, luma, 8×8 perceptual thumb,
   *    nearest-neighbor resize), [[decodeAudio]] via
   *    `javax.sound.sampled` (WAV/AIFF/AU PCM — rate, channels,
-  *    duration, RMS, zero-crossing rate), and [[imageDupPairs]] /
-  *    [[aHash]] for perceptual image dedup on the decoded thumbs. All
-  *    partition-parallel typed maps.
+  *    duration, RMS, zero-crossing rate), [[imageDupPairs]] /
+  *    [[aHash]] for perceptual image dedup on the decoded thumbs, and
+  *    [[videoFrameFeatures]]' Y4M ([[Y4m]]) and AVI/Motion-JPEG
+  *    ([[Avi]]) legs (container walk + per-frame decode, true frame
+  *    timing). All partition-parallel typed maps.
   *  - [[extractFeatures]] / [[resizeStub]]: clearly-marked deterministic
-  *    FAKEs for formats with no in-container codec (video): they derive
+  *    FAKEs for formats with no in-container codec (inter-frame video
+  *    codecs): they derive
   *    "features" from the bytes arithmetically, so the pipeline shape
   *    (schema, batching, partition-parallel feature extraction) is real
   *    and testable while the codec call is swappable — and they stay
@@ -389,6 +392,11 @@ object Multimodal {
     *    ([[Y4m]]): header + FRAME parsing, true frame timing from the
     *    stream's F rate, mean luma measured from each sampled frame's Y
     *    plane. No native codec involved — Y4M is uncompressed.
+    *  - AVI containers whose video stream is Motion-JPEG take the REAL
+    *    pure-JDK path ([[Avi]]): RIFF chunk walk for frames + timing,
+    *    `javax.imageio` JPEG decode per sampled frame. AVIs carrying a
+    *    true inter-frame codec (H.264 etc.) deliberately do NOT match —
+    *    they fall through to the SPI/FAKE path below.
     *  - Other containers go to a registered [[VideoDecoder]] SPI
     *    implementation when one exists ([[videoDecoder]] probe).
     *  - Otherwise the deterministic FAKE: one pseudo-frame per 64-byte
@@ -407,6 +415,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         if (Y4m.isY4m(bytes)) Y4m.sample(id, bytes, strideSec)
+        else if (Avi.isMjpegAvi(bytes)) Avi.sample(id, bytes, strideSec)
         else decoder match {
           case Some(d) => d.sample(id, bytes, strideSec)
           case None => fakeFrames(id, bytes, strideSec)
@@ -547,6 +556,186 @@ private[graft] object Y4m {
       override def next(): VideoFrameFeatures = {
         val f = nextFrame; advance(); f
       }
+    }
+  }
+}
+
+/** Pure-JDK AVI/Motion-JPEG frame sampler — the second REAL video path
+  * (after [[Y4m]]): the AVI container is a plain RIFF chunk tree (public
+  * format; layout per Microsoft's AVI RIFF / OpenDML description), and
+  * Motion-JPEG frames are ordinary baseline JPEGs the JDK's built-in
+  * ImageIO codec decodes — so the most common "box of stills" video
+  * container needs NO native codec. Dispatch is capability-honest:
+  * [[isMjpegAvi]] matches only when the header declares a 'vids' stream
+  * with an MJPG-family handler (MJPG/MJPA/dmb1, any case); an AVI
+  * carrying a true inter-frame codec never reaches this sampler and
+  * keeps the SPI/FAKE path.
+  *
+  * Timing is real: fps = strh dwRate/dwScale (falling back to avih
+  * dwMicroSecPerFrame, then 25); `frame_idx` counts the vids stream's
+  * frame chunks ('NNdc'/'NNdb' for its stream number, including inside
+  * nested 'rec ' lists); one frame sampled every `strideSec` seconds,
+  * `ts_sec` = idx/fps. `mean_luma` is the whole-frame integer-BT.601
+  * mean of the ImageIO-decoded JPEG at 6dp (the [[Y4m]] convention); a
+  * frame chunk ImageIO cannot decode (a DHT-less camera JPEG, a raw-DIB
+  * '00db' chunk) keeps its row with NULL luma — frame existence and
+  * timing come from the container, measurement from the codec (the
+  * [[AudioFeatures]] `features_ok` philosophy).
+  *
+  * Robustness contract (spec-gated, mirroring [[Y4m]]): a chunk whose
+  * declared size runs past the payload ends the walk at the last whole
+  * chunk (truncated upload → complete frames only); malformed headers
+  * fail [[isMjpegAvi]], so the asset falls to the non-real paths rather
+  * than crashing the job.
+  */
+private[graft] object Avi {
+  private val MjpgHandlers = Set("MJPG", "MJPA", "DMB1")
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** First 'vids' stream: its stream number (frame chunks are
+    * '%02d'+dc/db of it), handler fourcc, strh scale/rate, avih
+    * micro-sec-per-frame fallback.
+    */
+  private case class Vids(streamIdx: Int, handler: String, scale: Long,
+      rate: Long, microPerFrame: Long)
+
+  private def header(bytes: Array[Byte]): Option[Vids] = {
+    if (bytes == null || bytes.length < 12 || cc(bytes, 0) != "RIFF" ||
+        cc(bytes, 8) != "AVI ") return None
+    val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+    var pos = 12
+    var out: Option[Vids] = None
+    while (out.isEmpty && pos + 8 <= end) {
+      val sz = u32(bytes, pos + 4)
+      val dStart = pos + 8
+      if (cc(bytes, pos) == "LIST" && sz >= 4 && dStart + 4 <= end &&
+          cc(bytes, dStart) == "hdrl")
+        out = scanHdrl(bytes, dStart + 4,
+          math.min(dStart.toLong + sz, end.toLong).toInt)
+      val np = (dStart.toLong + sz + (sz & 1)).toInt
+      pos = if (np <= pos) end else np // 4 GiB-size overflow guard
+    }
+    out
+  }
+
+  private def scanHdrl(bytes: Array[Byte], from: Int,
+      to: Int): Option[Vids] = {
+    var p = from
+    var micro = 0L
+    var streamIdx = -1
+    var vids: Option[(Int, String, Long, Long)] = None
+    while (p + 8 <= to) {
+      val id = cc(bytes, p)
+      val sz = u32(bytes, p + 4)
+      val dStart = p + 8
+      val dEnd = math.min(dStart.toLong + sz, to.toLong).toInt
+      if (id == "avih" && sz >= 4 && dStart + 4 <= to)
+        micro = u32(bytes, dStart)
+      else if (id == "LIST" && sz >= 4 && dStart + 4 <= to &&
+          cc(bytes, dStart) == "strl") {
+        streamIdx += 1 // stream number = position of its strl in hdrl
+        var q = dStart + 4
+        while (q + 8 <= dEnd) {
+          val ssz = u32(bytes, q + 4)
+          // strh data: fccType@0, fccHandler@4, dwScale@20, dwRate@24
+          if (cc(bytes, q) == "strh" && ssz >= 28 && q + 36 <= dEnd &&
+              cc(bytes, q + 8) == "vids" && vids.isEmpty)
+            vids = Some((streamIdx, cc(bytes, q + 12),
+              u32(bytes, q + 28), u32(bytes, q + 32)))
+          val nq = (q + 8L + ssz + (ssz & 1)).toInt
+          q = if (nq <= q) dEnd else nq
+        }
+      }
+      val np = (dStart.toLong + sz + (sz & 1)).toInt
+      p = if (np <= p) to else np
+    }
+    vids.map { case (i, hnd, sc, rt) => Vids(i, hnd, sc, rt, micro) }
+  }
+
+  def isMjpegAvi(bytes: Array[Byte]): Boolean =
+    header(bytes).exists(v => MjpgHandlers.contains(v.handler.toUpperCase))
+
+  def sample(assetId: Long, bytes: Array[Byte],
+      strideSec: Double): Iterator[VideoFrameFeatures] =
+    header(bytes) match {
+      case None => Iterator.empty
+      case Some(v) =>
+        val fps =
+          if (v.scale > 0 && v.rate > 0) v.rate.toDouble / v.scale
+          else if (v.microPerFrame > 0) 1e6 / v.microPerFrame
+          else 25.0
+        val step = math.max(1L, math.round(strideSec * fps))
+        val pre = f"${v.streamIdx}%02d"
+        val wantDc = pre + "dc"
+        val wantDb = pre + "db"
+        val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        // collect the vids stream's whole frame chunks; stop at the
+        // first chunk whose declared extent runs past the payload
+        def walk(from: Int, to: Int): Unit = {
+          var p = from
+          var done = false
+          while (!done && p + 8 <= to) {
+            val id = cc(bytes, p)
+            val sz = u32(bytes, p + 4)
+            val dStart = p + 8
+            val dEnd = dStart.toLong + sz
+            val lt =
+              if (id == "LIST" && sz >= 4 && dStart + 4 <= to)
+                cc(bytes, dStart)
+              else ""
+            if (lt == "movi" || lt == "rec ")
+              walk(dStart + 4, math.min(dEnd, to.toLong).toInt)
+            else if (dEnd <= to && (id == wantDc || id == wantDb))
+              frames += ((dStart, sz.toInt))
+            if (dEnd + (sz & 1) > to) done = true // truncated: stop
+            else p = (dEnd + (sz & 1)).toInt
+          }
+        }
+        walk(12, end)
+        frames.iterator.zipWithIndex.collect {
+          case ((off, len), idx) if idx % step == 0 =>
+            VideoFrameFeatures(assetId, idx, idx / fps,
+              jpegMeanLuma(bytes, off, len))
+        }
+    }
+
+  /** Whole-frame mean of integer BT.601 luma at 6dp — [[Y4m]]'s
+    * convention on the decoded pixels; None when ImageIO can't decode
+    * the chunk (frame row survives with unmeasured luma).
+    */
+  private def jpegMeanLuma(bytes: Array[Byte], off: Int,
+      len: Int): Option[Double] = {
+    if (len <= 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          s += (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some(math.rint(s.toDouble / (w.toLong * h) * 1e6) / 1e6)
     }
   }
 }

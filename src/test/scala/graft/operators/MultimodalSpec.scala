@@ -353,6 +353,160 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L) == Seq((0, 0.0, None), (1, 1.0, None), (2, 2.0, None)))
   }
 
+  // --- MJPEG-AVI fixture assembly: RIFF(AVI  LIST(hdrl avih
+  //     LIST(strl strh strf))* LIST(movi NNdc...)) with little-endian
+  //     sizes and word-aligned chunks, per the public AVI RIFF layout
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(id.getBytes("US-ASCII"))
+    out.write(le32(data.length))
+    out.write(data)
+    if (data.length % 2 == 1) out.write(0) // word alignment pad
+    out.toByteArray
+  }
+
+  private def riffList(listType: String,
+      children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST",
+      listType.getBytes("US-ASCII") ++ children.flatten)
+
+  private def grayJpeg(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** What the engine should measure for a JPEG frame: decode the same
+    * bytes, whole-frame integer-BT.601 mean at 6dp (the Y4m/Avi
+    * convention) — the spec recomputes it independently.
+    */
+  private def expectedLuma(jpeg: Array[Byte]): Double = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    var s = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      s += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    math.rint(s.toDouble / (img.getWidth * img.getHeight) * 1e6) / 1e6
+  }
+
+  private def mjpegAvi(frames: Seq[Array[Byte]], fps: Int, w: Int, h: Int,
+      handler: String = "MJPG", audioFirst: Boolean = false): Array[Byte] = {
+    val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.size) ++ le32(0) ++ le32(if (audioFirst) 2 else 1) ++
+      le32(0) ++ le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    def strh(fcc: String, hnd: String, scale: Int, rate: Int) =
+      fcc.getBytes("US-ASCII") ++ hnd.getBytes("US-ASCII") ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(scale) ++ le32(rate) ++
+        le32(0) ++ le32(frames.size) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0)
+    val strfV = le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      Array.fill(20)(0.toByte)
+    val strlVideo = riffList("strl",
+      riffChunk("strh", strh("vids", handler, 1, fps)),
+      riffChunk("strf", strfV))
+    val strlAudio = riffList("strl",
+      riffChunk("strh", strh("auds", "    ", 1, 8000)),
+      riffChunk("strf", Array.fill(16)(0.toByte)))
+    val strls =
+      if (audioFirst) Seq(strlAudio, strlVideo) else Seq(strlVideo)
+    val hdrl = riffList("hdrl", (riffChunk("avih", avih) +: strls): _*)
+    val vidId = if (audioFirst) "01dc" else "00dc"
+    val movi = riffList("movi", frames.map(f => riffChunk(vidId, f)): _*)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+  }
+
+  test("AVI/MJPEG real decode: RIFF walk + per-frame ImageIO JPEG, true " +
+      "strh timing, audio-first stream numbering, truncated stream " +
+      "stops at the last whole frame, non-MJPEG AVI stays on the FAKE " +
+      "path") {
+    val jpegs = Seq(40, 80, 120, 160, 200).map(grayJpeg(16, 16, _))
+    // 4 fps, stride 0.5 s -> step 2 -> frames 0,2,4 at ts 0, 0.5, 1.0
+    val plain = mjpegAvi(jpegs, fps = 4, w = 16, h = 16)
+    // audio stream first: vids is stream 1, frame chunks are '01dc'
+    val audioFirst = mjpegAvi(jpegs, fps = 4, w = 16, h = 16,
+      audioFirst = true)
+    // cut into the last frame's chunk -> only whole frames survive
+    val truncated = plain.dropRight(10)
+    // an honest inter-frame codec is NOT decodable here -> FAKE path
+    val h264 = mjpegAvi(jpegs.take(1), fps = 4, w = 16, h = 16,
+      handler = "H264")
+    assert(Avi.isMjpegAvi(plain) && Avi.isMjpegAvi(audioFirst) &&
+      Avi.isMjpegAvi(truncated) && !Avi.isMjpegAvi(h264))
+    val assets = Seq((1L, plain), (2L, audioFirst), (3L, truncated),
+      (4L, h264)).toDF("asset_id", "payload")
+    val got = Multimodal.videoFrameFeatures(assets, strideSec = 0.5)
+      .as[VideoFrameFeatures].collect()
+      .groupBy(_.asset_id).map { case (k, v) =>
+        k -> v.sortBy(_.frame_idx).map(f =>
+          (f.frame_idx, f.ts_sec, f.mean_luma)).toSeq }
+    val want = Seq(0, 2, 4).map(i =>
+      (i, i / 4.0, Some(expectedLuma(jpegs(i)))))
+    assert(got(1L) == want, s"plain: ${got(1L)}")
+    assert(got(2L) == want, s"audio-first: ${got(2L)}")
+    assert(got(3L) == want.take(2), s"truncated: ${got(3L)}")
+    // sampled lumas actually track the frame content (decoded gray
+    // levels shift only slightly under JPEG quantization)
+    Seq(0, 2, 4).zipWithIndex.foreach { case (fi, oi) =>
+      assert(math.abs(got(1L)(oi)._3.get - Seq(40, 80, 120, 160, 200)(fi))
+        < 4.0)
+    }
+    // non-MJPEG AVI: byte-stride pseudo-frames, luma unmeasured
+    assert(got(4L).nonEmpty && got(4L).forall(_._3.isEmpty))
+    assert(got(4L).map(_._1) == (0 until got(4L).size))
+  }
+
+  test("AVI/MJPEG hostile bytes: corrupt headers fail the capability " +
+      "probe; a lying in-movi chunk size ends the walk; an undecodable " +
+      "frame chunk keeps its row with NULL luma") {
+    val jpegs = Seq(60, 90).map(grayJpeg(8, 8, _))
+    val good = mjpegAvi(jpegs, fps = 2, w = 8, h = 8)
+    // header corruption: not an AVI / no vids stream
+    assert(!Avi.isMjpegAvi(null))
+    assert(!Avi.isMjpegAvi(Array.empty[Byte]))
+    assert(!Avi.isMjpegAvi("RIFF1234WAVE".getBytes("US-ASCII")))
+    assert(!Avi.isMjpegAvi(good.take(12))) // magic only, no hdrl
+    // a frame chunk that lies about its size (runs past the payload):
+    // the walk stops there — frames before it survive, nothing after
+    val lying = {
+      val b = good.clone()
+      // find the SECOND '00dc' and blow up its size field
+      def find(from: Int): Int = {
+        var i = from
+        while (i < b.length - 4 && !(b(i) == '0' && b(i + 1) == '0' &&
+          b(i + 2) == 'd' && b(i + 3) == 'c')) i += 1
+        i
+      }
+      val second = find(find(0) + 4)
+      assert(second < b.length - 8)
+      b(second + 4) = 0xff.toByte; b(second + 5) = 0xff.toByte
+      b(second + 6) = 0xff.toByte; b(second + 7) = 0x0f.toByte
+      b
+    }
+    val gotLying = Avi.sample(7L, lying, strideSec = 0.0).toSeq
+    assert(gotLying.map(_.frame_idx) == Seq(0))
+    assert(gotLying.head.mean_luma.contains(expectedLuma(jpegs.head)))
+    // an undecodable frame payload (garbage, not JPEG): row kept, luma
+    // NULL — container timing is real, measurement needs the codec
+    val junkFrame = mjpegAvi(Seq(Array.fill[Byte](64)(3), jpegs(1)),
+      fps = 2, w = 8, h = 8)
+    val gotJunk = Avi.sample(8L, junkFrame, strideSec = 0.0).toSeq
+    assert(gotJunk.map(f => (f.frame_idx, f.mean_luma.isDefined)) ==
+      Seq((0, false), (1, true)))
+  }
+
   test("video frames: this container has no codec — the capability probe " +
       "is empty and the FAKE offsets path runs; a registered decoder " +
       "flips to the real path with no code change") {
