@@ -88,6 +88,30 @@ raw_docs += [(500000 + j,
 raw_docs += [(70, "rep " * 50, "en"), (71, "rep " * 50, "es"),
              (72, "the of " * 25, "en"), (73, "the of " * 25, "und")]
 
+# r10 — DSIR degenerate-target structures (q136, is_tgt = lang='en'):
+# bigrams living ONLY in target docs (per-bucket all-target:
+# t_cnt == r_cnt, log-ratio driven purely by the smoothing totals),
+# bigrams with ZERO target presence, an identical-text en/fr pair (same
+# buckets, is_tgt split — quantized weights must agree on both copies),
+# and a dense single-bigram repeat (one bucket referenced 799x by one
+# doc — stresses the BIGINT micro-sum against any per-element rounding)
+raw_docs += [(80, "tgtonly alpha tgtonly beta tgtonly gamma " * 10, "en"),
+             (81, "rawonly uno rawonly dos rawonly tres " * 10, "fr"),
+             (82, "mirror pair text shared across languages exactly", "en"),
+             (83, "mirror pair text shared across languages exactly", "fr"),
+             (84, "dense " * 800, "en")]
+
+# r10 — budgetCut all-one-score group at CORPUS scale (q137): 300 docs
+# in one lang, every doc the same 0.25 score and 100 tokens, budget
+# 20000 -> the cut lands at doc 200 INSIDE the one degenerate band, so
+# the whole group takes the boundary-band in-band window (the documented
+# worst-case collapse) over 300 rows. Per-doc-unique filler keeps the
+# near-dup/fuzzy families from pair blowup.
+raw_docs += [(600000 + j,
+              " ".join(f"the v{j}m{m}a v{j}m{m}b v{j}m{m}c"
+                       for m in range(25)),
+              "bw") for j in range(1, 301)]
+
 docs = [(i, t, lang, "edge", len(t) if t is not None else None)
         for (i, t, lang) in raw_docs]
 assert len({d[0] for d in docs}) == len(docs), "duplicate edge doc_id"
