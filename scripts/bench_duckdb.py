@@ -5,8 +5,12 @@ baseline is DuckDB executing the semantically-identical oracle SQL on the
 same parquet files, sequential single pass, warm page cache).
 
 Usage: python3 scripts/bench_duckdb.py <sf_dir> <oracle_sql.json> [out.json]
+       [timeout_sec] [--no-warm]
 (oracle_sql.json comes from any graft.Verify run — the SQL is data-
-independent.)
+independent. --no-warm runs a single measured pass — for long censored
+scale probes where the OS page cache is already hot from a preceding
+run over the same parquet files and re-paying every 600 s DNF twice
+would double the wall for no information.)
 """
 import json
 import sys
@@ -15,10 +19,12 @@ import time
 
 import duckdb
 
-sf_dir = sys.argv[1]
-oracle_json = sys.argv[2]
-out_path = sys.argv[3] if len(sys.argv) > 3 else None
-TIMEOUT = float(sys.argv[4]) if len(sys.argv) > 4 else 600.0
+args = [a for a in sys.argv[1:] if a != "--no-warm"]
+NO_WARM = "--no-warm" in sys.argv
+sf_dir = args[0]
+oracle_json = args[1]
+out_path = args[2] if len(args) > 2 else None
+TIMEOUT = float(args[3]) if len(args) > 3 else 600.0
 
 with open(oracle_json) as f:
     oracles = json.load(f)
@@ -53,10 +59,11 @@ def run_one(name, sql):
 times = {}
 failed = []
 warm_timeout = set()
-for name in sorted(oracles):
-    dt, ok = run_one(name, oracles[name])
-    if not ok and dt >= TIMEOUT:
-        warm_timeout.add(name)
+if not NO_WARM:
+    for name in sorted(oracles):
+        dt, ok = run_one(name, oracles[name])
+        if not ok and dt >= TIMEOUT:
+            warm_timeout.add(name)
 
 t_all0 = time.time()
 for name in sorted(oracles):
@@ -73,6 +80,8 @@ wall = round(time.time() - t_all0, 3)
 result = {"metric": "duckdb_oracle_total", "value": wall, "unit": "sec",
           "queries": times, "sum": round(sum(times.values()), 3),
           "par": 1, "passes": 1, "failed": failed, "sf": sf_dir}
+if NO_WARM:
+    result["warm"] = False  # single measured pass, pre-warmed page cache
 line = json.dumps(result)
 if out_path:
     with open(out_path, "w") as f:
