@@ -93,8 +93,23 @@ object Bench {
     // Per-query hard deadline: a single hung query (a non-converging
     // iterative plan, a wedged shuffle) must fail THAT query, not block
     // the whole bench with no output at all.
-    val perQueryTimeoutSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "600").toLong
+    val perQueryTimeoutSec = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "600")
+      val n = scala.util.Try(raw.trim.toLong).getOrElse(sys.error(
+        s"SPARK_GRAFT_BENCH_TIMEOUT must be an integer (seconds), got '$raw'"))
+      require(n >= 1, s"SPARK_GRAFT_BENCH_TIMEOUT must be >= 1, got $n")
+      n
+    }
+    // validated HERE, before the warm pass burns minutes: a malformed or
+    // non-positive value must fail fast, not throw from minBy after the
+    // passes already ran
+    val measuredPasses = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3")
+      val n = scala.util.Try(raw.trim.toInt).getOrElse(sys.error(
+        s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$raw'"))
+      require(n >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $n")
+      n
+    }
     def pass(label: String, order: Seq[String], width: Int = par): Pass = {
       val byName = queries.toMap
       val pool = Executors.newFixedThreadPool(width)
@@ -178,8 +193,6 @@ object Bench {
     // pass is the steady-state number the engine actually delivers.
     // Fewest failures wins before wall time — a crashing pass must never
     // outscore a working one.
-    val measuredPasses =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val best = (1 to measuredPasses).map(i => pass(s"measured-$i", lptOrder))
       .minBy(p => (p.failed.length, p.wall))
     // one uncontended pass for per-query LATENCY (see scaladoc): each

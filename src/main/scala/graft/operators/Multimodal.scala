@@ -119,6 +119,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** Raster cap for any ImageIO decode in this module: 64 MP ≈ 256 MB of
+    * INT_RGB raster — far above any legitimate corpus thumbnail, far below
+    * executor heap. Without it a hostile header declaring 65500x65500
+    * (JPEG's max) makes ImageIO allocate a multi-GB raster and die with
+    * OutOfMemoryError, which no `catch Exception` recovers — against the
+    * hostile-bytes never-crash contract.
+    */
+  private[operators] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** ImageIO.read with the declared-dimension pre-check: the header's
+    * width/height are read BEFORE the raster is allocated (the Y4m parser's
+    * dimension sanity check, applied to the SPI codec path). Returns null
+    * for no-codec / undecodable / over-cap payloads — callers already
+    * treat null as decode failure.
+    */
+  private[operators] def safeRead(
+      in: java.io.InputStream): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(in)
+      if (iis == null) return null
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) null
+          else reader.read(0)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => null }
+
   /** One asset through ImageIO: dimensions, channel count, mean luma
     * (0-255 integer BT.601 over the 8x8 thumb), and the 8x8 grayscale
     * thumbnail in row-major order (box-averaged — decoder-stable, no
@@ -129,10 +163,7 @@ object Multimodal {
       bytes: Array[Byte]): ImageFeatures = {
     val img =
       if (bytes == null || bytes.isEmpty) null
-      else
-        try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+      else safeRead(new java.io.ByteArrayInputStream(bytes))
     if (img == null) ImageFeatures(id, decode_ok = false,
       None, None, None, None, None)
     else {
@@ -185,10 +216,7 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         val img =
           if (bytes == null || bytes.isEmpty) null
-          else
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          else safeRead(new java.io.ByteArrayInputStream(bytes))
         if (img == null) ResizedImage(id, width, height, None)
         else {
           val out = new java.awt.image.BufferedImage(width, height,
@@ -699,6 +727,24 @@ private[graft] object Avi {
           }
         }
         walk(12, end)
+        // OpenDML (AVI 2.0): files >1 GB continue as appended
+        // `RIFF <size> AVIX` segments, each holding its own movi list.
+        // Walking them keeps the frame count/timeline capability-honest —
+        // the first-RIFF-only walk silently reported a truncated file as
+        // complete. A malformed extension header stops the walk at the
+        // last whole segment (the Y4m truncation convention).
+        var seg = end
+        var more = true
+        while (more && seg + 12 <= bytes.length) {
+          if (cc(bytes, seg) == "RIFF" && cc(bytes, seg + 8) == "AVIX") {
+            val segSz = u32(bytes, seg + 4)
+            val segEnd =
+              math.min(bytes.length.toLong, seg + 8L + segSz).toInt
+            walk(seg + 12, segEnd)
+            val next = (seg + 8L + segSz + (segSz & 1)).toInt
+            if (next <= seg) more = false else seg = next
+          } else more = false
+        }
         frames.iterator.zipWithIndex.collect {
           case ((off, len), idx) if idx % step == 0 =>
             VideoFrameFeatures(assetId, idx, idx / fps,
@@ -713,10 +759,8 @@ private[graft] object Avi {
   private def jpegMeanLuma(bytes: Array[Byte], off: Int,
       len: Int): Option[Double] = {
     if (len <= 0) return None
-    val img =
-      try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes, off, len))
-      catch { case _: Exception => null }
+    val img = Multimodal.safeRead(
+      new java.io.ByteArrayInputStream(bytes, off, len))
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
       val w = img.getWidth

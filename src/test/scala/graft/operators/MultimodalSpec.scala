@@ -507,6 +507,76 @@ class MultimodalSpec extends SparkSpec {
       Seq((0, false), (1, true)))
   }
 
+  test("AVI OpenDML: frames in appended RIFF-AVIX extension segments are " +
+      "walked (full timeline, not first-RIFF-truncated); a corrupt " +
+      "extension stops at the last whole segment") {
+    val jpegs = Seq(40, 80, 120, 160, 200).map(grayJpeg(8, 8, _))
+    // first RIFF holds 3 frames, but the header declares all 5 (OpenDML
+    // files declare the legacy segment's count in avih; the real total
+    // comes from walking the segments — our sampler indexes what it finds)
+    val first = mjpegAvi(jpegs.take(3), fps = 2, w = 8, h = 8)
+    def avix(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = riffList("movi", frames.map(f => riffChunk("00dc", f)): _*)
+      val payload = "AVIX".getBytes("US-ASCII") ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(movi.length + 4L) ++ payload
+    }
+    val openDml = first ++ avix(jpegs.slice(3, 5))
+    assert(Avi.isMjpegAvi(openDml))
+    val got = Avi.sample(9L, openDml, strideSec = 0.0).toSeq
+    assert(got.map(_.frame_idx) == (0 until 5), s"frames: $got")
+    got.zip(jpegs).foreach { case (f, j) =>
+      assert(f.mean_luma.contains(expectedLuma(j)))
+    }
+    // two chained AVIX segments both contribute
+    val twoSeg = first ++ avix(jpegs.slice(3, 4)) ++ avix(jpegs.slice(4, 5))
+    assert(Avi.sample(10L, twoSeg, strideSec = 0.0).size == 5)
+    // a truncated extension segment: frames before the cut survive, the
+    // walk never runs past the payload
+    val cut = openDml.dropRight(10)
+    val gotCut = Avi.sample(11L, cut, strideSec = 0.0).toSeq
+    assert(gotCut.map(_.frame_idx) == (0 until 4), s"cut: $gotCut")
+    // garbage after the first RIFF is not an AVIX segment: ignored
+    val junkTail = first ++ Array.fill[Byte](64)(7)
+    assert(Avi.sample(12L, junkTail, strideSec = 0.0).size == 3)
+  }
+
+  test("hostile image header declaring multi-gigapixel dimensions is " +
+      "rejected BEFORE raster allocation (never-crash contract: no OOM " +
+      "escapes the decode)") {
+    // a structurally valid PNG signature+IHDR declaring 60000x60000
+    // (3.6 GP -> would be a ~14 GB INT_RGB raster)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def hugePng(w: Long, h: Long): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      val ihdrData = be32(w) ++ be32(h) ++
+        Array[Byte](8, 2, 0, 0, 0) // 8-bit RGB, default methods
+      val body = "IHDR".getBytes("US-ASCII") ++ ihdrData
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      sig ++ be32(13) ++ body ++ be32(crc.getValue)
+    }
+    val hostile = hugePng(60000, 60000)
+    assert(Multimodal.safeRead(
+      new java.io.ByteArrayInputStream(hostile)) == null)
+    // decode path: row survives, marked undecodable
+    val feat = Multimodal.decodeOne(5L, hostile)
+    assert(!feat.decode_ok && feat.width.isEmpty)
+    // resize path: null png, row survives
+    val resized = Multimodal.resizeImages(
+      Seq((5L, hostile)).toDF("asset_id", "payload"), 8, 8)
+    assert(resized.filter(col("png").isNull).count() == 1)
+    // a small real PNG still decodes through the capped reader
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val okFeat = Multimodal.decodeOne(6L, buf.toByteArray)
+    assert(okFeat.decode_ok && okFeat.width.contains(4))
+  }
+
   test("video frames: this container has no codec — the capability probe " +
       "is empty and the FAKE offsets path runs; a registered decoder " +
       "flips to the real path with no code change") {
