@@ -7,7 +7,7 @@ package graft.queries
 object Manifest {
   val all: Seq[(String, Q)] =
     Relational.all ++ Advanced.all ++ TextOps.all ++ VectorOps.all ++
-      Extended.all
+      Extended.all ++ Transforms.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =
