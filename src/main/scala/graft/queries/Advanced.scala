@@ -293,6 +293,16 @@ object Advanced {
   //     engine-specific HLL variant, exercised in specs)
   private val q49_distinct_agg = Q(
     run = (s, d) =>
+      // Expand-x3 plan KEPT after an r11 A/B at sf10 (60M rows, same host
+      // window): Expand 9.9 s, two-pass per-key pre-aggregates 14.7 s
+      // (the second parquet scan costs more than the Expand saves — the
+      // gid=0 count replica is near-free hash probes), eager-checkpoint
+      // shared scan OOMs the 8g pool (and a full fact materialization is
+      // the wrong shape at 100 TB regardless). The residual vs DuckDB
+      // (~0.8 s) is that engine's vectorized grouped-distinct constant
+      // factor on the 4-key partial hash, not a plan-shape gap: growth is
+      // linear (sf1 1.3 s -> sf10 9.9 s) with map-side partial dedup, so
+      // it parallelizes cleanly across executors at scale.
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),

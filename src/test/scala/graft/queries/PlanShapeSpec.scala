@@ -54,6 +54,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q70_sketch: dedup-first HLL — the approx aggregate never runs " +
+      "keyed on the pair (the mixed-distinct rewrite that drags 52 HLL " +
+      "register columns through the fact-table exchange), and no join") {
+    val p = plan("q70_sketch")
+    // the register-dragging symptom: a HashAggregate computing the HLL
+    // while still keyed on (grp, l_orderkey) — every register column
+    // then rides the dedup shuffle per pair row (sf10: 21.8 s vs 9.8 s)
+    assert(!p.linesIterator.exists { l =>
+      l.contains("approx_count_distinct") && {
+        val i = l.indexOf("keys=[")
+        i >= 0 && l.substring(i + 6, l.indexOf("]", i)).contains("l_orderkey")
+      }
+    }, s"HLL must aggregate the deduped pairs, not key on them:\n$p")
+    assert(!p.contains("Join"), s"no grp join (NULL group survives):\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 2,
+      s"expected dedup + final exchanges only ($nonBroadcast):\n$p")
+  }
+
   test("q17_topk: sort+limit fuses to TakeOrderedAndProject " +
       "(no global sort)") {
     val p = plan("q17_topk")
