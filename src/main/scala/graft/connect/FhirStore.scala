@@ -99,8 +99,9 @@ case class InMemoryStoreRef(name: String) extends StoreRef {
   * executor-JVM-wide pooled client for `baseUrl`.
   */
 case class HttpStoreRef(baseUrl: String, retries: Int = 3,
-    retryDelayMs: Long = 0) extends StoreRef {
-  def store: FhirStore = new HttpFhirStore(baseUrl, retries, retryDelayMs)
+    retryDelayMs: Long = 0, requestTimeoutSec: Long = 30) extends StoreRef {
+  def store: FhirStore =
+    new HttpFhirStore(baseUrl, retries, retryDelayMs, requestTimeoutSec)
 }
 
 object FhirSources {

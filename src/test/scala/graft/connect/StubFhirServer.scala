@@ -40,6 +40,14 @@ class StubFhirServer {
     failCode = code; skipBeforeFail.set(k - 1); failures.set(1)
   }
   private val skipBeforeFail = new AtomicInteger(0)
+  /** Delay the next n responses by ms (after logging the request) — the
+    * X9 request-TIMEOUT probe: a response slower than the client's
+    * requestTimeoutSec surfaces as HttpTimeoutException (an IOException),
+    * which the bounded retry must recover from.
+    */
+  def delayNextMs(n: Int, ms: Long): Unit = { delayMs = ms; delays.set(n) }
+  private val delays = new AtomicInteger(0)
+  @volatile private var delayMs = 0L
   def log: Seq[Req] = requests.asScala.toSeq
   def clearLog(): Unit = requests.clear()
   def contents: Map[String, String] = data.asScala.toMap
@@ -72,6 +80,8 @@ class StubFhirServer {
     val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
     requests.add(Req(method,
       path + query.map("?" + _).getOrElse(""), body))
+    if (delays.getAndUpdate(n => math.max(n - 1, 0)) > 0)
+      Thread.sleep(delayMs)
     if (skipBeforeFail.getAndUpdate(n => math.max(n - 1, 0)) > 0) {
       // armed via failNth but the target request hasn't arrived yet
     } else if (failures.getAndUpdate(n => math.max(n - 1, 0)) > 0) {

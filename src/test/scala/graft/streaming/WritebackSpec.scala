@@ -147,6 +147,69 @@ class WritebackSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("X1-X12 closed loop over HTTP: each trigger re-polls the store, " +
+      "the writeback transitions land over the wire, the next poll sees " +
+      "them and the queue drains to steady state; a search response " +
+      "slower than the request timeout is retried (X9) transparently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.connect.{FhirSinks, HttpStoreRef, StubFhirServer}
+    implicit val sqlCtx = spark.sqlContext
+    val srv = new StubFhirServer
+    try {
+      def task(id: String, status: String, authored: String,
+          version: String, enc: String): String =
+        s"""{"resourceType":"Task","id":"$id","status":"$status",""" +
+          s""""authoredOn":"$authored","meta":{"versionId":"$version"},""" +
+          s""""focus":{"identifier":{"system":"sys","value":"$enc"}}}"""
+      srv.put("Task/t1",
+        task("t1", "accepted", "2025-07-10T10:00:00", "3", "enc1"))
+      srv.put("Task/t2", // runaway guard: polled out, never touched
+        task("t2", "accepted", "2025-07-10T11:00:00", "250", "enc2"))
+      srv.put("Task/t4", // no consultation -> cancelled
+        task("t4", "accepted", "2025-07-10T13:00:00", "1", "enc-missing"))
+      srv.put("Task/t5", // EMIS duplicate -> completed, Diagnostics output
+        task("t5", "accepted", "2025-07-10T14:00:00", "2", "enc5"))
+      val ref = HttpStoreRef(srv.baseUrl, retries = 2, retryDelayMs = 1,
+        requestTimeoutSec = 1)
+      // the FIRST poll's search response hangs past the 1 s request
+      // timeout: HttpTimeoutException is an IOException, so the bounded
+      // retry re-issues the search and the loop proceeds undisturbed
+      srv.delayNextMs(1, 1500)
+      val ticks = MemoryStream[Int]
+      var batches = Vector.empty[Long]
+      val q = TaskPoller.start(spark, ref, cutoff = "2025-07-01", count = 5,
+        sink = polled => batches :+= FhirSinks.writebackTasks(
+          Writeback.taskWriteback(
+            Writeback.classify(polled, consultations, compositions),
+            utcNow = lit("2025-07-10T15:00:00+00:00"))
+            .repartition(1).sortWithinPartitions("id"),
+          ref),
+        checkpoint = java.nio.file.Files
+          .createTempDirectory("wb-loop-ckpt").toString,
+        interval = "1 seconds", ticks = Some(ticks.toDF()))
+      try {
+        ticks.addData(1); q.processAllAvailable()
+        ticks.addData(2); q.processAllAvailable()
+      } finally q.stop()
+      // tick 1 transitions t1/t4/t5; tick 2 re-polls, finds no accepted
+      // tasks under the guard, and writes NOTHING — the store's own state
+      // is the queue (X12), so the drained loop is idempotent
+      assert(batches == Vector(3L, 0L), s"writebacks per tick: $batches")
+      // the timed-out search really was retried: the first two wire
+      // requests are both the tick-1 search
+      assert(srv.log.take(2).map(r => (r.method, r.path)) ==
+        Seq(("GET", "Task"), ("GET", "Task")),
+        s"wire head was ${srv.log.take(3)}")
+      // wire truth of each branch's transition
+      assert(srv.contents("Task/t1").contains("\"completed\"") &&
+        srv.contents("Task/t1").contains("EMISOpen"))
+      assert(srv.contents("Task/t4").contains("\"cancelled\"") &&
+        srv.contents("Task/t4").contains("Workflow cancelled"))
+      assert(srv.contents("Task/t5").contains("duplicate consultation"))
+      assert(srv.contents("Task/t2").contains("\"accepted\"")) // untouched
+    } finally srv.stop()
+  }
+
   test("streaming: 1-minute-poll pipeline via foreachBatch memory run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
