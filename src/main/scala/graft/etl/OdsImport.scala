@@ -40,7 +40,10 @@ object OdsImport {
     */
   def readOdsCsv(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "false").csv(path)
+    // escape='"': RFC4180 doubled-quote escaping — pandas read_csv's
+    // default, i.e. the reference's parse (see ZipCsv.read's note)
+    spark.read.schema(schema).option("header", "false")
+      .option("escape", "\"").csv(path)
 
   /** P8: pull the code out of a comma-joined "system|value" identifier
     * list for the given system-regex (dags/ODSImport.py:129-135) — the

@@ -46,7 +46,14 @@ object ZipCsv {
         out.iterator
     }
     implicit val enc: Encoder[String] = Encoders.STRING
+    // escape='"' = RFC4180 doubled-quote escaping, pandas read_csv's
+    // default (doublequote=True) and therefore the reference's semantics
+    // (dags/ODSImport.py:100). Spark's own default escape is backslash,
+    // under which `""` inside a quoted field falls to univocity's
+    // STOP_AT_DELIMITER raw-field fallback — a silent divergence from
+    // the reference caught by the r11 DSv2 parity spec.
     spark.read.schema(schema).option("header", "false")
+      .option("escape", "\"")
       .csv(spark.createDataset(lines))
   }
 }

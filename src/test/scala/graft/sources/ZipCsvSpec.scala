@@ -43,4 +43,101 @@ class ZipCsvSpec extends SparkSpec {
     val df = ZipCsv.read(spark, path, OdsImport.epraccurSchema)
     assert(df.count() == 0)
   }
+
+  // ---- the DSv2 connector (spark.read.format("zipcsv")) ----
+
+  /** A directory of two archives with quoted/escaped/empty fields and a
+    * skipped non-csv member — the DSv2 rows must match [[ZipCsv.read]]'s
+    * (Spark CSV reader) on the same bytes, field for field.
+    */
+  private def makeZipDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("zipcsv-v2").toFile
+    def zip(name: String, entries: (String, String)*): Unit = {
+      val zos = new ZipOutputStream(
+        new FileOutputStream(new java.io.File(dir, name)))
+      entries.foreach { case (member, content) =>
+        zos.putNextEntry(new ZipEntry(member))
+        zos.write(content.getBytes("UTF-8"))
+      }
+      zos.close()
+    }
+    zip("a.zip",
+      "skip.bin" -> "not,csv",
+      "a.csv" -> Seq(
+        "A1,\"Name, with comma\",x",
+        "A2,\"He said \"\"hi\"\"\",", // escaped quotes + trailing empty
+        "A3,,plain").mkString("\n"))
+    zip("b.zip", "b.csv" -> "B1,second archive,y")
+    dir.getAbsolutePath
+  }
+
+  private val v2Schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("name",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.StringType)))
+
+  test("DSv2 zipcsv: short-name registration, one partition per archive, " +
+      "rows byte-identical to the binaryFiles path on quoted/escaped/" +
+      "empty fields") {
+    val dir = makeZipDir()
+    val v2 = spark.read.format("zipcsv").schema(v2Schema).load(dir)
+    val v1 = ZipCsv.read(spark, dir + "/*", v2Schema)
+    assert(v2.rdd.getNumPartitions == 2) // one task per archive
+    val a = v2.as[(Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1)
+    val b = v1.as[(Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, s"v2 ${a.toSeq} vs v1 ${b.toSeq}")
+    assert(a.map(_._1.get).toSeq == Seq("A1", "A2", "A3", "B1"))
+    assert(a(0)._2.contains("Name, with comma"))
+    assert(a(1)._2.contains("He said \"hi\""))
+    assert(a(2)._2.isEmpty) // unquoted empty -> NULL, both paths
+  }
+
+  test("DSv2 zipcsv: column pruning reaches the reader (pruned read " +
+      "schema) and a limit pushes into the scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = makeZipDir()
+    val df = spark.read.format("zipcsv").schema(v2Schema).load(dir)
+      .select("v").limit(2)
+    val scan = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head
+      .scan.asInstanceOf[ZipCsvScan]
+    assert(scan.readSchema().fieldNames.toSeq == Seq("v"),
+      s"expected pruned read schema, got ${scan.readSchema()}")
+    assert(scan.pushedLimit == 2, s"limit not pushed: ${scan.description()}")
+    assert(df.as[String].collect().length == 2)
+    // pruning is positional: reading only column k (position 0) must
+    // never touch the malformed tail of a line — split stops at field 1
+    val kOnly = spark.read.format("zipcsv").schema(v2Schema).load(dir)
+      .select("k")
+    assert(kOnly.as[String].collect().sorted.toSeq ==
+      Seq("A1", "A2", "A3", "B1"))
+  }
+
+  test("DSv2 zipcsv: schema inference sniffs the first member line " +
+      "(all-string positional c1..cN)") {
+    val dir = makeZipDir()
+    val inferred = spark.read.format("zipcsv").load(dir)
+    assert(inferred.schema.fieldNames.toSeq == Seq("c1", "c2", "c3"))
+    assert(inferred.count() == 4)
+  }
+
+  test("DSv2 zipcsv: ODS epraccur end to end through the positional " +
+      "schema, same result as the v1 source") {
+    val pad = Seq.fill(24)("")
+    val csv = Seq(
+      ("B86030" +: "THE SURGERY" +: "Y56" +: pad).take(26).mkString(","),
+      ("C55555" +: "OTHER" +: "" +: pad).take(26).mkString(",")).mkString("\n")
+    val path = makeZip("epraccur.csv", csv)
+    val df = spark.read.format("zipcsv")
+      .schema(OdsImport.epraccurSchema).load(path)
+    val got = df.select("ODS", "Organisation_Name", "NationalGrouping")
+      .as[(String, String, Option[String])].collect().sortBy(_._1)
+    assert(got(0) == (("B86030", "THE SURGERY", Some("Y56"))))
+    assert(got(1) == (("C55555", "OTHER", None)))
+  }
 }
