@@ -90,6 +90,56 @@ object TextAnalysis {
           lit(chunkSize)), " ").as("chunk_text"))
   }
 
+  /** EXACT n-gram benchmark decontamination — the published train/test
+    * overlap standard (GPT-3 App. C / PaLM style: a training document is
+    * contaminated when it shares any word n-gram with an eval benchmark;
+    * the complement of q117's embedding-cosine SEMANTIC variant).
+    *
+    * 100 TB shape: the benchmark n-gram universe is eval-suite-sized, so
+    * it collects (bounded by `inSetLimit`, checked loudly — never a
+    * silent truncation) into one codegen'd count-in-set probe and the
+    * corpus side is a pure PROJECTION: zero exchanges, no explode, the
+    * whole scan streams through whole-stage codegen. Over the limit, the
+    * honest fallback explodes corpus grams into a broadcast semi-join
+    * (the benchmark side still never shuffles the corpus).
+    *
+    * Contract (pinned, both paths + oracle): `n_contaminated` counts
+    * gram INSTANCES (positions), NULL text -> 0 (a null document cannot
+    * be contaminated), <n-token documents -> 0.
+    */
+  def exactDecontamination(corpus: DataFrame, docId: Column, text: Column,
+      benchmark: DataFrame, benchText: Column, n: Int = 8,
+      inSetLimit: Int = 2000000): DataFrame = {
+    val benchGrams = benchmark
+      .select(tokens(benchText).as("btk"))
+      .select(explode(ngrams(col("btk"), n)).as("gram"))
+      .distinct()
+    val collected = benchGrams.limit(inSetLimit + 1)
+      .collect().map(_.getString(0))
+    // tk staged (referenced >1x inside ngrams -> survives CollapseProject);
+    // grams consumed ONCE by a codegen'd expression, so inlining is safe
+    val staged = corpus.select(docId.as("doc_id"), tokens(text).as("tk"))
+      .select(col("doc_id"), ngrams(col("tk"), n).as("grams"))
+    val counted =
+      if (collected.isEmpty)
+        staged.select(col("doc_id"), lit(0L).as("n_contaminated"))
+      else if (collected.length <= inSetLimit)
+        staged.select(col("doc_id"),
+          coalesce(stopwordHits(col("grams"), collected.toSeq), lit(0L))
+            .as("n_contaminated"))
+      else {
+        val hits = staged
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+          .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        staged.select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_contaminated"))
+      }
+    counted.withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
   /** Space-joined word n-grams over a token array. Guards the <n-token
     * case: `sequence(0, size - n)` DESCENDS when size < n (yielding null
     * entries) instead of being empty — the bug class q81's oracle

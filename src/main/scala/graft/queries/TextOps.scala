@@ -1864,6 +1864,48 @@ object TextOps {
     doc = "composite rule-based quality filter: projection-only booleans" +
       " + conjunction pass flag")
 
+  // --- EXACT word-n-gram decontamination (GPT-3 App. C / PaLM standard;
+  //     q83 is the char-shingle probe, q117 the embedding-cosine semantic
+  //     variant). The benchmark gram universe collects into ONE codegen'd
+  //     count-in-set probe, so the corpus side is a pure projection —
+  //     zero exchanges, no explode (PlanShapeSpec-gated). Every doc gets
+  //     a row: instance count + flag; NULL text counts 0 by contract.
+  private val q143_exact_decontam = Q(
+    run = (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.exactDecontamination(
+        docs, col("doc_id"), col("text"),
+        benchmark = docs.filter(col("doc_id") % 101 === 0),
+        benchText = col("text"), n = 8)
+    },
+    oracle = Some("""
+      WITH btoks AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents WHERE doc_id % 101 = 0),
+      bgrams AS (
+        SELECT DISTINCT gram FROM (
+          SELECT unnest(list_transform(generate_series(1, len(tk) - 7),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+                 tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7])) AS gram
+          FROM btoks)),
+      dtoks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents),
+      dgrams AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(tk) - 7),
+            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+                 tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7])) AS gram
+        FROM dtoks),
+      hits AS (
+        SELECT doc_id, count(*) AS n
+        FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(h.n, 0) AS n_contaminated,
+             coalesce(h.n, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)"""),
+    doc = "exact 8-gram benchmark decontamination: instance counts via " +
+      "the zero-exchange in-set projection")
+
   val all: Seq[(String, Q)] = Seq(
     "q31_text_stats" -> q31_text_stats,
     "q32_langid" -> q32_langid,
@@ -1906,5 +1948,6 @@ object TextOps {
     "q135_seq_packing" -> q135_seq_packing,
     "q136_dsir_select" -> q136_dsir_select,
     "q137_token_budget" -> q137_token_budget,
-    "q138_quality_rules" -> q138_quality_rules)
+    "q138_quality_rules" -> q138_quality_rules,
+    "q143_exact_decontam" -> q143_exact_decontam)
 }

@@ -7,6 +7,41 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("exactDecontamination: in-set projection and broadcast-join " +
+      "fallback agree row-for-row; gram INSTANCES are counted; NULL text " +
+      "and <n-token docs read clean; empty benchmark reads all-clean") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // same text as the benchmark doc
+      (2L, "totally different words that never overlap anything at all x"),
+      (3L, "a b c d e f g h i j"), // the benchmark member itself
+      (4L, null.asInstanceOf[String]),
+      (5L, "a b c d e f g"),       // 7 tokens < n=8
+      (6L, "z a b c d e f g h i j a b c d e f g h i j")) // grams repeat
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 3L)
+    def run(limit: Int) = TextAnalysis.exactDecontamination(
+        docs, col("doc_id"), col("text"), bench, col("text"),
+        n = 8, inSetLimit = limit)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val inSet = run(2000000)
+    val joined = run(0) // forces the explode + broadcast-semi-join path
+    assert(inSet == joined, s"paths diverge: $inSet vs $joined")
+    // doc 1/3: 10 tokens -> 3 gram instances, all shared with the
+    // benchmark; doc 6 embeds the benchmark text twice -> 6 matching
+    // windows (instances, not distinct grams)
+    assert(inSet == Seq(
+      (1L, 3L, true), (2L, 0L, false), (3L, 3L, true),
+      (4L, 0L, false), (5L, 0L, false), (6L, 6L, true)))
+    // an n-gram-free benchmark (all docs under n tokens): everything clean
+    val shortBench = Seq((9L, "too short")).toDF("doc_id", "text")
+    val clean = TextAnalysis.exactDecontamination(
+        docs, col("doc_id"), col("text"), shortBench, col("text"), n = 8)
+      .as[(Long, Long, Boolean)].collect()
+    assert(clean.forall(r => r._2 == 0L && !r._3))
+  }
+
   test("vocabCoverage: deterministic order, exact counts, cumulative " +
       "share reaches the top-v prefix mass") {
     val docs = Seq(

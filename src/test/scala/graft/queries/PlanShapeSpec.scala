@@ -74,6 +74,15 @@ class PlanShapeSpec extends SparkSpec {
       s"expected dedup + final exchanges only ($nonBroadcast):\n$p")
   }
 
+  test("q143_exact_decontam: the corpus side is a pure projection — the " +
+      "benchmark gram set probes via the codegen'd in-set expression, " +
+      "never an explode or a shuffle") {
+    val p = plan("q143_exact_decontam")
+    assert(!p.contains("Exchange"), s"corpus side must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"corpus side must not explode:\n$p")
+    assert(p.contains("count_in_set"), s"expected the in-set probe:\n$p")
+  }
+
   test("q17_topk: sort+limit fuses to TakeOrderedAndProject " +
       "(no global sort)") {
     val p = plan("q17_topk")
