@@ -20,6 +20,49 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** A5 — exact per-group kernel density on a fixed evaluation grid
+    * (the reference's per-group KDE/distribution plots, re-expressed as
+    * the data job that feeds them).
+    *
+    * Kernel choice is the cross-engine-exactness move: EPANECHNIKOV
+    * (0.75·(1−u²) for |u|<1) is a POLYNOMIAL, so each row's kernel value
+    * is bit-identical on any IEEE engine — unlike a Gaussian, whose
+    * exp() differs in the last ulp across engines. The remaining hazard
+    * is double-SUM order (addition is not associative across partition
+    * layouts), so per-row kernel values are quantized to integer micros
+    * (`floor(k·1e6 + 0.5)` — the q90 rule) and summed as BIGINT: the
+    * aggregate is exact, partitioning-independent, and oracle-replayable
+    * with no final round.
+    *
+    * Plan shape: one projection (grid explode, ×points) into ONE
+    * map-side-combined aggregation keyed (group, x0) — every row
+    * contributes to every grid point, so `count(*)` per cell IS the
+    * group size and the density normalizer needs no second pass. NULL
+    * values are excluded (the KDE contract); a NULL group key survives
+    * as its own group. Grid/bandwidth should be binary-exact literals
+    * (integral or k/2^m) so u is identical cross-engine.
+    */
+  def groupedKde(df: DataFrame, key: Column, v: Column, gridMin: Double,
+      step: Double, points: Int, bandwidth: Double): DataFrame = {
+    require(points >= 1 && step > 0 && bandwidth > 0,
+      s"groupedKde: bad grid ($points points, step $step, h $bandwidth)")
+    val u = (col("x0") - col("x")) / lit(bandwidth)
+    df.filter(v.isNotNull)
+      .select(key.as("grp"), v.as("x"))
+      .select(col("grp"), col("x"),
+        explode(sequence(lit(0), lit(points - 1))).as("gi"))
+      .select(col("grp"), col("x"),
+        (lit(gridMin) + col("gi").cast("double") * lit(step)).as("x0"))
+      .select(col("grp"), col("x0"),
+        floor(lit(0.75) * greatest(lit(0.0), lit(1.0) - u * u) *
+          lit(1e6) + lit(0.5)).cast("long").as("kq"))
+      .groupBy(col("grp"), col("x0"))
+      .agg(
+        (sum(col("kq")).cast("double") / lit(1e6) /
+          (count(lit(1)).cast("double") * lit(bandwidth))).as("density"),
+        count(lit(1)).as("n"))
+  }
+
   /** Exact percentiles of `v` per `key` via the value-grid histogram.
     * `ps` = (output column name, fraction). NULL values are excluded (the
     * `percentile`-aggregate contract); a key whose `v` is entirely NULL is

@@ -656,7 +656,42 @@ object Extended {
       GROUP BY l_returnflag"""),
     doc = "bloom-prefiltered exact semi-join (result invariant under bloom)")
 
+  // --- A5 exact per-group KDE (the reference's distribution plots as a
+  //     data job; closes the last SURVEY soft gap). Epanechnikov kernel =
+  //     polynomial = bit-identical per row on any IEEE engine; per-row
+  //     kernel values quantize to integer micros before the BIGINT sum so
+  //     the aggregate is partition-order-independent and the oracle
+  //     replays it with NO final round. Grid/bandwidth literals are
+  //     binary-exact. One exchange: the (grp, x0) aggregation.
+  private val q144_grouped_kde = Q(
+    run = (s, d) =>
+      graft.operators.Stats.groupedKde(
+        Tables.customer(s, d), col("c_mktsegment"),
+        dec(col("c_acctbal")).cast("double"),
+        gridMin = -1000.0, step = 1000.0, points = 12, bandwidth = 500.0),
+    oracle = Some("""
+      WITH pts AS (
+        SELECT -1000.0 + CAST(gi AS DOUBLE) * 1000.0 AS x0
+        FROM (SELECT unnest(generate_series(0, 11)) AS gi)),
+      k AS (
+        SELECT c_mktsegment AS grp, x0,
+          CAST(floor(0.75 * greatest(0.0,
+            1.0 - ((x0 - v) / 500.0) * ((x0 - v) / 500.0)) * 1e6 + 0.5)
+            AS BIGINT) AS kq
+        FROM (SELECT c_mktsegment,
+                CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
+              FROM customer WHERE c_acctbal IS NOT NULL)
+        CROSS JOIN pts)
+      SELECT grp, x0,
+             CAST(sum(kq) AS DOUBLE) / 1e6 /
+               (CAST(count(*) AS DOUBLE) * 500.0) AS density,
+             count(*) AS n
+      FROM k GROUP BY grp, x0"""),
+    doc = "A5 exact per-group Epanechnikov KDE on a fixed grid " +
+      "(quantized kernel sums, partition-order independent)")
+
   val all: Seq[(String, Q)] = Seq(
+    "q144_grouped_kde" -> q144_grouped_kde,
     "q54_sample_hash" -> q54_sample_hash,
     "q55_window_rank" -> q55_window_rank,
     "q56_pivot" -> q56_pivot,

@@ -7,6 +7,50 @@ import graft.SparkSpec
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("groupedKde: matches the brute-force per-group Epanechnikov sum, " +
+      "is partitioning-independent (quantized BIGINT sums), excludes " +
+      "NULL values, keeps a NULL group, and integrates to ~1 on a " +
+      "covering grid") {
+    import org.apache.spark.sql.functions.col
+    val data = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.5)), ("a", Some(7.0)),
+      ("b", Some(4.0)), ("b", Some(4.0)), ("b", None),
+      (null.asInstanceOf[String], Some(3.0)))
+    val df = data.toDF("k", "v")
+    val (gridMin, step, points, h) = (-4.0, 0.5, 37, 1.5) // covers [-4, 14]
+    def kde(d: org.apache.spark.sql.DataFrame) =
+      Stats.groupedKde(d, col("k"), col("v"), gridMin, step, points, h)
+        .collect()
+        .map(r => ((Option(r.get(0)).map(_.toString), r.getDouble(1)),
+          (r.getDouble(2), r.getLong(3)))).toMap
+    val got = kde(df)
+    // brute force, replaying the quantization exactly
+    val vals = data.collect { case (k, Some(x)) => (Option(k), x) }
+    for (((k, x0), (density, n)) <- got) {
+      val xs = vals.filter(_._1 == k).map(_._2)
+      assert(n == xs.length, s"group size for ($k, $x0)")
+      val sumQ = xs.map { x =>
+        val u = (x0 - x) / h
+        math.floor(0.75 * math.max(0.0, 1.0 - u * u) * 1e6 + 0.5).toLong
+      }.sum
+      assert(density == sumQ.toDouble / 1e6 / (n * h),
+        s"density for ($k, $x0)")
+    }
+    // every group on every grid point, NULL value dropped, NULL group kept
+    assert(got.size == 3 * points)
+    assert(got.keys.exists(_._1.isEmpty))
+    assert(got((Some("b"), 4.0))._2 == 2L) // the None value is excluded
+    // a covering grid integrates to ~1 per group (Riemann sum, step=0.5)
+    for (g <- Seq(Some("a"), Some("b"))) {
+      val mass = got.collect { case ((k, _), (d, _)) if k == g => d }
+        .sum * step
+      assert(math.abs(mass - 1.0) < 0.05, s"mass($g) = $mass")
+    }
+    // partitioning independence: the quantized sum can't drift with layout
+    assert(kde(df.repartition(7)) == got)
+    assert(kde(df.coalesce(1)) == got)
+  }
+
   test("grid percentiles: interpolation, duplicates, nulls, single value") {
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
       ("a", Some(4.0)),
