@@ -47,7 +47,11 @@ object Stats {
     require(points >= 1 && step > 0 && bandwidth > 0,
       s"groupedKde: bad grid ($points points, step $step, h $bandwidth)")
     val u = (col("x0") - col("x")) / lit(bandwidth)
-    df.filter(v.isNotNull)
+    // NaN excluded with NULLs: greatest(0, 1-u*u) is NaN for NaN input
+    // (Spark orders NaN above all doubles) and the ANSI long cast of
+    // floor(NaN) throws — one NaN row would kill the query otherwise.
+    // Any oracle over non-clean data must pin the same exclusion.
+    df.filter(v.isNotNull && !isnan(v))
       .select(key.as("grp"), v.as("x"))
       .select(col("grp"), col("x"),
         explode(sequence(lit(0), lit(points - 1))).as("gi"))

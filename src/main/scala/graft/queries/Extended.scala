@@ -409,8 +409,10 @@ object Extended {
       val pairs = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"), col("l_orderkey"))
         .distinct()
+      // count(col), not count(*): a NULL orderkey must not count as a
+      // distinct value (count(DISTINCT x) excludes NULLs, as does HLL)
       pairs.groupBy(col("grp"))
-        .agg(count(lit(1)).as("exact_nd"),
+        .agg(count(col("l_orderkey")).as("exact_nd"),
           approx_count_distinct(col("l_orderkey"), 0.05).as("approx_nd"))
         .select(col("grp"), col("exact_nd"),
           (abs(col("approx_nd") - col("exact_nd")) <=

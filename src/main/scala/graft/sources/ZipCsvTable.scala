@@ -12,8 +12,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, IsNotNull, IsNull, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,13 +32,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - LIMIT pushdown stops each partition's read after `limit` rows
   *    (partial push — Spark applies the global limit on top), so
   *    `df.limit(5)` on a terabyte of archives opens each zip but decodes
-  *    only 5 rows per archive rather than scanning them out.
+  *    only 5 rows per archive rather than scanning them out;
+  *  - FILTER pushdown (string columns: =, <=>, IN, IS [NOT] NULL,
+  *    startswith/endswith/contains, AND/OR/NOT thereof) evaluates on the
+  *    raw split fields — a row failing a pushed predicate never builds an
+  *    InternalRow. Pushed filters stay residual in the plan, so the push
+  *    is pure early pruning (the reference's predicate-at-source shape,
+  *    dags/ODSImport.py:122,359).
   *
   * Schema: caller-supplied (`.schema(...)`, the headerless positional
   * contract), or inferred as all-string c1..cN by sniffing the first
-  * matching member's first line. Empty unquoted fields read as NULL,
-  * quoted empty as "" (Spark CSV's defaults, spec-pinned against
-  * [[ZipCsv.read]]).
+  * matching member's first line. Empty fields — quoted or not — read as
+  * NULL and blank lines are skipped (Spark CSV's defaults: nullValue=""
+  * applies after unquoting; both spec-pinned against [[ZipCsv.read]]).
   */
 class ZipCsvTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zipcsv"
@@ -72,14 +78,19 @@ object ZipCsvTable {
   private[sources] def suffixOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("memberSuffix")).getOrElse(".csv")
 
-  /** Planning-time listing: directory, glob, or a single file. */
+  /** Planning-time listing: directory, glob, or a single file.
+    * `globStatus` first — it resolves literal paths AND patterns (a
+    * `getFileStatus` probe would throw FileNotFoundException on a glob
+    * like `dir/&#42;.zip` before any pattern branch ran) — then any matched
+    * directory expands one level, mirroring `binaryFiles(dir)`.
+    */
   private[sources] def listZips(path: String): Seq[String] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val statuses =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val statuses = matched.flatMap(st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
     statuses.filter(_.isFile).map(_.getPath.toString).sorted
   }
 
@@ -93,7 +104,8 @@ object ZipCsvTable {
         if (!entry.isDirectory && entry.getName.endsWith(suffix)) {
           val r = new java.io.BufferedReader(
             new java.io.InputStreamReader(zis, "UTF-8"))
-          val line = r.readLine()
+          var line = r.readLine()
+          while (line != null && line.isEmpty) line = r.readLine()
           if (line != null) return Some(line)
         }
         entry = zis.getNextEntry
@@ -102,11 +114,65 @@ object ZipCsvTable {
     } finally zis.close()
   }
 
+  /** Can `f` be evaluated on the raw split fields? Only STRING columns
+    * qualify (the raw field IS the value — no cast divergence to risk);
+    * composites recurse. Pushed filters stay residual in the plan
+    * (Spark's own FileScan convention), so pushdown only prunes rows
+    * early — it can never change results.
+    */
+  private[sources] def supportedFilter(f: Filter, full: StructType): Boolean = {
+    def isStr(attr: String): Boolean =
+      full.fields.exists(fd => fd.name == attr && fd.dataType == StringType)
+    f match {
+      case EqualTo(a, _: String) => isStr(a)
+      case EqualNullSafe(a, v) => isStr(a) && (v == null || v.isInstanceOf[String])
+      case In(a, vs) =>
+        isStr(a) && vs.forall(v => v == null || v.isInstanceOf[String])
+      case IsNull(a) => full.fieldNames.contains(a)
+      case IsNotNull(a) => full.fieldNames.contains(a)
+      case StringStartsWith(a, _) => isStr(a)
+      case StringEndsWith(a, _) => isStr(a)
+      case StringContains(a, _) => isStr(a)
+      case And(l, r) => supportedFilter(l, full) && supportedFilter(r, full)
+      case Or(l, r) => supportedFilter(l, full) && supportedFilter(r, full)
+      case Not(c) => supportedFilter(c, full)
+      case _ => false
+    }
+  }
+
+  /** Two-valued evaluation of a pushed filter over the raw fields (NULL
+    * field ⇒ predicate false, like SQL's null⇒filtered). Under `Not` this
+    * can only KEEP rows SQL would drop — never the reverse — and the
+    * residual Filter node re-evaluates exactly, so over-keeping is safe.
+    */
+  private[sources] def evalFilter(f: Filter, pos: Map[String, Int],
+      fields: Array[String]): Boolean = {
+    def v(attr: String): String = {
+      val p = pos(attr)
+      if (p < fields.length) fields(p) else null
+    }
+    f match {
+      case EqualTo(a, x) => val s = v(a); s != null && s == x
+      case EqualNullSafe(a, x) =>
+        val s = v(a); if (x == null) s == null else s == x
+      case In(a, xs) => val s = v(a); s != null && xs.contains(s)
+      case IsNull(a) => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case StringStartsWith(a, p) => val s = v(a); s != null && s.startsWith(p)
+      case StringEndsWith(a, p) => val s = v(a); s != null && s.endsWith(p)
+      case StringContains(a, p) => val s = v(a); s != null && s.contains(p)
+      case And(l, r) => evalFilter(l, pos, fields) && evalFilter(r, pos, fields)
+      case Or(l, r) => evalFilter(l, pos, fields) || evalFilter(r, pos, fields)
+      case Not(c) => !evalFilter(c, pos, fields)
+      case _ => true
+    }
+  }
+
   /** RFC4180 positional split, stopping after `maxFields` fields — the
     * column-pruning fast path: unread trailing positions are never
-    * materialized. Unquoted empty -> null, quoted -> verbatim (escaped
-    * "" inside quotes). Matches Spark's CSV defaults on these inputs
-    * (spec-pinned).
+    * materialized. Empty -> null whether quoted or not (Spark applies
+    * nullValue="" after unquoting); escaped "" inside non-empty quotes.
+    * Matches Spark's CSV defaults on these inputs (spec-pinned).
     */
   private[sources] def splitCsv(line: String,
       maxFields: Int): Array[String] = {
@@ -128,7 +194,10 @@ object ZipCsvTable {
             else { closed = true; i += 1 }
           } else { sb.append(c); i += 1 }
         }
-        out += sb.toString
+        // Spark CSV applies nullValue="" AFTER unquoting, so a quoted
+        // empty field reads as NULL exactly like an unquoted one
+        // (spec-pinned v1 parity)
+        out += (if (sb.length == 0) null else sb.toString)
         // skip to the delimiter (tolerate junk after the close quote)
         while (i < n && line.charAt(i) != ',') i += 1
         if (i < n) i += 1 // consume the comma
@@ -158,14 +227,27 @@ class ZipCsvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
 class ZipCsvScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var limit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true // per-partition limit
+
+  /** Push string-column predicates to the line parser (evaluated on the
+    * raw split fields — rows failing them never build an InternalRow).
+    * ALL filters are returned as residual: Spark keeps the exact Filter
+    * node on top, so the push is pure early pruning (the same contract
+    * Spark's own FileScanBuilder uses).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => ZipCsvTable.supportedFilter(f, full))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
     // ship only the fs-relevant conf as a plain map (public-API-safe
@@ -173,18 +255,20 @@ class ZipCsvScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val confMap = conf.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
-    ZipCsvScan(full, required, limit,
+    ZipCsvScan(full, required, pushed, limit,
       ZipCsvTable.pathOf(options), ZipCsvTable.suffixOf(options), confMap)
   }
 }
 
 case class ZipCsvScan(full: StructType, required: StructType,
-    pushedLimit: Int, path: String, suffix: String,
+    filters: Array[Filter], pushedLimit: Int, path: String, suffix: String,
     confMap: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"zipcsv $path, ReadSchema: ${required.simpleString}" +
+      (if (filters.nonEmpty)
+        s", PushedFilters: [${filters.mkString(", ")}]" else "") +
       (if (pushedLimit >= 0) s", PushedLimit: $pushedLimit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -192,19 +276,19 @@ case class ZipCsvScan(full: StructType, required: StructType,
       ZipCsvInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ZipCsvReaderFactory(full, required, pushedLimit, suffix, confMap)
+    ZipCsvReaderFactory(full, required, filters, pushedLimit, suffix, confMap)
 }
 
 case class ZipCsvInputPartition(file: String) extends InputPartition
 
 case class ZipCsvReaderFactory(full: StructType, required: StructType,
-    pushedLimit: Int, suffix: String, confMap: Map[String, String])
-    extends PartitionReaderFactory {
+    filters: Array[Filter], pushedLimit: Int, suffix: String,
+    confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new ZipCsvPartitionReader(
       partition.asInstanceOf[ZipCsvInputPartition].file,
-      full, required, pushedLimit, suffix, confMap)
+      full, required, filters, pushedLimit, suffix, confMap)
 }
 
 /** One archive's reader: walks matching members, splits each line only up
@@ -212,14 +296,23 @@ case class ZipCsvReaderFactory(full: StructType, required: StructType,
   * pushed limit.
   */
 class ZipCsvPartitionReader(file: String, full: StructType,
-    required: StructType, pushedLimit: Int, suffix: String,
-    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
+    required: StructType, filters: Array[Filter], pushedLimit: Int,
+    suffix: String, confMap: Map[String, String])
+    extends PartitionReader[InternalRow] {
 
   // required field -> its position in the full positional schema
   private val positions: Array[Int] =
     required.fields.map(f => full.fieldIndex(f.name))
+  // filter-referenced fields may sit beyond the projection: the split
+  // must reach them too
+  private val filterPos: Map[String, Int] =
+    filters.flatMap(_.references).distinct
+      .map(a => a -> full.fieldIndex(a)).toMap
   private val maxFields: Int =
-    if (positions.isEmpty) 0 else positions.max + 1
+    ((positions.toSeq ++ filterPos.values) match {
+      case s if s.isEmpty => Seq(0)
+      case s => s.map(_ + 1)
+    }).max
 
   private var zis: ZipInputStream = _
   private var reader: java.io.BufferedReader = _
@@ -235,14 +328,21 @@ class ZipCsvPartitionReader(file: String, full: StructType,
       zis = new ZipInputStream(p.getFileSystem(conf).open(p))
     }
 
-  /** Advance to the next line across matching members. */
+  /** Advance to the next non-blank line across matching members (blank
+    * lines are skipped, matching the v1 Spark-CSV path's univocity
+    * skipEmptyLines default — spec-pinned parity).
+    */
   private def nextLine(): String = {
     ensureOpen()
     while (true) {
       if (inMember) {
         val line = reader.readLine()
-        if (line != null) return line
-        inMember = false // member exhausted: do NOT close (zip stream)
+        if (line != null) {
+          if (line.nonEmpty) return line
+          // blank: skip
+        } else {
+          inMember = false // member exhausted: do NOT close (zip stream)
+        }
       } else {
         val entry = zis.getNextEntry
         if (entry == null) return null
@@ -258,9 +358,15 @@ class ZipCsvPartitionReader(file: String, full: StructType,
 
   override def next(): Boolean = {
     if (pushedLimit >= 0 && emitted >= pushedLimit) return false
-    val line = nextLine()
-    if (line == null) return false
-    val fields = ZipCsvTable.splitCsv(line, maxFields)
+    var fields: Array[String] = null
+    var accepted = false
+    while (!accepted) {
+      val line = nextLine()
+      if (line == null) return false
+      fields = ZipCsvTable.splitCsv(line, maxFields)
+      accepted = filters.forall(f =>
+        ZipCsvTable.evalFilter(f, filterPos, fields))
+    }
     val values = new Array[Any](positions.length)
     var i = 0
     while (i < positions.length) {

@@ -51,6 +51,14 @@ class StatsSpec extends SparkSpec {
     assert(kde(df.coalesce(1)) == got)
   }
 
+  test("groupedKde: NaN values are excluded like NULLs (an unfiltered " +
+      "NaN would throw on the ANSI long cast of floor(NaN))") {
+    val df = Seq(("a", 1.0), ("a", Double.NaN), ("a", 2.0)).toDF("k", "v")
+    val got = Stats.groupedKde(df, col("k"), col("v"), 0.0, 1.0, 3, 1.5)
+      .collect().map(r => r.getDouble(1) -> r.getLong(3)).toMap
+    assert(got.values.forall(_ == 2L)) // NaN row dropped, no exception
+  }
+
   test("grid percentiles: interpolation, duplicates, nulls, single value") {
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
       ("a", Some(4.0)),

@@ -118,6 +118,72 @@ class ZipCsvSpec extends SparkSpec {
       Seq("A1", "A2", "A3", "B1"))
   }
 
+  test("DSv2 zipcsv: glob path (dir/*.zip) resolves at planning time, " +
+      "same rows as the v1 glob read") {
+    val dir = makeZipDir()
+    val v2 = spark.read.format("zipcsv").schema(v2Schema)
+      .load(dir + "/*.zip")
+    val v1 = ZipCsv.read(spark, dir + "/*.zip", v2Schema)
+    assert(v2.select("k").as[String].collect().sorted.toSeq ==
+      v1.select("k").as[String].collect().sorted.toSeq)
+    assert(v2.count() == 4)
+  }
+
+  test("DSv2 zipcsv: blank interior lines and quoted-empty fields match " +
+      "the v1 path (blank skipped, quoted-empty null like unquoted)") {
+    val dir = java.nio.file.Files.createTempDirectory("zipcsv-blank").toFile
+    val zos = new ZipOutputStream(
+      new FileOutputStream(new java.io.File(dir, "x.zip")))
+    zos.putNextEntry(new ZipEntry("x.csv"))
+    zos.write(Seq(
+      "A1,\"\",x", // quoted empty -> NULL (nullValue="" post-unquote)
+      "",          // blank line -> skipped entirely, not an all-null row
+      "A2,b,y").mkString("\n").getBytes("UTF-8"))
+    zos.close()
+    val p = dir.getAbsolutePath
+    val v2 = spark.read.format("zipcsv").schema(v2Schema).load(p)
+    val v1 = ZipCsv.read(spark, p + "/*", v2Schema)
+    val a = v2.as[(Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    val b = v1.as[(Option[String], Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b, s"v2 $a vs v1 $b")
+    assert(a.size == 2) // the blank line yields NO row on either path
+    assert(a(0)._2.isEmpty) // quoted empty -> NULL, both paths
+  }
+
+  test("DSv2 zipcsv: filter pushdown prunes rows at the parser, stays " +
+      "residual, and matches the unpushed result (v1 == v2 == pushed-v2)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = makeZipDir()
+    def scanOf(df: org.apache.spark.sql.DataFrame): ZipCsvScan =
+      df.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head
+        .scan.asInstanceOf[ZipCsvScan]
+    // filter column (v) NOT in the projection: split must still reach it
+    val pushed = spark.read.format("zipcsv").schema(v2Schema).load(dir)
+      .filter(col("v") === "x" || col("v").isNull).select("k")
+    val sc = scanOf(pushed)
+    assert(sc.filters.nonEmpty,
+      s"no filters pushed: ${sc.description()}")
+    assert(sc.description().contains("PushedFilters"))
+    val got = pushed.as[String].collect().sorted.toSeq
+    val v1 = ZipCsv.read(spark, dir + "/*", v2Schema)
+      .filter(col("v") === "x" || col("v").isNull)
+      .select("k").as[String].collect().sorted.toSeq
+    assert(got == v1 && got == Seq("A1", "A2"), s"pushed $got vs v1 $v1")
+    // equality + IN + startswith compose; null-field rows never match =
+    val f2 = spark.read.format("zipcsv").schema(v2Schema).load(dir)
+      .filter(col("k").isin("A1", "B1") && col("name").startsWith("N"))
+    assert(scanOf(f2).filters.length == 3) // isnotnull(name) + in + sw
+    assert(f2.select("k").as[String].collect().toSeq == Seq("A1"))
+    // unsupported (non-string typed compare) filters simply don't push
+    val f3 = spark.read.format("zipcsv").schema(v2Schema).load(dir)
+      .filter(length(col("k")) === 2)
+    assert(scanOf(f3).filters.forall(_.references.sameElements(Array("k"))))
+    assert(f3.count() == 4)
+  }
+
   test("DSv2 zipcsv: schema inference sniffs the first member line " +
       "(all-string positional c1..cN)") {
     val dir = makeZipDir()
