@@ -27,8 +27,7 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.compat.registerAll(spark)
-    spark
+    init(spark)
   }
 
   /** Apply engine settings + function registry to an externally-built session
@@ -38,6 +37,15 @@ object Graft {
     // events.ts may be parquet TIMESTAMP(NANOS) depending on harness
     // generation; harmless no-op for MICROS data. See Tables.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ObjectHashAggregate (bitmap aggs, typed aggregates like QuantMeanAgg)
+    // silently switches to SORT-BASED aggregation once its hash map passes
+    // this many groups — the default 128 is below the real grouping
+    // cardinality of the bitmap-distinct level-1 (~10^3 buckets) and the
+    // per-label centroid aggregates (640 labels), which would sort the
+    // whole fact input per partition. 4096 keeps those in the hash path;
+    // buffers at that size are a few MB per task.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     graft.functions.compat.registerAll(spark)
     spark
   }

@@ -293,20 +293,19 @@ object Advanced {
   //     engine-specific HLL variant, exercised in specs)
   private val q49_distinct_agg = Q(
     run = (s, d) =>
-      // Expand-x3 plan KEPT after an r11 A/B at sf10 (60M rows, same host
-      // window): Expand 9.9 s, two-pass per-key pre-aggregates 14.7 s
-      // (the second parquet scan costs more than the Expand saves — the
-      // gid=0 count replica is near-free hash probes), eager-checkpoint
-      // shared scan OOMs the 8g pool (and a full fact materialization is
-      // the wrong shape at 100 TB regardless). The residual vs DuckDB
-      // (~0.8 s) is that engine's vectorized grouped-distinct constant
-      // factor on the 4-key partial hash, not a plan-shape gap: growth is
-      // linear (sf1 1.3 s -> sf10 9.9 s) with map-side partial dedup, so
-      // it parallelizes cleanly across executors at scale.
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          count(lit(1)).as("n_rows")),
+      // Bucketed-bitmap plan (r12): the r11 A/B had eliminated two-pass
+      // pre-aggregates (14.7 s — second scan) and eager checkpoint (OOM)
+      // in favor of the Expand-x3 at 9.9 s sf10; this replaces the Expand
+      // entirely — ONE scan aggregating on (grp, bucket(partkey),
+      // bucket(suppkey)) with 4KB bitmap buffers (~10^2-10^3 groups, not
+      // the Expand's 6M-entry (grp,gid,key) maps over 180M replicas),
+      // then bitmap-sized OR/popcount stages. Exact by bijection; dense
+      // TPC-H ids are the documented sweet spot (DistinctCounts scaladoc;
+      // scattered hash domains would fall back to expandDistinct).
+      graft.operators.DistinctCounts.bitmapDistinct(
+        Tables.lineitem(s, d), col("l_returnflag"), "l_returnflag",
+        Seq("n_parts" -> col("l_partkey"), "n_supps" -> col("l_suppkey")),
+        rowCount = Some("n_rows")),
     oracle = Some("""
       SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
              count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows

@@ -74,6 +74,22 @@ class PlanShapeSpec extends SparkSpec {
       s"expected dedup + final exchanges only ($nonBroadcast):\n$p")
   }
 
+  test("q49_distinct_agg: bucketed-bitmap plan — NO Expand of the fact " +
+      "table (the ×3 replica rewrite), the scan feeds a bitmap aggregate, " +
+      "and everything after the first exchange is bitmap-sized") {
+    val p = plan("q49_distinct_agg")
+    assert(!p.contains("Expand"),
+      s"fact-table Expand reintroduced (the 180M-replica plan):\n$p")
+    assert(p.contains("bitmap_construct_agg"),
+      s"expected the bucketed-bitmap aggregate:\n$p")
+    // count_distinct in the plan would mean the rewrite fell back
+    assert(!p.contains("distinct "), s"planner fell back to distinct:\n$p")
+    val nonBroadcast = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
+    assert(nonBroadcast <= 3,
+      s"expected lvl1 + or-merge + final exchanges only ($nonBroadcast):\n$p")
+  }
+
   test("q143_exact_decontam: the corpus side is a pure projection — the " +
       "benchmark gram set probes via the codegen'd in-set expression, " +
       "never an explode or a shuffle") {
