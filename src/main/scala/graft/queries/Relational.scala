@@ -398,6 +398,21 @@ object Relational {
   // price 2dp money, so the grid saturates at the value range and the
   // per-group window stays a bounded fixed cost at any corpus size (the
   // two-pass selection variant remains in Stats for unbounded grids).
+  //
+  // r12 sf10 floor postmortem (solo, same host window; kept plan 6.4 s):
+  // the cost is the grid aggregate itself — (flag, price) hash-agg alone
+  // is 4.7 s of the 6.4 (bare 3-col scan 0.29 s) because the price grid
+  // is ~594k entries (~row count at sf0.1; 100× duplication at sf10).
+  // Measured alternatives, all worse or marginal: two-pass selection
+  // 12.0 s (the second scan + candidate stages dominate), joint
+  // (flag,qty,price) pre-group before the explode 6.7 s (the explode was
+  // never the cost), built-in exact `percentile` OOMs the 8g heap
+  // (per-group value maps × 32 tasks), single-long packed key
+  // (cents*4+flagid) runs the isolated agg at 2.5 s but needs a
+  // dictionary join whose per-row probe over 60M rows plus build/unpack
+  // stages eats the ~2 s back at every lower SF. The residual vs DuckDB
+  // is its vectorized multi-column hash-agg constant on a ~600k-entry
+  // grid — a per-probe constant, not a plan-shape or scale defect.
   private val q20_median = Q(
     run = (s, d) =>
       Stats.gridPercentilesMulti(Tables.lineitem(s, d), "l_returnflag", Seq(
