@@ -96,41 +96,54 @@ object TextAnalysis {
     * the complement of q117's embedding-cosine SEMANTIC variant).
     *
     * 100 TB shape: the benchmark n-gram universe is eval-suite-sized, so
-    * it collects (bounded by `inSetLimit`, checked loudly — never a
-    * silent truncation) into one codegen'd count-in-set probe and the
-    * corpus side is a pure PROJECTION: zero exchanges, no explode, the
-    * whole scan streams through whole-stage codegen. Over the limit, the
-    * honest fallback explodes corpus grams into a broadcast semi-join
-    * (the benchmark side still never shuffles the corpus).
+    * it collects into one codegen'd count-in-set probe and the corpus
+    * side is a pure PROJECTION: zero exchanges, no explode, the whole
+    * scan streams through whole-stage codegen. The tier decision rides
+    * ONE tiny sizing aggregate (gram count + byte mass) over the
+    * benchmark side BEFORE anything materializes on the driver — the
+    * in-set tier is only taken when the whole universe provably fits
+    * both `inSetLimit` (count) and `inSetBytes` (mass), so there is NO
+    * driver ceiling at any benchmark size. Over either budget, the
+    * scale tier explodes corpus grams through a bloom prefilter built
+    * by `BloomFilterAggregate` in a scalar subquery on the probe filter
+    * ([[Bloom.semiJoinInline]]) and verifies survivors with the exact
+    * semi-join — the sketch is the only benchmark-sized thing in the
+    * plan, and the corpus side still never shuffles before the
+    * prefilter kills its non-matching grams.
     *
-    * Contract (pinned, both paths + oracle): `n_contaminated` counts
+    * Contract (pinned, all tiers + oracle): `n_contaminated` counts
     * gram INSTANCES (positions), NULL text -> 0 (a null document cannot
     * be contaminated), <n-token documents -> 0.
     */
   def exactDecontamination(corpus: DataFrame, docId: Column, text: Column,
       benchmark: DataFrame, benchText: Column, n: Int = 8,
-      inSetLimit: Int = 2000000): DataFrame = {
+      inSetLimit: Int = 2000000, inSetBytes: Long = 128L << 20): DataFrame = {
     val benchGrams = benchmark
       .select(tokens(benchText).as("btk"))
       .select(explode(ngrams(col("btk"), n)).as("gram"))
       .distinct()
-    val collected = benchGrams.limit(inSetLimit + 1)
-      .collect().map(_.getString(0))
+    val sz = benchGrams.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(octet_length(col("gram"))), lit(0L)).as("bytes")).head()
+    val gramCount = sz.getLong(0)
+    val gramBytes = sz.getLong(1)
     // tk staged (referenced >1x inside ngrams -> survives CollapseProject);
     // grams consumed ONCE by a codegen'd expression, so inlining is safe
     val staged = corpus.select(docId.as("doc_id"), tokens(text).as("tk"))
       .select(col("doc_id"), ngrams(col("tk"), n).as("grams"))
     val counted =
-      if (collected.isEmpty)
+      if (gramCount == 0L)
         staged.select(col("doc_id"), lit(0L).as("n_contaminated"))
-      else if (collected.length <= inSetLimit)
+      else if (gramCount <= inSetLimit && gramBytes <= inSetBytes) {
+        val collected = benchGrams.collect().map(_.getString(0))
         staged.select(col("doc_id"),
           coalesce(stopwordHits(col("grams"), collected.toSeq), lit(0L))
             .as("n_contaminated"))
-      else {
-        val hits = staged
-          .select(col("doc_id"), explode(col("grams")).as("gram"))
-          .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      } else {
+        val hits = Bloom.semiJoinInline(
+            staged.select(col("doc_id"), explode(col("grams")).as("gram")),
+            benchGrams.withColumnRenamed("gram", "bgram"),
+            "gram", "bgram", estKeys = gramCount)
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
         staged.select(col("doc_id"))
           .join(hits, Seq("doc_id"), "left")

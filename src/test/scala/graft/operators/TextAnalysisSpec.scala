@@ -7,8 +7,9 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
-  test("exactDecontamination: in-set projection and broadcast-join " +
-      "fallback agree row-for-row; gram INSTANCES are counted; NULL text " +
+  test("exactDecontamination: in-set projection and bloom-prefilter " +
+      "scale tier agree row-for-row (forced via the count limit AND via " +
+      "the byte budget); gram INSTANCES are counted; NULL text " +
       "and <n-token docs read clean; empty benchmark reads all-clean") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
@@ -20,14 +21,18 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, "z a b c d e f g h i j a b c d e f g h i j")) // grams repeat
       .toDF("doc_id", "text")
     val bench = docs.filter(col("doc_id") === 3L)
-    def run(limit: Int) = TextAnalysis.exactDecontamination(
+    def run(limit: Int, bytes: Long = 128L << 20) =
+      TextAnalysis.exactDecontamination(
         docs, col("doc_id"), col("text"), bench, col("text"),
-        n = 8, inSetLimit = limit)
+        n = 8, inSetLimit = limit, inSetBytes = bytes)
       .orderBy("doc_id")
       .as[(Long, Long, Boolean)].collect().toSeq
     val inSet = run(2000000)
-    val joined = run(0) // forces the explode + broadcast-semi-join path
-    assert(inSet == joined, s"paths diverge: $inSet vs $joined")
+    val bloomByCount = run(0) // over the count limit -> bloom+semi tier
+    val bloomByBytes = run(2000000, bytes = 1L) // over the byte budget
+    assert(inSet == bloomByCount, s"tiers diverge: $inSet vs $bloomByCount")
+    assert(inSet == bloomByBytes,
+      s"byte-budget tier diverges: $inSet vs $bloomByBytes")
     // doc 1/3: 10 tokens -> 3 gram instances, all shared with the
     // benchmark; doc 6 embeds the benchmark text twice -> 6 matching
     // windows (instances, not distinct grams)
