@@ -208,6 +208,22 @@ con.execute("""INSERT INTO cust VALUES
     (900002, '', 1, -999.99, 'MACHINERY'),
     (900003, 'Customer#900003', 2, NULL, 'machinery'),
     (900004, NULL, 3, 1.0, 'HOUSEHOLD')""")
+# r12 — hostile JSON-special names (VERDICT r11 #4): quotes, backslashes,
+# real tab/newline control chars, unicode incl. astral plane, apostrophes —
+# these flow into q142's PractitionerRole display fields, where BOTH
+# engines must serialize them through to_json identically (the escape
+# contract: \" \\ \t \n as two-char escapes, non-ASCII raw UTF-8).
+# Keys chosen to spread across q142's mod arms (%4 started, %5 ended,
+# %7 insert, %11 active, %13 period-end).
+hostile_names = [
+    (900005, 'Dr "Air" Quotes', 4, 10.0, 'SEG"QUOTE'),
+    (900006, 'Back\\slash\\\\double', 5, 11.0, 'TAB\tSEG'),
+    (900007, 'New\nline and\ttab', 6, 12.0, 'UNI中文🎉'),
+    (900008, "O'Brien-D'Arcy", 7, 13.0, "APOS'SEG"),
+    (900011, '中文 naïve 🎉 straße', 8, 14.0, 'MIX"\\\n中'),
+    (900013, '{"fake":"json"}', 9, 15.0, '[not,json]'),
+]
+con.executemany("INSERT INTO cust VALUES (?,?,?,?,?)", hostile_names)
 con.execute(f"COPY cust TO '{out / 'customer.parquet'}' (FORMAT PARQUET)")
 
 con.execute(f"""CREATE TABLE ords AS

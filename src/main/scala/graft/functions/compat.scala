@@ -95,6 +95,31 @@ object compat {
   def indicator(c: Column, v: String): Column =
     when(c === lit(v), lit(1)).otherwise(lit(0)).cast("int")
 
+  /** Minimal JSON string-body escape for splicing a raw column into a
+    * hand-assembled JSON document (q47's synthetic Patient): backslash
+    * FIRST, then quote, then the \n \t \r control escapes — the exact
+    * subset both Jackson and DuckDB's to_json emit as two-char escapes.
+    * Other C0 controls (u0000-u001f) are NOT handled (the engines'
+    * \uXXXX forms differ in case conventions) — don't ship them; real
+    * pipelines build documents via to_json(struct(...)) which owns the
+    * full contract. The DuckDB replay is [[jsonEscapeSql]].
+    */
+  def jsonEscape(c: Column): Column = {
+    val esc = regexp_replace(
+      regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    translateCtl(esc)
+  }
+  private def translateCtl(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "\n", "\\\\n"), "\t", "\\\\t"), "\r", "\\\\r")
+
+  /** DuckDB spelling of [[jsonEscape]] over a column expression string. */
+  def jsonEscapeSql(expr: String): String =
+    s"replace(replace(replace(replace(replace($expr," +
+      """ '\', '\\'), '"', '\"'), chr(10), '\n'), chr(9), '\t'),""" +
+      """ chr(13), '\r')"""
+
   // -------------------------------------------------------------------------
   // SQL-name registration: makes reference queries portable verbatim through
   // spark.sql(...). The builders construct the same built-in expression trees

@@ -226,7 +226,10 @@ object Advanced {
         col("c_custkey"),
         lit(""""}],"extension":[{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race","extension":[{"url":"ombCategory","valueCoding":{"code":"R"""),
         col("c_nationkey"),
-        lit("""","display":"race-"""), col("c_mktsegment"),
+        // hostile segments (quotes/backslashes/tabs in the edge corpus)
+        // must not break the synthetic doc: JSON-escape the splice with
+        // the pinned two-char-escape contract on BOTH sides.
+        lit("""","display":"race-"""), compat.jsonEscape(col("c_mktsegment")),
         lit(""""}}]},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity","extension":[{"url":"ombCategory","valueCoding":{"code":"E"""),
         col("c_nationkey"),
         lit(""""}}]},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex","valueCode":""""),
@@ -252,7 +255,8 @@ object Advanced {
           '{"resourceType":"Patient","id":"' || c_custkey ||
           '","identifier":[{"system":"https://nhs.uk/Id/nhs-number","value":"N' || c_custkey ||
           '"}],"extension":[{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race","extension":[{"url":"ombCategory","valueCoding":{"code":"R' || c_nationkey ||
-          '","display":"race-' || c_mktsegment ||
+          '","display":"race-' || """ +
+      compat.jsonEscapeSql("c_mktsegment") + """ ||
           '"}}]},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity","extension":[{"url":"ombCategory","valueCoding":{"code":"E' || c_nationkey ||
           '"}}]},{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex","valueCode":"' ||
           CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END || '"}]}' AS doc

@@ -53,6 +53,8 @@ object Transforms {
     Frag(col("n_nationkey").cast("string"), "CAST(n_nationkey AS VARCHAR)")
   private def mod(m: Int, r: Int): (Column, String) =
     (col("n_nationkey") % m === r, s"n_nationkey % $m = $r")
+  private def eqk(v: Int): (Column, String) =
+    (col("n_nationkey") === v, s"n_nationkey = $v")
 
   /** The synthetic legacy QR input: four item shapes cycling on the key —
     * flat Q/A (two answers), problem-group (anonymous problemCode sub +
@@ -75,8 +77,22 @@ object Transforms {
       k, lf(""""}]}]}]}"""))
     val item3 = lf(
       """{"linkId":"noq","item":[{"linkId":"sub","item":[{"linkId":"unrelated","answer":[{"valueString":"x"}]}]}]},{"linkId":"empty"}""")
+    // r12 hostile shapes (VERDICT r11 #4). Key 23: JSON-special characters
+    // in text/answers — canonical escapes (\" \\ \n \t) must survive the
+    // Jackson parse->serialize round trip byte-identically, non-ASCII stays
+    // raw UTF-8. Key 19: an EMPTY answer array (has("answer") is true, so a
+    // Q/A pair with zero answers is still emitted) plus a problem group
+    // whose qualifying sub-sub carries a 4th nesting level — the transform
+    // walks exactly 3 levels, so level 4 is deep-copied VERBATIM inside the
+    // qualifying item, never visited (the bounded-depth contract,
+    // SURVEY data-model note "model 3 levels").
+    val itemH = lf(
+      """{"linkId":"h23","text":"Q\"uo\\te\n中🎉","answer":[{"valueString":"A\"x\\y\tz"},{"valueString":""}]}""")
+    val itemE = lf(
+      """{"linkId":"ea","text":"Empty 19","answer":[]},{"linkId":"g19","item":[{"linkId":"w19","item":[{"linkId":"problemStatus","answer":[{"valueString":"active"}],"item":[{"linkId":"level4","answer":[{"valueString":"deep"}]}]}]}]}""")
     val items = caseOf(
-      Seq(mod(4, 0) -> item0, mod(4, 1) -> item1, mod(4, 2) -> item2),
+      Seq(eqk(23) -> itemH, eqk(19) -> itemE,
+        mod(4, 0) -> item0, mod(4, 1) -> item1, mod(4, 2) -> item2),
       item3)
     cat(
       lf("""{"resourceType":"QuestionnaireResponse","id":"QR"""), k,
@@ -98,8 +114,15 @@ object Transforms {
       lf("""{"linkId":"questions","item":[{"linkId":"question","answer":[{"valueString":"Both """),
       k, lf(""""}]},{"linkId":"answer","answer":[{"valueString":"B"""), k,
       lf(""""}]}]}"""))
+    // Key 23: the hostile strings round-trip with identical escapes.
+    // Key 19: zero-answer Q/A pair is still emitted (empty answer array).
+    val citH = lf(
+      """{"linkId":"questions","item":[{"linkId":"question","answer":[{"valueString":"Q\"uo\\te\n中🎉"}]},{"linkId":"answer","answer":[{"valueString":"A\"x\\y\tz"},{"valueString":""}]}]}""")
+    val citE = lf(
+      """{"linkId":"questions","item":[{"linkId":"question","answer":[{"valueString":"Empty 19"}]},{"linkId":"answer","answer":[]}]}""")
     val citems = caseOf(
-      Seq(mod(4, 0) -> cit0, mod(4, 2) -> cit2), lf(""))
+      Seq(eqk(23) -> citH, eqk(19) -> citE,
+        mod(4, 0) -> cit0, mod(4, 2) -> cit2), lf(""))
     val pr1 = cat(
       lf(""",{"linkId":"LOINC/11450-4","text":"Problem list","item":[{"linkId":"problem","text":"Problem","item":[{"linkId":"problemCode","text":"Problem Code","answer":[{"valueCoding":{"system":"http://snomed.info/sct","code":"C"""),
       k,
@@ -107,8 +130,13 @@ object Transforms {
     val pr2 = cat(
       lf(""",{"linkId":"LOINC/11450-4","text":"Problem list","item":[{"linkId":"problem","text":"Problem","item":[{"linkId":"problemType","answer":[{"valueString":"T"""),
       k, lf(""""}]}]}]}"""))
+    // Key 19: the qualifying problemStatus sub-sub is copied VERBATIM —
+    // including its own 4th-level item[] the 3-level walk never visits.
+    val prE = lf(
+      """,{"linkId":"LOINC/11450-4","text":"Problem list","item":[{"linkId":"problem","text":"Problem","item":[{"linkId":"problemStatus","answer":[{"valueString":"active"}],"item":[{"linkId":"level4","answer":[{"valueString":"deep"}]}]}]}]}""")
     val problems = caseOf(
-      Seq(mod(4, 1) -> pr1, mod(4, 2) -> pr2), lf(""))
+      Seq(eqk(23) -> lf(""), eqk(19) -> prE,
+        mod(4, 1) -> pr1, mod(4, 2) -> pr2), lf(""))
     cat(
       lf("""{"resourceType":"QuestionnaireResponse","id":"QR"""), k,
       lf("""","status":"completed","questionnaire":"""" +
@@ -126,11 +154,27 @@ object Transforms {
       s"SELECT n_nationkey, ${qrExpected.sql} AS doc FROM nation"),
     doc = "T5 QuestionnaireResponse restructure, byte-identical JSON oracle")
 
-  private def bundleWrap(resource: Frag): Frag = cat(
-    lf("""{"resourceType":"Bundle","type":"collection","entry":[{"fullUrl":"urn:uuid:pat-"""),
-    k, lf("""","resource":{"resourceType":"Patient","id":"P"""), k,
-    lf(""""}},{"fullUrl":"urn:uuid:qr-"""), k, lf("""","resource":"""),
-    resource, lf("}]}"))
+  /** r12 hostile bundle shapes (VERDICT r11 #4), same wrapper on input and
+    * expected so both sides stay symmetric: key 19 = 0-entry bundle (the
+    * rewrite is a no-op reserialization), key 23 = QR-only bundle (no
+    * Patient), key 17 = a resource-LESS entry preserved verbatim ahead of
+    * the QR entry.
+    */
+  private def bundleWrap(resource: Frag): Frag = caseOf(
+    Seq(
+      eqk(19) -> lf("""{"resourceType":"Bundle","type":"collection","entry":[]}"""),
+      eqk(23) -> cat(
+        lf("""{"resourceType":"Bundle","type":"collection","entry":[{"fullUrl":"urn:uuid:qr-"""),
+        k, lf("""","resource":"""), resource, lf("}]}")),
+      eqk(17) -> cat(
+        lf("""{"resourceType":"Bundle","type":"collection","entry":[{"fullUrl":"urn:uuid:nores-"""),
+        k, lf(""""},{"fullUrl":"urn:uuid:qr-"""), k, lf("""","resource":"""),
+        resource, lf("}]}"))),
+    cat(
+      lf("""{"resourceType":"Bundle","type":"collection","entry":[{"fullUrl":"urn:uuid:pat-"""),
+      k, lf("""","resource":{"resourceType":"Patient","id":"P"""), k,
+      lf(""""}},{"fullUrl":"urn:uuid:qr-"""), k, lf("""","resource":"""),
+      resource, lf("}]}")))
 
   private val q141_bundle_qr_rewrite = Q(
     run = (s, d) =>
@@ -165,12 +209,18 @@ object Transforms {
         lf("""","resource":{"resourceType":"Patient","id":"P"""), k,
         lf(""""}}"""))
       val entries = caseOf(
-        Seq(mod(5, 0) -> pat,
+        Seq(eqk(23) -> lf(""), mod(5, 0) -> pat,
           mod(3, 0) -> cat(enc1, lf(","), pat, lf(","), enc2)),
         cat(enc1, lf(","), pat))
-      val bundleIn = cat(
-        lf("""{"resourceType":"Bundle","type":"transaction","entry":["""),
-        entries, lf("]}"))
+      // r12 hostile shapes: key 23 = "entry":[] (header becomes the sole
+      // entry), key 19 = NO entry field at all (Jackson's withArray creates
+      // it AFTER the appended identifier — pinned field order).
+      val bundleIn = caseOf(
+        Seq(eqk(19) ->
+          lf("""{"resourceType":"Bundle","type":"transaction"}""")),
+        cat(
+          lf("""{"resourceType":"Bundle","type":"transaction","entry":["""),
+          entries, lf("]}")))
       Tables.nation(s, d).select(
         col("n_nationkey"),
         FhirBuilders.bundleToMessageA04(bundleIn.col, uuid.col).as("doc"))
@@ -183,7 +233,8 @@ object Transforms {
       val f2 = cat(lf("""{"reference":"urn:uuid:enc2-"""), k,
         lf("""","type":"Encounter"}"""))
       val focus = caseOf(
-        Seq(mod(5, 0) -> lf(""), mod(3, 0) -> cat(f1, lf(","), f2)), f1)
+        Seq(eqk(23) -> lf(""), eqk(19) -> lf(""),
+          mod(5, 0) -> lf(""), mod(3, 0) -> cat(f1, lf(","), f2)), f1)
       val enc1 = cat(
         lf("""{"fullUrl":"urn:uuid:enc-"""), k,
         lf("""","resource":{"resourceType":"Encounter","id":"E"""), k,
@@ -200,6 +251,10 @@ object Transforms {
         Seq(mod(5, 0) -> pat,
           mod(3, 0) -> cat(enc1, lf(","), pat, lf(","), enc2)),
         cat(enc1, lf(","), pat))
+      // key 23: empty input entry[] -> the header is the SOLE entry (no
+      // comma, no original entries).
+      val entriesTail = caseOf(
+        Seq(eqk(23) -> lf("")), cat(lf(","), entries))
       val header = cat(
         lf("""{"fullUrl":"urn:uuid:"""), uuid,
         lf("""","resource":{"resourceType":"MessageHeader","eventCoding":{"system":"http://terminology.hl7.org/CodeSystem/v2-0003","code":"A04"},"destination":[{"endpoint":"""" +
@@ -212,11 +267,18 @@ object Transforms {
           graft.etl.MessageA04.DefaultEndpoint +
           """"},"focus":["""),
         focus, lf("]}}"))
-      val expected = cat(
-        lf("""{"resourceType":"Bundle","type":"message","entry":["""),
-        header, lf(","), entries,
-        lf("""],"identifier":{"system":"urn:ietf:rfc:3986","value":"urn:uuid:"""),
-        uuid, lf(""""}}"""))
+      // key 19: the input had NO entry field, so Jackson appends identifier
+      // FIRST (putObject) and creates entry LAST (withArray) — the field
+      // order flips vs the in-place default.
+      val expected = caseOf(
+        Seq(eqk(19) -> cat(
+          lf("""{"resourceType":"Bundle","type":"message","identifier":{"system":"urn:ietf:rfc:3986","value":"urn:uuid:"""),
+          uuid, lf(""""},"entry":["""), header, lf("]}"))),
+        cat(
+          lf("""{"resourceType":"Bundle","type":"message","entry":["""),
+          header, entriesTail,
+          lf("""],"identifier":{"system":"urn:ietf:rfc:3986","value":"urn:uuid:"""),
+          uuid, lf(""""}}""")))
       s"SELECT n_nationkey, ${expected.sql} AS doc FROM nation"
     },
     doc = "T4 Bundle -> A04 message: header prepended, Encounter focus list")

@@ -107,6 +107,24 @@ class FhirBuildersSpec extends SparkSpec {
     assert(m.get("entry").size() == 4)
   }
 
+  test("T4 r12 edges: empty entry[] and missing entry field") {
+    // empty entry[]: header becomes the SOLE entry, focus empty
+    val j1 = MessageA04.convert(
+      """{"resourceType":"Bundle","type":"transaction","entry":[]}""",
+      "u1", MessageA04.DefaultEndpoint, MessageA04.DefaultOds)
+    val m1 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j1)
+    assert(m1.get("entry").size() == 1)
+    assert(m1.get("entry").get(0).get("resource").get("focus").size() == 0)
+    // no entry field at all: identifier is appended BEFORE the created
+    // entry array (field-order contract pinned by q140's key-19 arm)
+    val j2 = MessageA04.convert(
+      """{"resourceType":"Bundle","type":"transaction"}""",
+      "u2", MessageA04.DefaultEndpoint, MessageA04.DefaultOds)
+    assert(j2.indexOf("\"identifier\"") < j2.indexOf("\"entry\""))
+    val m2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j2)
+    assert(m2.get("entry").size() == 1)
+  }
+
   test("T7 appendNote null-safe append") {
     val df = Seq((Seq(("t0", "first")), "t1", "second"))
       .toDF("note", "time", "text")

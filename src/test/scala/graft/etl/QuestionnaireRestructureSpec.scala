@@ -105,6 +105,55 @@ class QuestionnaireRestructureSpec extends SparkSpec {
       QuestionnaireRestructure.QuestionnaireUrl)
   }
 
+  test("r12 hostile shapes: no item field, empty answers, 4-deep verbatim") {
+    // QR with NO item field: questionnaire + item are APPENDED (they did
+    // not exist), comments section present but empty.
+    val noItem = convert(
+      """{"resourceType":"QuestionnaireResponse","id":"x","status":"done"}""")
+    assert(noItem.get("item").size() == 1)
+    assert(noItem.get("item").get(0).get("item").size() == 0)
+    // empty answer array still emits a zero-answer Q/A pair
+    val ea = convert(
+      """{"resourceType":"QuestionnaireResponse","item":[{"linkId":"e","text":"t","answer":[]}]}""")
+    val pair = ea.get("item").get(0).get("item").get(0)
+    assert(pair.get("item").get(1).get("answer").size() == 0)
+    // a qualifying sub-sub with its OWN 4th level is copied verbatim —
+    // the walk is bounded at 3 levels (SURVEY data-model note)
+    val deep = convert(
+      """{"resourceType":"QuestionnaireResponse","item":[{"linkId":"g","item":[{"linkId":"w","item":[{"linkId":"problemStatus","answer":[{"valueString":"a"}],"item":[{"linkId":"level4","answer":[{"valueString":"deep"}]}]}]}]}]}""")
+    val kept = deep.get("item").get(1).get("item").get(0).get("item").get(0)
+    assert(kept.get("item").get(0).get("linkId").asText() == "level4")
+  }
+
+  test("r12 hostile strings round-trip with canonical escapes") {
+    val in =
+      """{"resourceType":"QuestionnaireResponse","item":[{"linkId":"h","text":"Q\"uo\\te\n中","answer":[{"valueString":"A\tB"}]}]}"""
+    val out = QuestionnaireRestructure.convertQrJson(in)
+    assert(out.contains("""Q\"uo\\te\n中"""))
+    assert(out.contains("""A\tB"""))
+  }
+
+  test("r12 bundle edges: 0-entry no-op, resource-less entry preserved") {
+    val empty = """{"resourceType":"Bundle","type":"collection","entry":[]}"""
+    assert(QuestionnaireRestructure.convertBundleJson(empty) == empty)
+    val noRes =
+      """{"resourceType":"Bundle","entry":[{"fullUrl":"urn:uuid:x"},{"resource":{"resourceType":"QuestionnaireResponse","item":[]}}]}"""
+    val out = m.readTree(QuestionnaireRestructure.convertBundleJson(noRes))
+    assert(out.get("entry").get(0).get("fullUrl").asText() == "urn:uuid:x")
+    assert(out.get("entry").get(1).get("resource").get("questionnaire")
+      .asText() == QuestionnaireRestructure.QuestionnaireUrl)
+  }
+
+  test("malformed JSON yields null from the column expression, not a crash") {
+    import spark.implicits._
+    val got = Seq("{not json", """{"resourceType":"Bundle","entry":[]}""")
+      .toDF("j")
+      .select(QuestionnaireRestructure.restructureQr(col("j"))).as[String]
+      .collect()
+    assert(got(0) == null)
+    assert(got(1) != null)
+  }
+
   test("column expression form works in a plan") {
     import spark.implicits._
     val qr = """{"resourceType":"QuestionnaireResponse","item":[{"linkId":"q","answer":[{"valueString":"a"}]}]}"""
