@@ -43,15 +43,45 @@ object Sketches {
     * values). Unlike HLL the entire computation is reproducible on any
     * engine — the DuckDB oracle re-derives the identical estimate — while
     * keeping the sketch property that only k hashes per group matter.
-    * This form materializes distinct (group, hash) pairs; the mergeable
-    * low-shuffle variant for 100 TB remains `approx_count_distinct`
-    * ([[distinctCounts]]) — KMV is the cross-engine-checkable counterpart.
+    *
+    * r12 shape: ONE [[graft.functions.KmvMinsAgg]] typed aggregate —
+    * bounded mergeable state (≤ k longs per group per partition enters
+    * the shuffle), replacing the distinct-then-window form that shuffled
+    * the whole distinct (group, hash) set and re-exchanged it for the
+    * rank window (2 exchanges → 1, and the exchanged volume drops from
+    * the distinct value set to k longs — the same mergeability argument
+    * as HLL, but cross-engine reproducible). NULL values contribute no
+    * element (the COUNT(DISTINCT) contract, pinned in the oracle's WHERE;
+    * the windowed form ranked NULL hashes nulls-first on Spark and
+    * nulls-last on DuckDB — a latent divergence this form removes).
+    * [[kmvDistinctWindowed]] stays as the spec's equivalence oracle.
     */
   def kmvDistinct(df: DataFrame, group: Column, value: Column,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    require(k >= 2, "KMV needs k >= 2")
+    val mins = ExprBridge.column(graft.functions.KmvMinsAgg(
+      ExprBridge.expr(Sampling.hashBucket(value)), k)
+      .toAggregateExpression())
+    df.filter(value.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(mins.as("__mins"))
+      .select(col("grp"),
+        when(size(col("__mins")) < k, size(col("__mins")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * 4294967296.0) /
+            greatest(element_at(col("__mins"), k), lit(1L))).cast("long"))
+          .as("est_nd"))
+  }
+
+  /** The composed distinct→window spelling of [[kmvDistinct]] — kept as
+    * the equivalence oracle in `SketchesSpec` (NULL values pre-filtered to
+    * match the pinned contract).
+    */
+  def kmvDistinctWindowed(df: DataFrame, group: Column, value: Column,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, "KMV needs k >= 2")
-    val hashed = df.select(group.as("grp"),
+    val hashed = df.filter(value.isNotNull).select(group.as("grp"),
       Sampling.hashBucket(value).as("hv")).distinct()
     val w = Window.partitionBy("grp").orderBy("hv")
     hashed
@@ -71,7 +101,8 @@ object Sketches {
   def kmvDistinctSql(table: String, group: String, value: String,
       k: Int): String = s"""
     WITH h AS (SELECT DISTINCT $group AS grp,
-                 ${Sampling.hashBucketSql(value)} AS hv FROM $table),
+                 ${Sampling.hashBucketSql(value)} AS hv FROM $table
+               WHERE $value IS NOT NULL),
     r AS (SELECT grp, hv,
             row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
             count(*) OVER (PARTITION BY grp) AS nd

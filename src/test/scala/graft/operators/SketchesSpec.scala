@@ -56,6 +56,25 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("KMV typed aggregate == the windowed form on randomized corpora, " +
+      "and NULL values/all-NULL groups follow the COUNT(DISTINCT) contract") {
+    val rnd = new scala.util.Random(42)
+    // skewed duplicates, many groups, group sizes straddling k
+    val rows = (1 to 20000).map { _ =>
+      val g = s"g${rnd.nextInt(7)}"
+      (g, Some(math.abs(rnd.nextLong()) % (1L << rnd.nextInt(16))))
+    } ++ Seq(("gnull", Option.empty[Long]), ("g0", Option.empty[Long]))
+    val df = rows.toDF("g", "v").repartition(11)
+    for (k <- Seq(2, 16, 64)) {
+      val a = Sketches.kmvDistinct(df, col("g"), col("v"), k)
+        .as[(String, Long)].collect().toMap
+      val b = Sketches.kmvDistinctWindowed(df, col("g"), col("v"), k)
+        .as[(String, Long)].collect().toMap
+      assert(a == b, s"k=$k: agg form $a vs windowed $b")
+      assert(!a.contains("gnull"), "all-NULL group must vanish")
+    }
+  }
+
   test("portable HLL lands within the standard error envelope of exact") {
     // p=8 → 256 registers → standard error 1.04/sqrt(256) ≈ 6.5%; allow 3σ
     val li = Tables.lineitem(spark, sf())

@@ -99,6 +99,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("count_in_set"), s"expected the in-set probe:\n$p")
   }
 
+  test("q76_kmv_distinct: bounded KMV typed aggregate — ONE exchange of " +
+      "k-long buffers (never the distinct hash set), no window, null " +
+      "filter pushed to the scan") {
+    val p = plan("q76_kmv_distinct")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges == 1, s"expected exactly one exchange ($exchanges):\n$p")
+    assert(p.contains("kmv_mins"), s"expected the KmvMinsAgg aggregate:\n$p")
+    assert(p.contains("partial_kmv_mins"),
+      s"expected map-side partial KMV state:\n$p")
+    assert(!p.contains("Window"), s"the rank-window form is banned:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)"),
+      s"null-value filter must reach the scan:\n$p")
+  }
+
   test("q17_topk: sort+limit fuses to TakeOrderedAndProject " +
       "(no global sort)") {
     val p = plan("q17_topk")
