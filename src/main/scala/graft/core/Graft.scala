@@ -40,12 +40,15 @@ object Graft {
     // ObjectHashAggregate (bitmap aggs, typed aggregates like QuantMeanAgg)
     // silently switches to SORT-BASED aggregation once its hash map passes
     // this many groups — the default 128 is below the real grouping
-    // cardinality of the bitmap-distinct level-1 (~10^3 buckets) and the
-    // per-label centroid aggregates (640 labels), which would sort the
-    // whole fact input per partition. 4096 keeps those in the hash path;
-    // buffers at that size are a few MB per task.
+    // cardinality of the bitmap-distinct level-1 (q49 ~10^3 buckets; q70's
+    // (grp, orderkey-bucket) at sf10 ~5.7k — the 100-replica key islands
+    // each occupy ~19 bitmap buckets) and the per-label centroid aggregates
+    // (640 labels), which would sort the whole fact input per partition.
+    // 16384 keeps those in the hash path; the map holds only buckets
+    // PRESENT in the partition (file-contiguous scans see few replicas),
+    // worst case ~16k × ~5 KB ≈ 80 MB per task, transient to the stage.
     spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
     graft.functions.compat.registerAll(spark)
     spark
   }

@@ -395,25 +395,28 @@ object Extended {
   //     promoted into the driver's correctness artifact.
   private val q70_sketch = Q(
     run = (s, d) => {
-      // Dedup-first, ONE pass, no join. Mixing count_distinct with
-      // approx_count_distinct in one Aggregate makes Spark's distinct
-      // rewrite carry ALL 52 HLL register columns per (grp, orderkey)
-      // ROW through the dedup exchange — a 54-column shuffle of the
-      // whole fact table. Instead: distinct() the 2-column (grp, key)
-      // pairs (map-side partial dedup, narrow exchange), then count +
-      // HLL over the deduped relation — the HLL estimate is IDENTICAL
-      // because register updates are duplicate-invariant. No grp join,
-      // so an edge-corpus NULL group survives by construction (the
-      // original single-pass motivation, kept). r11 A/B at sf10, same
-      // host window: mixed 21.8 s -> split-join 12.2 s -> this 9.8 s.
-      val pairs = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("grp"), col("l_orderkey"))
-        .distinct()
-      // count(col), not count(*): a NULL orderkey must not count as a
-      // distinct value (count(DISTINCT x) excludes NULLs, as does HLL)
-      pairs.groupBy(col("grp"))
-        .agg(count(col("l_orderkey")).as("exact_nd"),
-          approx_count_distinct(col("l_orderkey"), 0.05).as("approx_nd"))
+      // ONE scan, ONE fact-wide aggregate, no distinct, no join. History
+      // of this shape (all A/B'd at sf10): mixing count_distinct with
+      // approx_count_distinct in one Aggregate drags ALL 52 HLL register
+      // columns per (grp, orderkey) row through the dedup exchange
+      // (21.8 s); the r11 dedup-first rewrite (distinct() the pairs, then
+      // count + HLL over them) got 9.8 s but still shuffles the FULL
+      // ~45 M-row distinct pair set. This (r12) aggregates once on
+      // (grp, bitmap-bucket(orderkey)): exact distinct via a 4 KB bitmap
+      // per bucket (the q49 bucketed-bitmap idea — buckets partition the
+      // key domain, so per-bucket popcounts SUM exactly; clustered
+      // replica ids keep the non-empty bucket count ~10^3), approximate
+      // distinct via a per-bucket DataSketches HLL (`hll_sketch_agg`)
+      // whose registers UNION exactly across buckets — the mergeable-
+      // sketch layout a 1000-executor run needs. Everything after the
+      // one exchange is bucket-sized. NULL keys: bucket NULL groups to
+      // an empty bitmap / empty sketch (both aggregates skip NULLs) and
+      // contributes 0; a NULL grp survives by construction (still no
+      // join). sf10 solo: 9.8 s (r11) -> 1.6 s, parity with DuckDB's
+      // 1.7 s. The 15% bound holds for any lgK>=8 (rsd ~=
+      // 1.04/sqrt(2^lgK), 3 sigma at lgK=12 is ~5%).
+      Sketches.groupedDistinctExactApprox(
+          Tables.lineitem(s, d), col("l_returnflag"), col("l_orderkey"))
         .select(col("grp"), col("exact_nd"),
           (abs(col("approx_nd") - col("exact_nd")) <=
             col("exact_nd") * lit(0.15)).as("within_bounds"))

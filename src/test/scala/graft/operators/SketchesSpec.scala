@@ -21,6 +21,39 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("groupedDistinctExactApprox: exact_nd == count(DISTINCT) on hostile " +
+      "inputs (NULL group, NULL keys, all-NULL group, bucket boundaries, " +
+      "dups), approx within the HLL envelope, partitioning-invariant") {
+    val rows: Seq[(String, Option[Long])] =
+      (1L to 3000L).map(v => ("big", Some(v))) ++      // spans buckets
+      (1L to 3000L).map(v => ("big", Some(v))) ++      // exact dups
+      Seq[(String, Option[Long])](
+        ("edge", Some(32767L)),                        // last bit of a bucket
+        ("edge", Some(32768L)),                        // first bit of the next
+        ("edge", Some(0L)),
+        ("edge", None),                                // NULL key mixed in
+        ("allnull", None), ("allnull", None),          // all-NULL-key group
+        (null, Some(7L)),                              // NULL group
+        (null, Some(7L)),
+        (null, None))
+    val df = rows.toDF("g", "v")
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches
+        .groupedDistinctExactApprox(df.repartition(parts), col("g"), col("v"))
+        .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"),
+          (r.getLong(1), r.getDouble(2)))).toMap
+      val want = df.groupBy(col("g")).agg(countDistinct(col("v")))
+        .collect().map(r => (Option(r.getString(0)).getOrElse("<null>"),
+          r.getLong(1))).toMap
+      assert(got.keySet == want.keySet, s"parts=$parts groups")
+      want.foreach { case (g, n) =>
+        assert(got(g)._1 == n, s"parts=$parts grp=$g exact")
+        assert(math.abs(got(g)._2 - n) <= math.max(1.0, n * 0.15),
+          s"parts=$parts grp=$g approx ${got(g)._2} vs $n")
+      }
+    }
+  }
+
   test("approximate quantiles bracket the exact percentiles") {
     val li = Tables.lineitem(spark, sf())
     val qs = Sketches.quantiles(li, col("l_returnflag"), col("l_quantity"),

@@ -54,24 +54,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q70_sketch: dedup-first HLL — the approx aggregate never runs " +
-      "keyed on the pair (the mixed-distinct rewrite that drags 52 HLL " +
-      "register columns through the fact-table exchange), and no join") {
+  test("q70_sketch: bucketed bitmap + mergeable HLL in ONE fact aggregate " +
+      "— no per-pair keyed aggregate (neither the mixed-distinct rewrite's " +
+      "register-dragging shuffle nor the r11 distinct-pair shuffle), no " +
+      "Expand, no join") {
     val p = plan("q70_sketch")
-    // the register-dragging symptom: a HashAggregate computing the HLL
-    // while still keyed on (grp, l_orderkey) — every register column
-    // then rides the dedup shuffle per pair row (sf10: 21.8 s vs 9.8 s)
+    // any aggregate keyed on the RAW key shuffles per-distinct-value rows
+    // (the r11 shape: 9.8 s sf10) or worse, per-pair register columns
+    // (the mixed rewrite: 21.8 s); the bitmap form keys on (grp, bucket)
     assert(!p.linesIterator.exists { l =>
-      l.contains("approx_count_distinct") && {
+      l.contains("Aggregate") && {
         val i = l.indexOf("keys=[")
         i >= 0 && l.substring(i + 6, l.indexOf("]", i)).contains("l_orderkey")
       }
-    }, s"HLL must aggregate the deduped pairs, not key on them:\n$p")
+    }, s"no aggregate may key on the raw orderkey:\n$p")
+    assert(p.contains("bitmap_construct_agg") && p.contains("hll_sketch_agg"),
+      s"exact bitmap + HLL sketch must ride one level-1 aggregate:\n$p")
+    assert(!p.contains("Expand"), s"no Expand of the fact table:\n$p")
     assert(!p.contains("Join"), s"no grp join (NULL group survives):\n$p")
     val nonBroadcast = p.linesIterator
       .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).size
     assert(nonBroadcast <= 2,
-      s"expected dedup + final exchanges only ($nonBroadcast):\n$p")
+      s"expected bucket + final exchanges only ($nonBroadcast):\n$p")
   }
 
   test("q49_distinct_agg: bucketed-bitmap plan — NO Expand of the fact " +
