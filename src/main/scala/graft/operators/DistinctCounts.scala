@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ExprBridge
+
+import graft.functions.{BitmapConstructTypedAgg, BitmapOrTypedAgg}
 
 /** Exact multi-column distinct counting without the Expand-×(k+1) plan.
   *
@@ -12,9 +15,12 @@ import org.apache.spark.sql.functions._
   * sf10) that is 180M probes into multi-million-entry maps: 9.9 s where
   * DuckDB's vectorized grouped distinct takes 0.8 s.
   *
-  * This operator instead rides Spark's bucketed-bitmap aggregates
-  * (`bitmap_bucket_number` / `bitmap_bit_position` / `bitmap_construct_agg`,
-  * Spark 3.5+): each key value maps to (bucket = v div 32768, bit in a 4 KB
+  * This operator instead rides Spark's bucketed-bitmap mapping
+  * (`bitmap_bucket_number` / `bitmap_bit_position`, Spark 3.5+) with the
+  * typed aggregates in [[graft.functions.BitmapConstructTypedAgg]] (the
+  * built-in `bitmap_construct_agg` is a plain ImperativeAggregate that
+  * plans as SortAggregate — see BitmapAggs.scala for the measured cost):
+  * each key value maps to (bucket = v div 32768, bit in a 4 KB
   * bitmap), so the ONE scan aggregates on (group, bucket(a), bucket(b))
   * — hundreds of groups, not millions — and per row just sets two bits.
   * The shuffle carries a few hundred 4 KB bitmaps per partition instead of
@@ -56,13 +62,22 @@ object DistinctCounts {
         ki.flatMap(i => Seq(
           expr(s"bitmap_bucket_number(__k$i)").as(s"__b$i"),
           expr(s"bitmap_bit_position(__k$i)").as(s"__p$i"))): _*)
-    // the ONE pass over the data: few-hundred-group bitmap aggregate
+    // the ONE pass over the data: few-hundred-group bitmap aggregate.
+    // Typed (ObjectHash-eligible) aggregate, NOT the built-in
+    // bitmap_construct_agg: the built-in is a plain ImperativeAggregate,
+    // which HashAggregate can't buffer and ObjectHashAggregate won't
+    // accept without a typed rider — the planner falls to SortAggregate
+    // and per-partition-sorts the WHOLE fact input below the partial agg
+    // (sf10: 5.4 s sorted vs 2.0 s hashed, identical downstream bytes).
+    def constructAgg(pos: String): Column =
+      ExprBridge.column(BitmapConstructTypedAgg(
+        ExprBridge.expr(col(pos))).toAggregateExpression())
     val lvl1 = prepped
       .groupBy(col("__grp") +: ki.map(i => col(s"__b$i")): _*)
       .agg(
-        expr("bitmap_construct_agg(__p0)").as("__bm0"),
+        constructAgg("__p0").as("__bm0"),
         ki.drop(1).map(i =>
-          expr(s"bitmap_construct_agg(__p$i)").as(s"__bm$i")) :+
+          constructAgg(s"__p$i").as(s"__bm$i")) :+
           count(lit(1)).as("__c"): _*)
     // per-key branches as ONE pipeline (an explode, not a self-union —
     // a union would plan the scan subtree once per branch)
@@ -74,7 +89,9 @@ object DistinctCounts {
       .select(col("__grp"), col("__c"), col("e.gid").as("__gid"),
         col("e.b").as("__b"), col("e.bm").as("__bm"))
       .groupBy(col("__grp"), col("__gid"), col("__b"))
-      .agg(expr("bitmap_count(bitmap_or_agg(__bm))").as("__cnt"),
+      .agg(call_function("bitmap_count", ExprBridge.column(
+          BitmapOrTypedAgg(ExprBridge.expr(col("__bm")))
+            .toAggregateExpression())).as("__cnt"),
         // each lvl1 row explodes to exactly one gid=0 row, so the row
         // count rides that branch without double-counting
         sum(when(col("__gid") === 0, col("__c"))).as("__cpart"))

@@ -67,4 +67,41 @@ class DistinctCountsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("typed bitmap aggregates are byte-identical to the built-ins " +
+      "(construct on random positions incl. NULL and boundary bits; " +
+      "or over the produced bitmaps) — the layout contract that lets " +
+      "bitmap_count and any engine-side consumer read them unchanged") {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { _ =>
+      val g = rnd.nextInt(3)
+      val p: java.lang.Long = rnd.nextInt(12) match {
+        case 0 => null
+        case 1 => 0L
+        case 2 => 32767L // last bit of the buffer
+        case _ => rnd.nextInt(32768).toLong
+      }
+      (g, p)
+    }
+    val df = rows.toDF("g", "p")
+    def bytesOf(c: org.apache.spark.sql.Column) =
+      df.groupBy("g").agg(c.as("bm")).collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bm").toSeq).toMap
+    val builtin = bytesOf(expr("bitmap_construct_agg(p)"))
+    val typed = bytesOf(ExprBridge.column(
+      graft.functions.BitmapConstructTypedAgg(ExprBridge.expr(col("p")))
+        .toAggregateExpression()))
+    assert(typed == builtin)
+    // or-agg over per-(g, bucket-of-two) bitmaps, merged per g
+    val half = df.withColumn("h", col("p") % 2)
+    def orBytes(c: org.apache.spark.sql.Column) =
+      half.groupBy("g", "h")
+        .agg(expr("bitmap_construct_agg(p)").as("bm"))
+        .groupBy("g").agg(c.as("bm")).collect()
+        .map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bm").toSeq).toMap
+    assert(orBytes(ExprBridge.column(
+      graft.functions.BitmapOrTypedAgg(ExprBridge.expr(col("bm")))
+        .toAggregateExpression())) == orBytes(expr("bitmap_or_agg(bm)")))
+  }
 }

@@ -84,8 +84,14 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q49_distinct_agg")
     assert(!p.contains("Expand"),
       s"fact-table Expand reintroduced (the 180M-replica plan):\n$p")
-    assert(p.contains("bitmap_construct_agg"),
-      s"expected the bucketed-bitmap aggregate:\n$p")
+    assert(p.contains("bitmap_construct_typed_agg"),
+      s"expected the typed bucketed-bitmap aggregate:\n$p")
+    // the built-in bitmap aggs are plain ImperativeAggregates: they plan
+    // as SortAggregate, whose required ordering per-partition-sorts the
+    // WHOLE fact input below the partial agg (sf10 5.4 s vs 1.3 s typed)
+    assert(!p.contains("SortAggregate"),
+      s"bitmap agg fell off the ObjectHashAggregate path (a SortAggregate " +
+        s"here sorts the 60M-row fact input per partition):\n$p")
     // count_distinct in the plan would mean the rewrite fell back
     assert(!p.contains("distinct "), s"planner fell back to distinct:\n$p")
     val nonBroadcast = p.linesIterator
