@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics: a right row at exactly the left timestamp matches
   * (inclusive, like DuckDB's `ON l.ts >= r.ts`). Right rows should be
-  * unique per (key, time) — pre-aggregate otherwise; with duplicates the
-  * union's within-partition order decides which wins (nondeterministic).
+  * unique per (key, time) — pre-aggregate otherwise, or pass
+  * `rightTieBreak` to resolve duplicates max-wins inside the window's own
+  * sort (no pre-aggregation exchange); without either, the union's
+  * within-partition order decides which duplicate wins (nondeterministic).
   *
   * Null semantics: carried values are filled as ONE struct, so every
   * `asof_*` column comes from the same matched right row — a right row
@@ -42,10 +44,23 @@ object AsOfJoin {
     *                   "forward" (earliest right at-or-after) — both
     *                   inclusive at equal timestamps, matching DuckDB's
     *                   `ON l.ts >= r.ts` / `ON l.ts <= r.ts` forms
+    * @param rightTieBreak names (⊆ rightVals) ordering DUPLICATE right rows
+    *                   at the same (key, time): the row with the GREATEST
+    *                   tie value wins, NULL tie values lose to non-NULL
+    *                   (and win only when every dup is NULL) — exactly
+    *                   `max()` semantics. This folds the usual
+    *                   "pre-aggregate the right side per (key, time)"
+    *                   step INTO the window's sort (a few extra sort-key
+    *                   bytes), deleting the pre-aggregation's own
+    *                   exchange + two HashAggregates from the plan — the
+    *                   §2.4 "two operations keyed the same way share one
+    *                   exchange" move. Empty (default) keeps the
+    *                   documented right-rows-unique contract.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightVals: Seq[String], direction: String = "backward"): DataFrame = {
+      rightVals: Seq[String], direction: String = "backward",
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
@@ -80,14 +95,23 @@ object AsOfJoin {
     // latest prior right row wins (last over preceding frame); forward:
     // right rows sort AFTER left rows at ties and the earliest following
     // right row wins (first over following frame) — inclusive either way
+    // tie-break among right dups at one (key, time): backward resolves by
+    // `last` (so GREATEST-wins = ascending, nulls first — all-NULL dups
+    // still yield NULL), forward by `first` (descending, nulls last);
+    // left rows carry NULL in these columns and sort apart by __side, so
+    // the keys are inert for them
+    require(rightTieBreak.forall(rightVals.contains),
+      s"rightTieBreak must name carried rightVals columns: $rightTieBreak")
     val w =
       if (direction == "backward")
         Window.partitionBy(keys.map(col): _*)
-          .orderBy(col("__t"), col("__side"))
+          .orderBy(col("__t") +: col("__side") +:
+            rightTieBreak.map(v => col(s"__asof_$v").asc_nulls_first): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
         Window.partitionBy(keys.map(col): _*)
-          .orderBy(col("__t"), col("__side").desc)
+          .orderBy(col("__t") +: col("__side").desc +:
+            rightTieBreak.map(v => col(s"__asof_$v").desc_nulls_last): _*)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // pack the carried values into one struct on right rows only (and only
     // when no key is null), so last/first(ignoreNulls) picks the whole

@@ -350,14 +350,16 @@ object Advanced {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts"),
           dec(col("value")).cast("double").as("purchase_value"))
+      // raw click rows — the per-(user_id, ts) max(value) dedup rides the
+      // window sort (rightTieBreak max-wins), not its own exchange (r12)
       val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(dec(col("value"))).cast("double").as("click_value"))
-        .withColumn("click_ts", col("ts"))
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+          dec(col("value")).cast("double").as("click_value"))
       graft.operators.AsOfJoin.asofJoin(
         purchases, clicks, keys = Seq("user_id"),
         leftTime = "ts", rightTime = "ts",
-        rightVals = Seq("click_ts", "click_value"))
+        rightVals = Seq("click_ts", "click_value"),
+        rightTieBreak = Seq("click_value"))
     },
     oracle = Some("""
       WITH purchases AS (

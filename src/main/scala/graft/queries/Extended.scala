@@ -460,15 +460,19 @@ object Extended {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"))
+      // raw purchase rows — the oracle's GROUP BY (user_id, ts) max(value)
+      // dedup folds into the window sort via rightTieBreak (max-wins at
+      // the matched timestamp, decimal→double cast is order-preserving),
+      // deleting the pre-aggregation exchange + HashAggregates (r12)
       val purchases = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(dec(col("value"))).cast("double").as("purchase_value"))
-        .withColumn("purchase_ts", col("ts"))
+        .select(col("user_id"), col("ts"), col("ts").as("purchase_ts"),
+          dec(col("value")).cast("double").as("purchase_value"))
       graft.operators.AsOfJoin.asofJoin(
         clicks, purchases, keys = Seq("user_id"),
         leftTime = "ts", rightTime = "ts",
         rightVals = Seq("purchase_ts", "purchase_value"),
-        direction = "forward")
+        direction = "forward",
+        rightTieBreak = Seq("purchase_value"))
     },
     oracle = Some("""
       WITH clicks AS (

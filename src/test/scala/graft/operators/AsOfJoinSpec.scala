@@ -93,6 +93,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd(None).isEmpty)     // NOT matched to the earliest right row
   }
 
+  test("asof rightTieBreak == pre-aggregated right side (max per key+time) " +
+      "in both directions, on randomized dup-heavy data with NULL values " +
+      "and NULL times — the no-pre-agg-exchange q51/q72 rewrite's oracle") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val right = (1 to 3000).map { _ =>
+      val v: java.lang.Double =
+        if (rnd.nextInt(6) == 0) null else rnd.nextInt(50).toDouble
+      val t: java.lang.Long =
+        if (rnd.nextInt(20) == 0) null else rnd.nextInt(40).toLong
+      (s"k${rnd.nextInt(5)}", t, v) // heavy (key, t) duplication
+    }.toDF("sym", "qt", "px").withColumn("q_ts", col("qt"))
+    val left = (1 to 500).map { _ =>
+      val t: java.lang.Long =
+        if (rnd.nextInt(20) == 0) null else rnd.nextInt(45).toLong
+      (s"k${rnd.nextInt(6)}", t, rnd.nextInt(1000))
+    }.toDF("sym", "tt", "id")
+    val preAgg = right.groupBy(col("sym"), col("qt"))
+      .agg(max(col("px")).as("px")).withColumn("q_ts", col("qt"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("sym", "tt", "id", "asof_q_ts", "asof_px")
+        .as[(String, Option[Long], Int, Option[Long], Option[Double])]
+        .collect().sorted.toSeq
+    for (dir <- Seq("backward", "forward")) {
+      val tied = canon(AsOfJoin.asofJoin(left, right, Seq("sym"), "tt", "qt",
+        Seq("q_ts", "px"), direction = dir, rightTieBreak = Seq("px")))
+      val agg = canon(AsOfJoin.asofJoin(left, preAgg, Seq("sym"), "tt", "qt",
+        Seq("q_ts", "px"), direction = dir))
+      assert(tied == agg, s"direction=$dir diverged")
+    }
+  }
+
   test("asof preserves left row count (left-outer semantics)") {
     val left = (1 to 100).map(i => ("k", i.toLong, i)).toDF("sym", "tt", "v")
     val right = Seq(("k", 50L, 1.0)).toDF("sym", "qt", "px")
