@@ -1297,10 +1297,11 @@ object Dedup {
     * (ties broken by lowest id) — the decision step of a pretraining dedup
     * pipeline (drop near-dups, keep the highest-quality copy).
     *
-    * The per-component argmax is an AGGREGATE (`max(struct(q, -id))` —
-    * largest quality, then smallest id; a NULL quality sorts below every
-    * non-null, matching the window's `q.desc` nulls-last), not a
-    * `row_number` window: the window SORTS each component in one task,
+    * The per-component argmax is an AGGREGATE ([[TopK.argmax]] over
+    * `struct(q, -id)` — largest quality, then smallest id; a NULL quality
+    * sorts below every non-null, matching the window's `q.desc`
+    * nulls-last), not a `row_number` window: the window SORTS each
+    * component in one task,
     * and the mega-component of boilerplate near-dups is precisely the
     * case this operator exists for. Map-side partials keep one struct
     * per component per partition; the flag join re-keys without sorting.
@@ -1314,7 +1315,10 @@ object Dedup {
       q: Column): DataFrame = {
     val joined = components.join(quality, "id")
     val best = joined.groupBy(col("component"))
-      .agg(max(struct(q.as("q"), (-col("id")).as("nid"))).as("__b"))
+      // TopK.argmax, not max(struct): identical interpreted struct
+      // ordering, but ObjectHashAggregate instead of a SortAggregate
+      // that per-partition sorts the whole doc-quality join (r12)
+      .agg(TopK.argmax(struct(q.as("q"), (-col("id")).as("nid"))).as("__b"))
       .select(col("component"), (-col("__b.nid")).as("__best"))
     joined.join(best, Seq("component"))
       .select(joined.columns.map(col) :+

@@ -1035,7 +1035,11 @@ object Similarity {
       .filter(col("cos") >= threshold)
     hits.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_hits"),
-        max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("__best"))
+        // TopK.argmax, not max(struct): the struct-buffered max plans as
+        // SortAggregate, per-partition sorting the whole hit relation
+        // below the partial agg (sf1 3.3 s -> 2.6 s as ObjectHash)
+        TopK.argmax(struct(col("cos"), (-col("bench_id")).as("nb")))
+          .as("__best"))
       .select(col("vec_id"), col("n_hits"),
         (-col("__best")("nb")).as("best_bench_id"),
         col("__best")("cos").as("best_cos"))

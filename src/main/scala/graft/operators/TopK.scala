@@ -46,6 +46,22 @@ object TopK {
         (col("pos") + 1).cast("int").as("rank") :+ col("col.__p.*"): _*)
   }
 
+  /** Per-group argmax as a bounded ObjectHashAggregate: the exact
+    * interpreted ordering of `max(struct(...))` (field by field, NULLs
+    * smallest) via `CollectTopK` with k = 1. The `max(struct)` spelling
+    * itself cannot ride HashAggregate (no mutable struct buffer) and is
+    * not a TypedImperativeAggregate, so Spark plans **SortAggregate** —
+    * whose required child ordering per-partition-sorts the ENTIRE
+    * aggregate input below the partial agg (q117's argmax sorted the
+    * whole cross-join hit relation, q75's the whole doc-quality join —
+    * both measured; see OPTIMIZATION_r12.md). This spelling keeps a
+    * 1-element bounded heap per group instead and hashes its input.
+    * Groups are never empty (groupBy only materializes present keys) and
+    * a struct child is never NULL, so the 1-element array is total.
+    */
+  def argmax(ordKey: Column): Column =
+    element_at(ExprBridge.collectTopK(ordKey, 1, reverse = false), 1)
+
   /** Ascending-total-order key helper for the common "metric DESC, id
     * ASC" ranking under `largest = true`: metric stays as-is, the id
     * tie-break is negated so LARGER (metric, -id) = smaller id on ties.

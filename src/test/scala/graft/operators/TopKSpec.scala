@@ -59,6 +59,25 @@ class TopKSpec extends SparkSpec {
     assert(reshuffled == got, "top-k must not depend on input partitioning")
   }
 
+  test("argmax == max(struct) on randomized data (ties, NULL metric " +
+      "fields, negative ids) and plans ObjectHashAggregate, never the " +
+      "input-sorting SortAggregate of the struct-buffered max") {
+    val df = fixture.cache()
+    val key = struct(col("m"), (-col("id")).as("nid"))
+    val got = df.groupBy("g").agg(TopK.argmax(key).as("b"))
+      .select(col("g"), col("b.m"), col("b.nid"))
+      .as[(String, Option[Double], Long)].collect().toSet
+    val want = df.groupBy("g").agg(max(key).as("b"))
+      .select(col("g"), col("b.m"), col("b.nid"))
+      .as[(String, Option[Double], Long)].collect().toSet
+    assert(got == want)
+    val p = df.groupBy("g").agg(TopK.argmax(key).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"argmax fell back to the input-sorting plan:\n$p")
+  }
+
   test("the aggregate is the bounded-heap ObjectHashAggregate with a " +
       "PARTIAL stage — never a sort-the-world window") {
     val df = fixture
