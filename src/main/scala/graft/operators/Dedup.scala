@@ -197,9 +197,18 @@ object Dedup {
     // sides ride a single shuffle+sort of the shingle relation — the
     // aggregate-then-join form re-shuffled 12 M rows against a ~10 M-key
     // df relation just to apply the cap (7.0 s → 3.7 s at sf1)
-    val sh = allSh
+    val sh0 = allSh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shh"))))
       .filter(col("df") <= maxDf).drop("df")
+    // materialize the CAPPED relation once (r12): ReuseExchange shares
+    // the shh exchange across this relation's consumers (sizes agg +
+    // both self-join sides), but NOT the Sort+Window above it — each
+    // consumer re-sorted and re-windowed the full shingle relation
+    // (q115's plan ran the 12 M-row window 4×). The bridge checkpoint
+    // keeps the window's shh hash partitioning AND its partition-local
+    // shh sort, so both self-join sides plan exchange- AND sort-free.
+    val sh = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .checkpointPartitioned(sh0)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // n_sh rides INTO the self-join so the denominators fall out of the
     // pair aggregation itself (the pre-r6 shape joined `sizes` onto the

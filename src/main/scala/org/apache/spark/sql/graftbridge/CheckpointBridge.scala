@@ -53,7 +53,7 @@ object CheckpointBridge {
     val qe = df.queryExecution
     val rdd = qe.toRdd.map(_.copy())
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // materialize eagerly, like localCheckpoint(true)
+    val rowCount = rdd.count() // materialize eagerly, like localCheckpoint(true)
     // AQE has finalized by now: read the layout the blocks actually have
     val finalPlan = qe.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -77,8 +77,23 @@ object CheckpointBridge {
     // partitioning it must only reference output attributes
     val ordering: Seq[SortOrder] = finalPlan.outputOrdering
       .takeWhile(_.references.forall(a => outIds.contains(a.exprId)))
+    // report the MATERIALIZED size as the relation's stats: a bare
+    // LogicalRDD falls back to defaultSizeInBytes (effectively infinite),
+    // so everything derived from a checkpoint lost auto-broadcast in the
+    // initial plan — q115's per-doc size relation planned a sort-merge
+    // join that re-shuffled the checkpoint by doc_id until AQE's runtime
+    // stats undid it (measured). Block sizes come from the storage info
+    // of the rdd just persisted — Spark's own accounting, not a guess;
+    // if the blocks aren't visible (all-disk eviction race), fall back
+    // to declaring nothing rather than a wrong size.
+    val stats = spark.sparkContext.getRDDStorageInfo
+      .find(_.id == rdd.id)
+      .map(i => math.max(i.memSize + i.diskSize, 1L))
+      .map(bytes => org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(bytes), rowCount = Some(BigInt(rowCount))))
     val plan =
-      LogicalRDD(output, rdd, part, ordering, isStreaming = false)(spark)
+      LogicalRDD(output, rdd, part, ordering, isStreaming = false)(
+        spark, originStats = stats)
     Dataset.ofRows(spark, plan)
   }
 

@@ -579,14 +579,17 @@ class PlanShapeSpec extends SparkSpec {
       s"grid aggregation must have map-side partials:\n$p")
   }
 
-  test("q115_containment: shared q34 core — df cap via window on the " +
-      "SAME shh clustering the self-join uses, no cartesian, scan " +
-      "pruned to (doc_id, text)") {
+  test("q115_containment: shared q34 core — the df-capped shingle " +
+      "relation is CHECKPOINTED once (the shh window runs in the " +
+      "checkpoint build, not per consumer: pre-r12 the sizes aggregate " +
+      "and both self-join sides each re-sorted and re-windowed the full " +
+      "shingle relation), no cartesian, no window in the consumer plan") {
     val p = plan("q115_containment")
     assert(!p.contains("CartesianProduct"), s"no cartesian products:\n$p")
-    assert(p.linesIterator.exists(l =>
-      l.contains("Window") && l.contains("shh")),
-      s"expected the shh-partitioned df-cap window:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed capped shingle relation:\n$p")
+    assert(!p.contains("Window"),
+      s"the df-cap window must not re-run per consumer:\n$p")
     assert(!p.contains("lang#"), s"scan must not read unused columns:\n$p")
   }
 
