@@ -867,9 +867,17 @@ object Dedup {
       .select(id.as("doc_id"), TextAnalysis.normalizedHash(text).as("fp"))
       .join(baseFp.select(col("fp")), Seq("fp"), "left_semi")
       .select(col("doc_id"))
-    val cand = crossCandidatesFromBanded(baseBanded,
-      bandedSignatures(batch, id, text, k, bands), maxBucketSize)
-      .localCheckpoint(true)
+    // bridge checkpoint, not localCheckpoint: the bridge carries the
+    // distinct's (doc_base, doc_new) partitioning AND the materialized
+    // size as stats — a bare localCheckpoint reports defaultSizeInBytes,
+    // so both restrictedShingles semi-joins planned the DOCS table into
+    // a doc_id sort-merge shuffle instead of broadcasting the bounded
+    // candidate id set (AQE's leaf stages run concurrently: by the time
+    // runtime stats proved the ids tiny, the docs exchange had already
+    // executed)
+    val cand = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .checkpointPartitioned(crossCandidatesFromBanded(baseBanded,
+        bandedSignatures(batch, id, text, k, bands), maxBucketSize))
     // no distinct: both consumers are LEFT_SEMI probes, where duplicate
     // right-side ids are free — a distinct here is a wasted exchange
     val candB = cand.select(col("doc_base").as("doc_id"))
