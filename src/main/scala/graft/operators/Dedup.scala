@@ -1085,7 +1085,13 @@ object Dedup {
     // checkpoint is one narrow (id, long) row per doc — doc-count-bounded,
     // never corpus-bytes (same trade as [[components]]; use reliable
     // `checkpoint` on a cluster for fault tolerance).
-    val sim = simhash(docs, id, text).localCheckpoint()
+    // bridge checkpoint: carries the vote aggregate's doc_id partitioning
+    // plus materialized-size stats, so the banded self-join below can
+    // broadcast one side in the INITIAL plan when the signature relation
+    // is small (a bare localCheckpoint reports defaultSizeInBytes and
+    // forces the sort-merge shape until AQE's runtime stats undo it)
+    val sim = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .checkpointWithStats(simhash(docs, id, text))
     val banded = sim.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),

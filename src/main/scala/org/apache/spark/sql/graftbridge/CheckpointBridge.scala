@@ -47,7 +47,23 @@ object CheckpointBridge {
     * and partition-local ordering the executed plan reports.
     */
   def checkpointPartitioned(
-      df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    checkpointCore(df0, requirePartitioning = true)
+
+  /** [[checkpointPartitioned]] minus the partitioning guarantee: when the
+    * executed plan's layout can't be re-expressed over the analyzed
+    * output (optimizer-rewritten attributes), fall back to UNKNOWN
+    * partitioning instead of throwing — the materialization, lineage
+    * truncation and SIZE STATS still carry. For consumers that only need
+    * the stats (so joins on OTHER keys can broadcast in the initial
+    * plan), not the clustering.
+    */
+  def checkpointWithStats(
+      df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    checkpointCore(df0, requirePartitioning = false)
+
+  private def checkpointCore(df0: org.apache.spark.sql.DataFrame,
+      requirePartitioning: Boolean): org.apache.spark.sql.DataFrame = {
     val df = df0.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
     val spark = df.sparkSession
     val qe = df.queryExecution
@@ -67,10 +83,13 @@ object CheckpointBridge {
     val part = finalPlan.outputPartitioning match {
       case h: HashPartitioningLike
           if h.references.forall(a => outIds.contains(a.exprId)) => h
-      case other => throw new IllegalArgumentException(
-        "checkpointPartitioned: executed plan must report a hash " +
-          s"partitioning over output attributes, got $other — end " +
-          "the plan in repartition(n, keys…)")
+      case other if requirePartitioning =>
+        throw new IllegalArgumentException(
+          "checkpointPartitioned: executed plan must report a hash " +
+            s"partitioning over output attributes, got $other — end " +
+            "the plan in repartition(n, keys…)")
+      case _ => org.apache.spark.sql.catalyst.plans.physical
+        .UnknownPartitioning(rdd.getNumPartitions)
     }
     // partition-local ordering is free to carry when present (lets a
     // downstream SMJ on an ordering prefix skip its sort); like the
