@@ -184,13 +184,16 @@ object Dedup {
     */
   private def shinglePairStats(docs: DataFrame, id: Column, text: Column,
       len: Int, stride: Int, maxDf: Int): DataFrame = {
-    // cache the raw shingle relation: it backs both the df computation and
-    // the join, and its plan is shared with fingerprint/minhash queries
-    // (Spark's cacheManager dedups by plan equality across queries).
     // The join/df-cap key is the 64-bit shingle hash, not the 16-char
     // string: half the shuffle bytes and a long-vs-long compare; two
     // distinct shingles of one doc pair colliding (~n²/2⁶⁴) is negligible.
-    val allSh = hashedShingles(docs, id, text, len, stride).cache()
+    // NOT cached (r13): since the r12 bridge checkpoint landed below the
+    // df-cap window, this relation has exactly ONE consumer in the plan
+    // (the window) — the cache was a full extra materialization of the
+    // 12 M-row shingle relation into the storage pool per invocation,
+    // kept only for cross-query plan sharing that the checkpoint already
+    // absorbs (q34/q115 share nothing above the checkpoint barrier).
+    val allSh = hashedShingles(docs, id, text, len, stride)
     // df cap via a WINDOW on shh, not aggregate-then-join: the one shh
     // exchange it costs is the SAME clustering the self-join below
     // requires, so the df filter, the capped relation and both self-join
