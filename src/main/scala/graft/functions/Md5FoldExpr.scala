@@ -53,10 +53,17 @@ object Md5FoldExpr {
   /** Big-endian long of the digest's first 8 bytes, >>> 4: the integer
     * value of the first 15 hex characters (60 bits, always >= 0).
     */
-  def hash(bytes: Array[Byte]): Long = {
+  def hash(bytes: Array[Byte]): Long = hashRange(bytes, 0, bytes.length)
+
+  /** [[hash]] over a byte RANGE — lets window-hashing loops
+    * ([[ShingleHashesExpr]]) hash straight off a shared parent array with
+    * zero per-window copies.
+    */
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md.get()
     d.reset()
-    val dig = d.digest(bytes)
+    d.update(bytes, off, len)
+    val dig = d.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }

@@ -79,15 +79,18 @@ object Dedup {
     *
     * `portable = true` swaps xxhash64 for the [[portableHash64]] md5 fold
     * so the same hashes are reproducible in the DuckDB oracle.
+    *
+    * r13: shingle + hash + per-doc dedup run as ONE codegen'd loop
+    * ([[graft.functions.ShingleHashesExpr]], property-gated equal to the
+    * composed `array_distinct(transform(charShingles, hash))` chain) —
+    * `transform` is a HigherOrderFunction and evaluates INTERPRETED per
+    * element, which dominated the shingle family's scan stages.
     */
   def hashedShingles(docs: DataFrame, id: Column, text: Column,
-      len: Int = 16, stride: Int = 4, portable: Boolean = false): DataFrame = {
-    val hash: Column => Column = if (portable) portableHash64 else xxhash64(_)
+      len: Int = 16, stride: Int = 4, portable: Boolean = false): DataFrame =
     docs.select(id.as("doc_id"),
-        TextAnalysis.charShingles(text, len, stride).as("shs"))
-      .select(col("doc_id"),
-        explode(array_distinct(transform(col("shs"), s => hash(s)))).as("shh"))
-  }
+      explode(shingleHashes(text, len, stride, portable,
+        distinct = true)).as("shh"))
 
   /** [[hashedShingles]] with the per-doc set size RIDING the projection:
     * `size(arr)` is known BEFORE the explode, so (doc_id, shh, n_sh)
@@ -99,14 +102,23 @@ object Dedup {
     */
   private[graft] def hashedShinglesWithSize(docs: DataFrame, id: Column,
       text: Column, len: Int = 16, stride: Int = 4,
-      portable: Boolean = false): DataFrame = {
-    val hash: Column => Column = if (portable) portableHash64 else xxhash64(_)
+      portable: Boolean = false): DataFrame =
     docs.select(id.as("doc_id"),
-        array_distinct(transform(
-          TextAnalysis.charShingles(text, len, stride),
-          s => hash(s))).as("__shs"))
+        shingleHashes(text, len, stride, portable,
+          distinct = true).as("__shs"))
       .select(col("doc_id"), explode(col("__shs")).as("shh"),
         size(col("__shs")).cast("long").as("n_sh"))
+
+  /** Column wrapper over [[graft.functions.ShingleHashesExpr]] — the
+    * fused `array_distinct(transform(charShingles(text), hash))` loop
+    * shared by [[hashedShingles]], [[hashedShinglesWithSize]] and
+    * [[minhashSigArray]].
+    */
+  private[graft] def shingleHashes(text: Column, len: Int, stride: Int,
+      portable: Boolean, distinct: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    ExprBridge.column(graft.functions.ShingleHashesExpr(
+      ExprBridge.expr(text), len, stride, portable, distinct))
   }
 
   /** Portable 60-bit hash: the first 15 hex chars of md5, parsed base-16.
@@ -613,9 +625,10 @@ object Dedup {
       text: Column, k: Int, shingleLen: Int = 16,
       stride: Int = 4): DataFrame = {
     import org.apache.spark.sql.graftbridge.ExprBridge
-    val hashes = transform(
-      TextAnalysis.charShingles(text, shingleLen, stride),
-      s => portableHash64(s))
+    // fused shingle+md5fold loop (r13): duplicates can't move a min, so
+    // distinct stays off — the hash array feeds MinHashSigsExpr directly
+    val hashes = shingleHashes(text, shingleLen, stride, portable = true,
+      distinct = false)
     docs.select(id.as("doc_id"), ExprBridge.column(
         graft.functions.MinHashSigsExpr(ExprBridge.expr(hashes), k))
       .as("__sig"))
