@@ -162,12 +162,27 @@ object TextAnalysis {
     */
   def ngrams(tokens: Column, n: Int): Column = {
     require(n >= 1, s"ngrams: n must be >= 1, got $n")
-    // null-preserving: NULL tokens (no text) -> NULL n-grams, distinct
-    // from <n tokens -> EMPTY n-grams (matching SQL null propagation —
-    // the oracle's generate_series(1, NULL) chain yields NULL, not []).
-    // Grams join with concat (null-propagating: a null TOKEN nulls its
-    // gram, as `tk[i] || ' ' || tk[i+1]` does) — concat_ws would silently
-    // drop null elements instead.
+    // fused codegen'd loop (r13): the declarative transform(sequence(...))
+    // chain evaluates INTERPRETED per gram — see [[ngramsComposed]], kept
+    // as the property oracle (`NgramsSpec` pins row identity, including
+    // the NULL-array / <n-token / NULL-token contracts documented there)
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      graft.functions.NgramsExpr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expr(tokens), n))
+  }
+
+  /** The composed-builtin spelling of [[ngrams]] — the property-test
+    * oracle for the fused expression (never used in a hot path).
+    *
+    * null-preserving: NULL tokens (no text) -> NULL n-grams, distinct
+    * from <n tokens -> EMPTY n-grams (matching SQL null propagation —
+    * the oracle's generate_series(1, NULL) chain yields NULL, not []).
+    * Grams join with concat (null-propagating: a null TOKEN nulls its
+    * gram, as `tk[i] || ' ' || tk[i+1]` does) — concat_ws would silently
+    * drop null elements instead.
+    */
+  private[graft] def ngramsComposed(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"ngrams: n must be >= 1, got $n")
     when(tokens.isNull, lit(null).cast("array<string>"))
       .when(size(tokens) >= n,
         transform(sequence(lit(0), size(tokens) - n),
