@@ -1070,6 +1070,27 @@ object Dedup {
     * corpus scale.
     */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // r13: the signature is a PER-DOCUMENT reduction (every vote depends
+    // only on the doc's own token multiset), so it runs as one fused
+    // projection expression — zero exchanges, no corpus×tokens explode
+    // (the same observation that made MinHash signatures a projection).
+    // [[simhashComposed]] keeps the explode → tf-agg → 60-vote-agg
+    // pipeline as the property oracle (`SimhashExprSpec`); NULL text
+    // yields NULL here where the composed form emitted no row — the
+    // filter reproduces the absent-doc contract.
+    import org.apache.spark.sql.graftbridge.ExprBridge
+    docs.select(id.as("doc_id"), ExprBridge.column(
+        graft.functions.SimhashExpr(ExprBridge.expr(text),
+          SimhashBits, SimhashTfCap)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The composed explode/aggregate spelling of [[simhash]] — the
+    * property-test oracle for the fused expression (never used in a hot
+    * path).
+    */
+  private[graft] def simhashComposed(docs: DataFrame, id: Column,
+      text: Column): DataFrame = {
     // (doc_id, token) weights: one shuffle with map-side partial counts —
     // the combiner reduces each task's contribution to its distinct-token
     // volume before anything crosses the wire
