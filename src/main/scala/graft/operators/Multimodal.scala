@@ -245,7 +245,18 @@ object Multimodal {
     * hash. The standard re-encode-robust image fingerprint: byte-level
     * dedup misses a recompressed JPEG, the luma thumb doesn't.
     */
-  def aHash(thumb8: Column): Column = {
+  def aHash(thumb8: Column): Column =
+    // fused codegen'd loop (r13): the composed spelling below is THREE
+    // interpreted HigherOrderFunctions per thumb; see
+    // [[graft.functions.AHash64Expr]] — `AHash64Spec` pins row identity
+    org.apache.spark.sql.graftbridge.ExprBridge.column(
+      graft.functions.AHash64Expr(
+        org.apache.spark.sql.graftbridge.ExprBridge.expr(thumb8)))
+
+  /** The composed-builtin spelling of [[aHash]] — the property-test
+    * oracle for the fused expression (never used in a hot path).
+    */
+  private[graft] def aHashComposed(thumb8: Column): Column = {
     // mean comparison in pure integers (v*64 >= total) — no float parity
     // hazards; element i -> bit i, packed as two 32-bit halves folded
     // MSB-first (an ANSI-mode long would overflow-throw on the top bit
