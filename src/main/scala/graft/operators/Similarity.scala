@@ -659,18 +659,33 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("code_id"),
         col("lv")))), e => e("lv")).as("lvs"))
       .groupBy()
-      .agg(sort_array(collect_list(struct(col("sub_id"), col("lvs"))))
-        .as("lut"))
+      // strip to array<array<double>> INSIDE the one-row aggregate (the
+      // per-corpus-row transform it replaces ran interpreted per row)
+      .agg(transform(sort_array(collect_list(struct(col("sub_id"),
+        col("lvs")))), e => e("lvs")).as("lut"))
     val passthrough = codes.columns.filter(c => c != "vec_id" && c != "codes")
+    // fused m-lookup sum (r13): the zip_with/element_at/aggregate chain
+    // re-entered the interpreter 3m times per corpus row — see
+    // [[graft.functions.AdcScoreExpr]] (left-fold order preserved
+    // bit-for-bit; `adcScoreComposed` in SimilaritySpec is the oracle)
     codes.crossJoin(broadcast(lut))
       .select(col("vec_id") +:
-        round(aggregate(
-          zip_with(col("codes"),
-            transform(col("lut"), e => e("lvs")),
-            (c, larr) => element_at(larr, c.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x), roundDp).as("score") +:
+        round(ExprBridge.column(graft.functions.AdcScoreExpr(
+          ExprBridge.expr(col("codes")), ExprBridge.expr(col("lut")))),
+          roundDp).as("score") +:
         passthrough.map(col): _*)
   }
+
+  /** The composed HOF spelling of the ADC lookup-sum — the property-test
+    * oracle for [[graft.functions.AdcScoreExpr]] (never used in a hot
+    * path). `lut` is the array<array<double>> table, `codes` the per-row
+    * code array.
+    */
+  private[graft] def adcScoreComposed(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut,
+        (c, larr) => element_at(larr, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
 
   /** IVF-PQ — the composed 100 TB ANN architecture: IVF cells prune WHICH
     * rows are scored ([[ivfAssign]]); PQ codes shrink WHAT is scored per
@@ -790,10 +805,9 @@ object Similarity {
     val scored = codes.join(broadcast(probed), Seq("centroid_id"))
       .join(broadcast(lut), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), col("lut"),
-            (c, larr) => element_at(larr, c.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x), roundDp).as("score"))
+        round(ExprBridge.column(graft.functions.AdcScoreExpr(
+          ExprBridge.expr(col("codes")), ExprBridge.expr(col("lut")))),
+          roundDp).as("score"))
     TopK.perGroup(scored, Seq("query_id"),
         TopK.descByWithIdTieBreak(col("score"), col("vec_id")),
         payload = Seq("vec_id", "score"), k = k)
@@ -1131,6 +1145,23 @@ object Similarity {
     * from the max). Pure map — zero shuffle at any scale.
     */
   def int8Quantize(emb: DataFrame): DataFrame = {
+    // fused codegen'd loop (r13): the staged HOF chain (maxabs pass +
+    // two code-transform passes) ran interpreted per element — see
+    // [[graft.functions.Int8QuantExpr]]; [[int8QuantizeComposed]] stays
+    // as the property oracle. The struct is STAGED as its own attribute
+    // (referenced twice below), per the staging rule.
+    val q = ExprBridge.column(graft.functions.Int8QuantExpr(
+      ExprBridge.expr(col("embedding").cast("array<double>"))))
+    emb.select(col("vec_id"), q.as("__q"))
+      .select(col("vec_id"), col("__q.qscale").as("qscale"),
+        col("__q.qvec").as("qvec"))
+  }
+
+  /** The composed staged-HOF spelling of [[int8Quantize]] — the
+    * property-test oracle for the fused expression (never used in a hot
+    * path).
+    */
+  private[graft] def int8QuantizeComposed(emb: DataFrame): DataFrame = {
     // stage the cast + scale as attributes (HOF rule) before the code
     // lambda references them per element
     val v = col("__v")
