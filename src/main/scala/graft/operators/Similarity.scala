@@ -91,6 +91,15 @@ object Similarity {
     * oracle instead of a rows-only check.
     */
   def quantize(vec: Column): Column =
+    // fused codegen'd loop (r13): the transform ran interpreted per
+    // element, dims × corpus times under every RHP banding pass —
+    // [[quantizeComposed]] stays as the property oracle
+    ExprBridge.column(graft.functions.QuantizeExpr(ExprBridge.expr(vec)))
+
+  /** The composed spelling of [[quantize]] — the property-test oracle
+    * for the fused expression (never used in a hot path).
+    */
+  private[graft] def quantizeComposed(vec: Column): Column =
     transform(vec, x => floor(x * lit(1e6)).cast("double"))
 
   /** Fixed stride between bands' plane slices: plane index =

@@ -44,6 +44,35 @@ class VectorFusionSpec extends SparkSpec {
     assert(joined.count() == 0L)
   }
 
+  test("quantize fused == composed on hostile vectors (incl. NaN/Inf " +
+      "saturation of Spark's double->long floor) — double and float") {
+    val rng = new scala.util.Random(71L)
+    val rows: Seq[Option[Seq[Option[Double]]]] = (1 to 500).map { _ =>
+      val n = rng.nextInt(10)
+      Some((0 until n).map { _ =>
+        rng.nextInt(10) match {
+          case 0 => Option.empty[Double]
+          case 1 => Some(Double.NaN)
+          case 2 => Some(Double.PositiveInfinity)
+          case 3 => Some(Double.NegativeInfinity)
+          case 4 => Some(1e300)
+          case _ => Some((rng.nextDouble() - 0.5) * 4.0)
+        }
+      })
+    } ++ Seq(None, Some(Seq.empty[Option[Double]]))
+    val df = rows.toDF("v").localCheckpoint(true)
+    val badD = df.select(Similarity.quantize(col("v")).as("f"),
+        Similarity.quantizeComposed(col("v")).as("c"))
+      .where(!(col("f") <=> col("c"))).count()
+    assert(badD == 0L, "double flavor diverged")
+    val dff = df.select(col("v").cast("array<float>").as("v"))
+      .localCheckpoint(true)
+    val badF = dff.select(Similarity.quantize(col("v")).as("f"),
+        Similarity.quantizeComposed(col("v")).as("c"))
+      .where(!(col("f") <=> col("c"))).count()
+    assert(badF == 0L, "float flavor diverged")
+  }
+
   test("adc score fused == composed on hostile code/LUT arrays") {
     val rng = new scala.util.Random(67L)
     val m = 8
