@@ -625,12 +625,22 @@ object TextOps {
         .withColumn("tfidf", round(col("term_tf") *
           log(col("n_docs").cast("double") / col("term_df").cast("double")),
           6))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("term"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
+      // per-doc top-3 via the bounded heap (r13), not the
+      // row_number().over(partitionBy) idiom: the window form exchanged
+      // and SORTED every (doc, term) row by (doc_id, tfidf) just to keep
+      // 3 per doc — CollectTopK keeps O(3) state per doc with map-side
+      // partials, so <=3 rows per doc per partition enter the shuffle.
+      // Ordering (tfidf DESC, term ASC) spelled as the k-SMALLEST of
+      // (-tfidf, term) — tfidf is never negative (df <= n_docs), so the
+      // negation cannot hit the -0.0/-Infinity ordering edges; ties are
+      // impossible (term is unique per doc). The window spelling stays in
+      // the ORACLE, per the repo rule.
+      graft.operators.TopK.perGroup(scored, Seq("doc_id"),
+          struct((-col("tfidf")).as("nt"), col("term").as("t")),
+          payload = Seq("term", "term_tf", "term_df", "tfidf"),
+          k = 3, largest = false)
         .select(col("doc_id"), col("term"), col("term_tf"), col("term_df"),
-          col("tfidf"), col("rk"))
+          col("tfidf"), col("rank").cast("long").as("rk"))
     },
     oracle = Some("""
       WITH tf AS (
