@@ -186,10 +186,21 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q85_tfidf: the corpus is tokenized exactly once (df via window, " +
-      "not a second explode+aggregate)") {
+      "not a second explode+aggregate); per-doc top-3 is the bounded " +
+      "heap, never a doc_id-sorted window") {
     val p = plan("q85_tfidf")
-    val generates = p.linesIterator.count(_.contains("Generate"))
-    assert(generates == 1, s"expected one explode of the corpus:\n$p")
+    // exactly one corpus explode (the tokenizer); the only other Generate
+    // allowed is the top-k heap's posexplode of its <=3-element arrays
+    val tokenizes = p.linesIterator.count(l =>
+      l.contains("Generate") && l.contains("explode") &&
+        !l.contains("__top"))
+    assert(tokenizes == 1, s"expected one explode of the corpus:\n$p")
+    assert(p.contains("collect_top_k"),
+      s"per-doc top-3 must be the bounded heap:\n$p")
+    // the df window keys on term; no window may re-sort by doc_id
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("doc_id")),
+      s"no doc_id-partitioned window allowed:\n$p")
   }
 
   test("q35_fingerprint: per-doc array fold — zero exchanges (no explode " +
